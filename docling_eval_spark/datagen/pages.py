@@ -1,0 +1,301 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+Schema per BASELINE.json input_hint / FIXTURES.md §1:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``
+where ``text`` is the ground-truth main-content text the extraction
+kernel must recover byte-identically.
+
+Construction guarantees (so ground truth is defined *by construction*,
+not by running the extractor — no circularity):
+
+- content paragraphs always have ≥ 18 words → kept by the
+  NumWordsRules tree regardless of context;
+- headings are always immediately followed by a ≥ 18-word paragraph →
+  kept via the next-block rule; list items / captions always follow a
+  content block → kept via the prev-block rule;
+- boilerplate lives under <nav>/<header>/<footer>/<aside> (ancestor
+  rule) or is pure-link text (link density 1 > 1/3), placed only at
+  the end of the article so it cannot perturb neighbors' context
+  features;
+- tables and <head> content are excluded from ``text`` by contract
+  (tables come out as structured grids instead).
+
+Every page is a pure function of (seed, row index): generation runs
+distributed via ``spark.range(n).mapInPandas`` and reproduces exactly
+at any parallelism.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import random
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from docling_eval_spark.extraction.kernel import BLOCK_SEP, normalize_ws
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+_WORDS = (
+    "data spark shuffle page crawl index tokens vector column batch "
+    "query engine parquet arrow schema filter join window rollup metric "
+    "layout table cell span header footer anchor corpus document extract "
+    "boiler content block density words link signal quality language "
+    "partition bucket salt skew scale executor driver codegen plan "
+    "pipeline stream state lineage resume commit snapshot manifest"
+).split()
+# tokens exercising HTML escaping round-trips
+_SPICY = ["AT&T", "a<b", "x>y", '"quoted"', "it's"]
+
+_N_HOSTS = 64
+_HOST_WEIGHTS = [1.0 / (k + 1) for k in range(_N_HOSTS)]  # Zipf-ish skew
+_LANGS = ["en", "de", "fr", "ja"]
+
+_EPOCH = pd.Timestamp("2024-01-01 00:00:00")
+
+
+def _words(rng: random.Random, n: int) -> str:
+    out = []
+    for _ in range(n):
+        if rng.random() < 0.03:
+            out.append(rng.choice(_SPICY))
+        else:
+            out.append(rng.choice(_WORDS))
+    return " ".join(out)
+
+
+def _nav_html(rng: random.Random) -> str:
+    links = "".join(
+        f'<a href="/{w}">{w}</a> ' for w in rng.sample(_WORDS, 5)
+    )
+    return f'<header><div class="logo">SynthSite</div><nav>{links}</nav></header>'
+
+
+def _table_html(rng: random.Random) -> tuple[str, dict[str, Any]]:
+    nrows = rng.randint(2, 5)
+    ncols = rng.randint(2, 4)
+    merge = rng.random() < 0.5  # one rowspan/colspan merge → "complex" table
+    rows = []
+    merged = False
+    skip: set[tuple[int, int]] = set()
+    for r in range(nrows):
+        cells = []
+        c = 0
+        while c < ncols:
+            if (r, c) in skip:
+                c += 1
+                continue
+            tag = "th" if r == 0 else "td"
+            if merge and r == 1 and c == 0 and nrows >= 3:
+                cells.append(f'<{tag} rowspan="2">r{r}c{c}</{tag}>')
+                skip.add((r + 1, c))
+                merged = True
+                c += 1
+            elif merge and r == 0 and ncols >= 3 and c == ncols - 2:
+                cells.append(f'<{tag} colspan="2">r{r}c{c}</{tag}>')
+                merged = True
+                c += 2
+            else:
+                cells.append(f"<{tag}>r{r}c{c}</{tag}>")
+                c += 1
+        rows.append("<tr>" + "".join(cells) + "</tr>")
+    spec = {"num_rows": nrows, "num_cols": ncols, "complex": merged}
+    return "<table>" + "".join(rows) + "</table>", spec
+
+
+def _gen_html_page(rng: random.Random, doc_id: int) -> tuple[bytes, str, list[dict]]:
+    gt: list[str] = []
+    body: list[str] = [_nav_html(rng)]
+    tables: list[dict] = []
+    body.append("<main><article>")
+
+    h1 = _words(rng, rng.randint(4, 8))
+    body.append(f"<h1>{_html.escape(h1)}</h1>")
+    gt.append(h1)
+
+    n_sections = rng.randint(1, 4)
+    first = True
+    for _ in range(n_sections):
+        if not first and rng.random() < 0.7:
+            h2 = _words(rng, rng.randint(4, 8))
+            body.append(f"<h2>{_html.escape(h2)}</h2>")
+            gt.append(h2)
+        para = _words(rng, rng.randint(18, 40))
+        body.append(f"<p>{_html.escape(para)}</p>")
+        gt.append(para)
+        first = False
+        if rng.random() < 0.3:
+            items = [_words(rng, rng.randint(5, 10)) for _ in range(rng.randint(2, 4))]
+            body.append(
+                "<ul>" + "".join(f"<li>{_html.escape(i)}</li>" for i in items) + "</ul>"
+            )
+            gt.extend(items)
+        if rng.random() < 0.4:
+            tbl, spec = _table_html(rng)
+            body.append(tbl)
+            tables.append(spec)
+            # a table breaks prev-context, so re-anchor with a long paragraph
+            para2 = _words(rng, rng.randint(18, 30))
+            body.append(f"<p>{_html.escape(para2)}</p>")
+            gt.append(para2)
+        if rng.random() < 0.2:
+            cap = _words(rng, rng.randint(3, 6))
+            body.append(f"<figure><figcaption>{_html.escape(cap)}</figcaption></figure>")
+            gt.append(cap)
+    # link-farm div at article end only (cannot perturb later context)
+    rel = "".join(f'<a href="/{w}">{w} {w}</a> ' for w in rng.sample(_WORDS, 4))
+    body.append(f'<div class="related">{rel}</div>')
+    body.append("</article></main>")
+    body.append(
+        f"<aside><p>{_words(rng, 12)}</p></aside>"
+        f"<footer><p>© 2024 SynthSite {doc_id}</p></footer>"
+    )
+    title = _words(rng, 3)
+    html_doc = (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{_html.escape(title)}</title>"
+        "<style>body{margin:0}</style>"
+        '<script>var x = "<p>not text</p>";</script>'
+        "</head><body>" + "".join(body) + "</body></html>"
+    )
+    text = BLOCK_SEP.join(normalize_ws(t) for t in gt)
+    return html_doc.encode("utf-8"), text, tables
+
+
+def _gen_minipdf_page(rng: random.Random, doc_id: int) -> tuple[bytes, str]:
+    """MiniPDF layout doc; blocks written in shuffled order, ground
+    truth in geometric reading order (exercises the XY-cut path)."""
+    two_col = rng.random() < 0.4
+    width, height = 612.0, 792.0
+    blocks: list[tuple[str, float, float, float, float, str]] = []
+    y = 72.0
+    title = _words(rng, rng.randint(3, 6))
+    blocks.append(("title", 72.0, y, 540.0, y + 20, title))
+    y += 36
+    cols = (
+        [(72.0, 296.0), (316.0, 540.0)] if two_col else [(72.0, 540.0)]
+    )
+    texts_by_col: list[list[str]] = []
+    for (lx, rx) in cols:
+        col_texts = []
+        cy = y
+        for _ in range(rng.randint(2, 4)):
+            para = _words(rng, rng.randint(10, 25))
+            h = 14.0 * (1 + len(para) // 60)
+            blocks.append(("text", lx, cy, rx, cy + h, para))
+            col_texts.append(para)
+            cy += h + 10
+        texts_by_col.append(col_texts)
+    # ground truth: title first (spans mid-line → col 0, smallest top),
+    # then left column top-down, then right column
+    gt = [title] + [t for col in texts_by_col for t in col]
+    order = list(range(len(blocks)))
+    rng.shuffle(order)
+    lines = ["%PDF-MINI 1.0", f"P 1 {width} {height}"]
+    for i in order:
+        label, l, t, r, b, txt = blocks[i]
+        esc = txt.replace("\\", "\\\\").replace("\n", "\\n")
+        lines.append(f"B {label} {l} {t} {r} {b} {esc}")
+    data = "\n".join(lines).encode("utf-8")
+    text = BLOCK_SEP.join(normalize_ws(t) for t in gt)
+    return data, text
+
+
+def gen_page(i: int, seed: int = 42) -> dict[str, Any]:
+    """Pure function of (seed, i) → one pages-table row (+ table specs)."""
+    rng = random.Random((seed << 32) ^ i)
+    host = rng.choices(range(_N_HOSTS), weights=_HOST_WEIGHTS, k=1)[0]
+    url = f"https://host{host}.example/{seed}/{i}"
+    lang = _LANGS[host % len(_LANGS)]
+    if i % 10 == 7:
+        data, text = _gen_minipdf_page(rng, i)
+        tables: list[dict] = []
+    else:
+        data, text, tables = _gen_html_page(rng, i)
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + pd.Timedelta(seconds=(i * 137) % 31_536_000),
+        "html": data,
+        "text": text,
+        "lang": lang,
+        "_tables": tables,
+    }
+
+
+SENTINEL_TMPL = (
+    "Synthetic corpus document {doc_id} rendered deterministically for "
+    "extraction parity checking with exactly eighteen words in this "
+    "closing sentinel paragraph here."
+)
+
+
+def render_page_for_text(doc_id: int, text: str, lang: str = "en") -> bytes:
+    """Wrap arbitrary driver-provided text (documents.text) into a full
+    page with boilerplate. Ground-truth recovery contract::
+
+        extract_text(render_page_for_text(i, t)) ==
+            normalize_ws(t) + BLOCK_SEP + SENTINEL_TMPL.format(doc_id=i)
+
+    The ≥18-word sentinel paragraph guarantees the (possibly short)
+    text paragraph is classified content via the next-block rule, and
+    is itself kept via the prev-block rule — SQL-expressible, so the
+    DuckDB oracle can reproduce the expected md5 (see __spark_entry__).
+    """
+    rng = random.Random((1 << 60) ^ doc_id)
+    sentinel = SENTINEL_TMPL.format(doc_id=doc_id)
+    body = (
+        _nav_html(rng)
+        + "<main><article>"
+        + f"<p>{_html.escape(text)}</p>"
+        + f"<p>{_html.escape(sentinel)}</p>"
+        + "</article></main>"
+        + f"<footer><p>© 2024 SynthSite {doc_id}</p></footer>"
+    )
+    doc = (
+        "<!DOCTYPE html><html><head><title>doc</title></head><body>"
+        + body
+        + "</body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def _gen_batches(batches: Iterator[pd.DataFrame], seed: int) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [gen_page(int(i), seed) for i in pdf["id"]]
+        yield pd.DataFrame(
+            {
+                "url": [r["url"] for r in rows],
+                "warc_ts": [r["warc_ts"] for r in rows],
+                "html": [r["html"] for r in rows],
+                "text": [r["text"] for r in rows],
+                "lang": [r["lang"] for r in rows],
+            }
+        )
+
+
+def pages_dataframe(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic generation: spark.range → mapInPandas."""
+    rng_df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(
+        lambda it: _gen_batches(it, seed), schema=PAGES_SCHEMA
+    )
+
+
+def write_pages_parquet(
+    spark: SparkSession, path: str, n: int, seed: int = 42, partitions: int | None = None
+) -> None:
+    pages_dataframe(spark, n, seed, partitions).write.mode("overwrite").parquet(path)

@@ -1,0 +1,192 @@
+"""Spark stages wrapping the extraction kernel.
+
+``mapInPandas`` with an iterator signature: per-task init happens once,
+batches stream through Arrow. No per-row Python at the DataFrame level
+(input_hint contract) — the rows are only unpacked *inside* the
+vectorized batch, which is the Spark-native shape of the reference's
+per-document converter loop (`benchmarks/dpbench/create.py:266-342`).
+
+Scale notes (100 TB / 10^12 rows):
+- the stage is a pure map — no shuffle; partition count is inherited
+  from the scan, so `spark.sql.files.maxPartitionBytes` bounds task
+  memory regardless of table size;
+- `salted_repartition` is for when upstream produced few/skewed
+  partitions (e.g. per-host input files with Zipf-heavy hosts): it
+  spreads rows uniformly WITHOUT keying on url, so later per-url
+  groupings still hash raw url (SURVEY §7 risk: salt only stateless
+  map stages).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+from docling_eval_spark.extraction.kernel import extract_document
+
+_ITEM = T.StructType(
+    [
+        T.StructField("label", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+_CELL = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("row_span", T.IntegerType()),
+        T.StructField("col_span", T.IntegerType()),
+        T.StructField("start_row_offset_idx", T.IntegerType()),
+        T.StructField("end_row_offset_idx", T.IntegerType()),
+        T.StructField("start_col_offset_idx", T.IntegerType()),
+        T.StructField("end_col_offset_idx", T.IntegerType()),
+        T.StructField("col_header", T.BooleanType()),
+        T.StructField("row_header", T.BooleanType()),
+    ]
+)
+_TABLE = T.StructType(
+    [
+        T.StructField("num_rows", T.IntegerType()),
+        T.StructField("num_cols", T.IntegerType()),
+        T.StructField("cells", T.ArrayType(_CELL)),
+    ]
+)
+_LAYOUT = T.StructType(
+    [
+        T.StructField("label", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("l", T.DoubleType()),
+        T.StructField("t", T.DoubleType()),
+        T.StructField("r", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),
+    ]
+)
+_PAGE = T.StructType(
+    [
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+    ]
+)
+
+# Output schema of the full extraction stage — the Spark analog of the
+# reference's benchmark-record schema (`benchmarks/utils.py:48-65`).
+EXTRACTED_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("mimetype", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("text_md5", T.StringType()),
+        T.StructField("items", T.ArrayType(_ITEM)),
+        T.StructField("tables", T.ArrayType(_TABLE)),
+        T.StructField("layout", T.ArrayType(_LAYOUT)),
+        T.StructField("pages", T.ArrayType(_PAGE)),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        docs = [extract_document(b) for b in pdf["html"]]
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"].to_numpy(),
+                "status": [d["status"] for d in docs],
+                "mimetype": [d["mimetype"] for d in docs],
+                "content_hash": [d["content_hash"] for d in docs],
+                "title": [d["title"] for d in docs],
+                "extracted_text": [d["text"] for d in docs],
+                "text_md5": [d["text_md5"] for d in docs],
+                "items": [d["items"] for d in docs],
+                "tables": [
+                    [
+                        (
+                            t["num_rows"],
+                            t["num_cols"],
+                            [
+                                (
+                                    c["text"],
+                                    c["row_span"],
+                                    c["col_span"],
+                                    c["start_row_offset_idx"],
+                                    c["end_row_offset_idx"],
+                                    c["start_col_offset_idx"],
+                                    c["end_col_offset_idx"],
+                                    c["col_header"],
+                                    c["row_header"],
+                                )
+                                for c in t["cells"]
+                            ],
+                        )
+                        for t in d["tables"]
+                    ]
+                    for d in docs
+                ],
+                "layout": [
+                    [
+                        (
+                            b["label"],
+                            b["page_no"],
+                            b["l"],
+                            b["t"],
+                            b["r"],
+                            b["b"],
+                        )
+                        for b in d["layout"]
+                    ]
+                    for d in docs
+                ],
+                "pages": [
+                    [(p["page_no"], p["width"], p["height"]) for p in d["pages"]]
+                    for d in docs
+                ],
+                "error": [d["error"] for d in docs],
+            }
+        )
+
+
+def extract_stage(pages_df: DataFrame) -> DataFrame:
+    """Full extraction over a pages DataFrame with (url, html) columns.
+
+    Pure narrow map: ``select`` first so parquet scan prunes to the two
+    needed columns (the reference materializes full rows including
+    image blobs — SURVEY §4.1 'column pruning' anti-pattern).
+    """
+    return pages_df.select("url", "html").mapInPandas(
+        _extract_batches, schema=EXTRACTED_DOC_SCHEMA
+    )
+
+
+def extract_text_stage(pages_df: DataFrame) -> DataFrame:
+    """Text-only extraction: (url, extracted_text, text_md5, status)."""
+    return extract_stage(pages_df).select(
+        "url", "extracted_text", "text_md5", "status"
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Uniform spread for a stateless map stage over skewed input.
+
+    Round-robin repartition: rows spread evenly regardless of key
+    distribution, so Zipf-heavy hosts cannot overload one task. MUST
+    NOT replace the hash shuffle feeding a per-url grouped stage
+    (those hash raw url). Bucketed-by-url output for co-located later
+    joins is `bucketed_by_url` below.
+    """
+    return df.repartition(num_partitions)
+
+
+def bucketed_by_url(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Add the Iceberg-style `bucket = pmod(hash(url), P)` partition
+    column (FIXTURES.md §1 layout) so writes co-locate per-url work and
+    later scans partition-prune on it."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
+    )
