@@ -49,6 +49,7 @@ PAGES_SCHEMA = T.StructType(
 )
 
 _WORDS = (
+    "the of and to in a is that it for on with as by this from "
     "data spark shuffle page crawl index tokens vector column batch "
     "query engine parquet arrow schema filter join window rollup metric "
     "layout table cell span header footer anchor corpus document extract "

@@ -1,0 +1,273 @@
+"""TEDS — Tree-Edit-Distance Score for tables.
+
+Reference semantics (`evaluators/teds.py:13-129`,
+`table_evaluator.py:175-243`):
+
+- table grid → tree: root <table>, one <tr> child per row, one <td>
+  child per cell *anchored* at that row (cells carry rowspan/colspan
+  ints and, unless structure_only, their text as a char sequence);
+- edit costs: delete/insert = 1; rename = 1 if tag or rowspan or
+  colspan differ, else normalized char-Levenshtein on cell content
+  (0 for non-td or both-empty);
+- TEDS = 1 − dist / max(n_nodes_gt, n_nodes_pred) where n_nodes
+  counts *descendants of the root* (the reference uses
+  ``xpath('.//*')``, which excludes the <table> element itself);
+- score rounded to 3 decimals (`table_evaluator.py:226`);
+- a table is "complex" iff any cell has row_span>1 or col_span>1
+  (`table_evaluator.py:84-91`).
+
+The optimal tree edit distance is computed with the Zhang–Shasha
+algorithm (public, Zhang & Shasha 1989) — same metric the reference's
+APTED library computes, different (simpler) algorithm; tables are
+small (≤ hundreds of nodes) so O(n²·depth²) is fine inside a grouped
+kernel.
+
+Spark surface: ``teds_stage`` — explode zipped (gt, pred) table arrays,
+compute per-table TEDS in an Arrow-batched ``mapInPandas``, then roll
+up with evaluators.stats (all/simple/complex splits, reference
+`table_evaluator.py:150-172`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+from docling_eval_spark.evaluators.text_metrics import levenshtein
+
+
+class _Node:
+    __slots__ = ("tag", "colspan", "rowspan", "content", "children")
+
+    def __init__(self, tag: str, colspan=None, rowspan=None, content=None):
+        self.tag = tag
+        self.colspan = colspan
+        self.rowspan = rowspan
+        self.content = content
+        self.children: list[_Node] = []
+
+
+def tree_from_grid(grid: dict[str, Any]) -> tuple[_Node, int]:
+    """Grid dict {num_rows, num_cols, cells:[...]} → (tree, n_descendants).
+
+    Equivalent to parsing the reference's ``export_to_html()`` output:
+    each cell appears once, in its anchor row, ordered by start column.
+    """
+    root = _Node("table")
+    cells = sorted(
+        grid.get("cells") or [],
+        key=lambda c: (c["start_row_offset_idx"], c["start_col_offset_idx"]),
+    )
+    n_desc = 0
+    for r in range(grid.get("num_rows") or 0):
+        tr = _Node("tr")
+        root.children.append(tr)
+        n_desc += 1
+        for c in cells:
+            if c["start_row_offset_idx"] == r:
+                td = _Node(
+                    "td",
+                    colspan=int(c.get("col_span") or 1),
+                    rowspan=int(c.get("row_span") or 1),
+                    content=list(c.get("text") or ""),
+                )
+                tr.children.append(td)
+                n_desc += 1
+    return root, n_desc
+
+
+def _rename_cost(a: _Node, b: _Node) -> float:
+    if a.tag != b.tag or a.colspan != b.colspan or a.rowspan != b.rowspan:
+        return 1.0
+    if a.tag == "td" and (a.content or b.content):
+        return levenshtein(a.content, b.content) / max(
+            len(a.content), len(b.content)
+        )
+    return 0.0
+
+
+def _postorder(root: _Node) -> tuple[list[_Node], list[int]]:
+    """Postorder nodes + leftmost-leaf-descendant index per node."""
+    nodes: list[_Node] = []
+    lmld: list[int] = []
+
+    def walk(n: _Node) -> int:
+        if not n.children:
+            nodes.append(n)
+            lmld.append(len(nodes) - 1)
+            return len(nodes) - 1
+        first = None
+        for ch in n.children:
+            f = walk(ch)
+            if first is None:
+                first = lmld[f]
+        nodes.append(n)
+        lmld.append(first)
+        return len(nodes) - 1
+
+    walk(root)
+    return nodes, lmld
+
+
+def tree_edit_distance(t1: _Node, t2: _Node) -> float:
+    """Zhang–Shasha ordered tree edit distance with TEDS costs."""
+    n1, l1 = _postorder(t1)
+    n2, l2 = _postorder(t2)
+    kr1 = _keyroots(l1)
+    kr2 = _keyroots(l2)
+    td = [[0.0] * len(n2) for _ in range(len(n1))]
+
+    for i in kr1:
+        for j in kr2:
+            _treedist(i, j, n1, l1, n2, l2, td)
+    return td[len(n1) - 1][len(n2) - 1]
+
+
+def _keyroots(lmld: list[int]) -> list[int]:
+    seen: dict[int, int] = {}
+    for i, l in enumerate(lmld):
+        seen[l] = i  # last (deepest-right) node with this leftmost leaf
+    return sorted(seen.values())
+
+
+def _treedist(i, j, n1, l1, n2, l2, td) -> None:
+    li, lj = l1[i], l2[j]
+    m, n = i - li + 2, j - lj + 2
+    fd = [[0.0] * n for _ in range(m)]
+    for x in range(1, m):
+        fd[x][0] = fd[x - 1][0] + 1.0
+    for y in range(1, n):
+        fd[0][y] = fd[0][y - 1] + 1.0
+    for x in range(1, m):
+        for y in range(1, n):
+            xi, yj = li + x - 1, lj + y - 1
+            if l1[xi] == li and l2[yj] == lj:
+                cost = _rename_cost(n1[xi], n2[yj])
+                fd[x][y] = min(
+                    fd[x - 1][y] + 1.0,
+                    fd[x][y - 1] + 1.0,
+                    fd[x - 1][y - 1] + cost,
+                )
+                td[xi][yj] = fd[x][y]
+            else:
+                p = l1[xi] - li
+                q = l2[yj] - lj
+                fd[x][y] = min(
+                    fd[x - 1][y] + 1.0,
+                    fd[x][y - 1] + 1.0,
+                    fd[p][q] + td[xi][yj],
+                )
+
+
+def is_complex_grid(grid: dict[str, Any]) -> bool:
+    return any(
+        (c.get("row_span") or 1) > 1 or (c.get("col_span") or 1) > 1
+        for c in (grid.get("cells") or [])
+    )
+
+
+def teds_score(
+    gt_grid: dict[str, Any], pred_grid: dict[str, Any], structure_only: bool = False
+) -> float:
+    """TEDS ∈ [0,1], rounded to 3 decimals like the reference."""
+    if structure_only:
+        gt_grid = _strip_text(gt_grid)
+        pred_grid = _strip_text(pred_grid)
+    t1, nd1 = tree_from_grid(gt_grid)
+    t2, nd2 = tree_from_grid(pred_grid)
+    n_nodes = max(nd1, nd2)
+    if n_nodes == 0:
+        return 1.0
+    # reference computes APTED(pred, gt); distance is symmetric
+    dist = tree_edit_distance(t2, t1)
+    return round(1.0 - dist / n_nodes, 3)
+
+
+def _strip_text(grid: dict[str, Any]) -> dict[str, Any]:
+    return {
+        "num_rows": grid.get("num_rows"),
+        "num_cols": grid.get("num_cols"),
+        "cells": [{**c, "text": ""} for c in (grid.get("cells") or [])],
+    }
+
+
+# ---------------------------------------------------------------- Spark stage
+
+TEDS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("table_id", T.IntegerType()),
+        T.StructField("teds", T.DoubleType()),
+        T.StructField("teds_struct", T.DoubleType()),
+        T.StructField("is_complex", T.BooleanType()),
+        T.StructField("true_nrows", T.IntegerType()),
+        T.StructField("pred_nrows", T.IntegerType()),
+        T.StructField("true_ncols", T.IntegerType()),
+        T.StructField("pred_ncols", T.IntegerType()),
+    ]
+)
+
+
+def teds_stage(
+    df: DataFrame,
+    gt_tables_col: str = "gt_tables",
+    pred_tables_col: str = "pred_tables",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-table TEDS rows from two array<table-struct> columns.
+
+    Narrow plan: posexplode the zipped arrays (tables of one document
+    stay in one task), then an Arrow-batched kernel. No shuffle until
+    the caller's rollup aggregation.
+    """
+    pairs = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.arrays_zip(F.col(gt_tables_col), F.col(pred_tables_col))
+        ).alias("table_id", "pair"),
+    ).select(
+        "url",
+        "table_id",
+        F.col(f"pair.{gt_tables_col}").alias("gt"),
+        F.col(f"pair.{pred_tables_col}").alias("pred"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in [f.name for f in TEDS_SCHEMA.fields]}
+            for url, tid, gt, pred in zip(
+                pdf["url"], pdf["table_id"], pdf["gt"], pdf["pred"]
+            ):
+                gt = _as_grid_dict(gt)
+                pred = _as_grid_dict(pred)
+                if gt is None or pred is None:
+                    continue
+                out["url"].append(url)
+                out["table_id"].append(int(tid))
+                out["teds"].append(teds_score(gt, pred, structure_only=False))
+                out["teds_struct"].append(teds_score(gt, pred, structure_only=True))
+                out["is_complex"].append(is_complex_grid(gt))
+                out["true_nrows"].append(int(gt.get("num_rows") or 0))
+                out["pred_nrows"].append(int(pred.get("num_rows") or 0))
+                out["true_ncols"].append(int(gt.get("num_cols") or 0))
+                out["pred_ncols"].append(int(pred.get("num_cols") or 0))
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(kernel, schema=TEDS_SCHEMA)
+
+
+def _as_grid_dict(v: Any) -> dict[str, Any] | None:
+    """Arrow hands nested structs to pandas as dicts; normalize cells."""
+    if v is None:
+        return None
+    cells = v.get("cells")
+    return {
+        "num_rows": v.get("num_rows"),
+        "num_cols": v.get("num_cols"),
+        "cells": [dict(c) for c in (cells if cells is not None else [])],
+    }

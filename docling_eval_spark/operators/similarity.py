@@ -1,0 +1,171 @@
+"""Embedding similarity search over an array<float> column.
+
+- ``cosine_col``          — dot/norm via ``zip_with`` + ``aggregate``:
+  whole-stage-codegen arithmetic, no Python.
+- ``brute_force_topk``    — baseline exact top-k: broadcast the query
+  set, per-row cosine, window rank. One broadcast join + one shuffle
+  of (query_id, k) slim rows.
+- ``lsh_bucketed_topk``   — scale path: random-hyperplane (sign) LSH
+  buckets; candidates share a bucket with the query, exact cosine is
+  computed only within buckets. Planes are seeded, broadcast as
+  literals; multi-probe = also search buckets at Hamming distance 1.
+- ``embedding_near_dup_pairs`` — near-duplicate pairs by cosine ≥ τ
+  within LSH buckets (the embedding-space sibling of minhash dedup).
+
+At 10^12 rows the brute-force path is O(Q·N) — only for oracle/small
+Q; the bucketed path shuffles each side once on the bucket key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def cosine_col(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Broadcast the (small) query side; ties broken by neighbor id so
+    results are deterministic across partitionings."""
+    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine", cosine_col(vec_col, query_vec_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def bucket_col(vec_col: Column | str, planes: np.ndarray) -> Column:
+    """Sign-bit LSH bucket id (int) for an embedding column; the dot
+    products are unrolled into codegen arithmetic per plane."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within matching buckets.
+
+    Recall knob: fewer planes → bigger buckets → higher recall/cost.
+    ``multiprobe`` additionally probes all buckets at Hamming
+    distance 1 from the query's bucket (flip each bit once)."""
+    dim = len(queries.select(query_vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    cb = corpus.withColumn("bucket", bucket_col(vec_col, planes))
+    qb = queries.withColumn("bucket", bucket_col(query_vec_col, planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    joined = cb.join(F.broadcast(qb), "bucket").withColumn(
+        "cosine", cosine_col(vec_col, query_vec_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate (id_l < id_r, cosine ≥ τ) pairs via bucketed
+    self-join — embedding-space near-dup detection at corpus scale."""
+    planes_df = corpus.withColumn(
+        "bucket", bucket_col(vec_col, hyperplanes_for(corpus, vec_col, n_planes, seed))
+    )
+    l = planes_df.select(
+        "bucket", F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l")
+    )
+    r = planes_df.select(
+        "bucket", F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r")
+    )
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("cosine", cosine_col("v_l", "v_r"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_l", "id_r", "cosine")
+        .distinct()
+    )
+
+
+def hyperplanes_for(
+    df: DataFrame, vec_col: str, n_planes: int, seed: int
+) -> np.ndarray:
+    dim = len(df.select(vec_col).first()[0])
+    return hyperplanes(dim, n_planes, seed)

@@ -1,0 +1,180 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything here is pure column algebra (whole-stage codegen, no
+Python in the hot path) except winnowing fingerprints, which fold a
+rolling hash inside a SQL higher-order ``aggregate`` — still JVM-side.
+
+Scale: all narrow maps over the documents/pages table; no shuffles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# ---------------------------------------------------------------- tokens
+
+_WS = r"[ \t\n\r\f\v]+"
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokens; empty string → empty array (split('') yields
+    [''] — filtered here)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(t), _WS), lambda x: x != "")
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column | str) -> Column:
+    """Sub-word-ish token count: split on whitespace AND on
+    letter/digit/punct boundaries (a cheap BPE proxy: counts runs of
+    word chars, digits, or single punctuation marks)."""
+    t = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(pieces)
+
+
+# ---------------------------------------------------------------- quality
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape heuristics
+    (Gopher/C4-style quality filters), as pure column math."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop = F.array(*[F.lit(w) for w in _EN_STOP])
+    return (
+        df.withColumn("q_n_chars", n_chars)
+        .withColumn("q_n_tokens", n_tok)
+        .withColumn(
+            "q_mean_word_len",
+            F.when(n_tok > 0, (F.length(F.regexp_replace(t, _WS, "")) / n_tok)).otherwise(0.0),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}<>&%#@*+=/\\-]", ""))
+                / n_chars,
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "q_stopword_ratio",
+            F.when(
+                n_tok > 0,
+                F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
+                / n_tok,
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "q_uppercase_ratio",
+            F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars,
+            ).otherwise(0.0),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single [0,1] quality score combining the features (monotone,
+    hand-weighted; thresholds are the usual web-filtering folklore)."""
+    out = quality_features(df, text_col)
+    score = (
+        F.when(F.col("q_n_tokens") >= 10, F.lit(0.25)).otherwise(
+            F.col("q_n_tokens") / 40.0
+        )
+        + F.when(
+            (F.col("q_mean_word_len") >= 3) & (F.col("q_mean_word_len") <= 10),
+            F.lit(0.25),
+        ).otherwise(F.lit(0.0))
+        + F.when(F.col("q_punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.least(F.col("q_stopword_ratio") * 2.5, F.lit(0.25))
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+# ---------------------------------------------------------------- lang id
+
+# top stopwords per language (public frequency lists, truncated)
+_EN_STOP = "the of and to in a is that it for on with as are was be at by this have from or an not".split()
+_DE_STOP = "der die und das in den von zu mit sich des auf ist im dem nicht ein eine als auch es an".split()
+_FR_STOP = "le la de les des et en un une du dans est que pour qui sur pas plus par il au".split()
+_ES_STOP = "el la de los las y en un una del se que por con no es para al lo como".split()
+
+_LANG_STOPS = {"en": _EN_STOP, "de": _DE_STOP, "fr": _FR_STOP, "es": _ES_STOP}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID (n-gram-free heuristic adequate for
+    Latin-script text; 'und' = tie/unknown). Pure column algebra."""
+    toks = F.transform(tokens_col(F.col(text_col)), lambda x: F.lower(x))
+    hit_cols = []
+    for lang, stops in _LANG_STOPS.items():
+        arr = F.array(*[F.lit(w) for w in stops])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))
+    return df.withColumn(
+        out_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+# ---------------------------------------------------------------- fingerprints
+
+_FP_BASE = 1_000_003
+# 2^31-1: acc*base+ord stays within a long under ANSI mode
+_FP_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint_col(text: Column | str, k: int = 8) -> Column:
+    """Karp–Rabin rolling-hash document fingerprint: min hash over all
+    k-char shingles of the normalized text (winnowing's global-min
+    special case). SQL higher-order functions only — the polynomial
+    fold runs in codegen, and the same arithmetic is reproducible in
+    any engine (used by the DuckDB oracle)."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(t, _WS, " "))
+    n = F.length(norm)
+    idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.sequence(F.lit(1), F.lit(1))
+    )
+    def shingle_hash(i):
+        # window [i, min(i+k-1, n)] — whole (short) text when n < k
+        return F.aggregate(
+            F.sequence(i, F.least(i + (k - 1), n)),
+            F.lit(0).cast("long"),
+            lambda acc, j: F.pmod(
+                acc * _FP_BASE + F.ascii(F.substr(norm, j, F.lit(1))),
+                F.lit(_FP_MOD),
+            ),
+        )
+    return F.when(n == 0, F.lit(None).cast("long")).otherwise(
+        F.array_min(F.transform(idxs, shingle_hash))
+    )
+
+
+def fingerprint_py(text: str, k: int = 8) -> int | None:
+    """Oracle twin of rolling_fingerprint_col."""
+    import re as _re
+
+    norm = _re.sub(r"[ \t\n\r\f\v]+", " ", text).strip()
+    if not norm:
+        return None
+    if len(norm) < k:
+        window = [norm]
+    else:
+        window = [norm[i : i + k] for i in range(len(norm) - k + 1)]
+    best = None
+    for sh in window:
+        acc = 0
+        for ch in sh:
+            acc = (acc * _FP_BASE + ord(ch)) % _FP_MOD
+        best = acc if best is None else min(best, acc)
+    return best

@@ -1,0 +1,130 @@
+"""Per-partition lineage + resume-by-anti-join (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The reference has NO resume mechanism — any failure recomputes the
+whole dataset (SURVEY §4.1). Here the unit of restart is a url-hash
+bucket (the Iceberg-style partition of FIXTURES.md §1):
+
+- ``run_resumable`` processes pending buckets; after each bucket's
+  output commits, a lineage row (bucket, doc_count, ok_count, bytes,
+  wall_ms, metric rollups, status) is appended to the lineage table.
+- On restart, pending = all buckets ANTI-JOIN lineage[status=SUCCESS]
+  — nothing recomputes, the exact analog of the Iceberg manifest
+  anti-join described in SURVEY §2.10 / §4.2.
+
+Buckets are processed in groups per Spark job (one job per bucket
+would under-utilize the cluster; all buckets in one job would lose
+restart granularity). Output layout is ``{out}/bucket=N/`` so later
+scans partition-prune on bucket.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+LINEAGE_COLS = [
+    "bucket",
+    "status",
+    "doc_count",
+    "ok_count",
+    "bytes_in",
+    "wall_ms",
+    "run_id",
+]
+
+
+def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(lineage_dir)
+    except Exception:
+        return None
+
+
+def pending_buckets(
+    spark: SparkSession, all_buckets: list[int], lineage_dir: str
+) -> list[int]:
+    lin = read_lineage(spark, lineage_dir)
+    if lin is None:
+        return sorted(all_buckets)
+    done = {
+        r["bucket"]
+        for r in lin.filter(F.col("status") == "SUCCESS")
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    return sorted(b for b in all_buckets if b not in done)
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    process: Callable[[DataFrame], DataFrame],
+    out_dir: str,
+    lineage_dir: str,
+    num_buckets: int = 16,
+    buckets_per_job: int = 4,
+    run_id: str = "run",
+    fail_on_bucket: int | None = None,
+) -> list[int]:
+    """Process url-hash buckets not yet marked SUCCESS; returns the
+    bucket ids processed this invocation.
+
+    ``process`` maps a pages sub-DataFrame → output DataFrame that
+    must retain a ``url`` column (ok_count = SUCCESS-status rows when
+    a status column exists, else all rows). ``fail_on_bucket`` is the
+    failure-injection hook for the kill/restart test.
+    """
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
+    )
+    todo = pending_buckets(spark, list(range(num_buckets)), lineage_dir)
+    processed: list[int] = []
+    for i in range(0, len(todo), buckets_per_job):
+        group = todo[i : i + buckets_per_job]
+        for b in group:
+            if fail_on_bucket is not None and b == fail_on_bucket:
+                raise RuntimeError(f"injected failure at bucket {b}")
+            t0 = time.monotonic()
+            sub = bucketed.filter(F.col("bucket") == b)
+            out = process(sub.drop("bucket"))
+            out.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
+            written = spark.read.parquet(f"{out_dir}/bucket={b}")
+            has_status = "status" in written.columns
+            stats = written.agg(
+                F.count("*").alias("doc_count"),
+                (
+                    F.sum(F.when(F.col("status") == "SUCCESS", 1).otherwise(0))
+                    if has_status
+                    else F.count("*")
+                ).alias("ok_count"),
+            ).collect()[0]
+            bytes_in = (
+                sub.agg(
+                    F.sum(F.length("html")).alias("b")
+                ).collect()[0]["b"]
+                if "html" in pages.columns
+                else 0
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            lineage_row = spark.createDataFrame(
+                [
+                    (
+                        b,
+                        "SUCCESS",
+                        int(stats["doc_count"]),
+                        int(stats["ok_count"]),
+                        int(bytes_in or 0),
+                        wall_ms,
+                        run_id,
+                    )
+                ],
+                schema="bucket int, status string, doc_count long, ok_count long, bytes_in long, wall_ms long, run_id string",
+            )
+            lineage_row.write.mode("append").parquet(lineage_dir)
+            processed.append(b)
+    return processed

@@ -1,0 +1,113 @@
+"""Extraction kernel parity: the north-rule invariant (SURVEY §5.2.2).
+
+The same kernel runs (a) as a plain local loop (the oracle) and
+(b) through the Spark pipeline; extracted text must be byte-identical
+per url, at any parallelism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from docling_eval_spark.datagen.pages import (
+    SENTINEL_TMPL,
+    gen_page,
+    pages_dataframe,
+    render_page_for_text,
+)
+from docling_eval_spark.extraction.kernel import (
+    BLOCK_SEP,
+    extract_document,
+    extract_text,
+    normalize_ws,
+)
+from docling_eval_spark.extraction.stage import extract_stage
+
+N_LOCAL = 400
+
+
+def test_local_byte_identity():
+    for i in range(N_LOCAL):
+        row = gen_page(i)
+        assert extract_text(row["html"]) == row["text"], f"page {i}"
+
+
+def test_table_grids_match_specs():
+    checked = 0
+    for i in range(200):
+        row = gen_page(i)
+        if not row["_tables"]:
+            continue
+        doc = extract_document(row["html"])
+        assert len(doc["tables"]) == len(row["_tables"])
+        for grid, spec in zip(doc["tables"], row["_tables"]):
+            assert grid["num_rows"] == spec["num_rows"]
+            assert grid["num_cols"] == spec["num_cols"]
+            has_span = any(
+                c["row_span"] > 1 or c["col_span"] > 1 for c in grid["cells"]
+            )
+            assert has_span == spec["complex"]
+            checked += 1
+    assert checked > 50
+
+
+def test_minipdf_reading_order():
+    # i % 10 == 7 pages are MiniPDF with shuffled block order on disk
+    row = gen_page(7)
+    doc = extract_document(row["html"])
+    assert doc["mimetype"] == "application/pdf"
+    assert doc["text"] == row["text"]
+    assert len(doc["layout"]) > 0
+    assert doc["pages"][0]["width"] == 612.0
+
+
+def test_failure_rows_not_exceptions():
+    doc = extract_document(b"%PDF-1.7 real pdf")
+    assert doc["status"] == "FAILURE"
+    assert "NotImplementedError" in doc["error"]
+    assert extract_document(b"\x00\xff\x9c")["status"] == "SUCCESS"
+
+
+def test_render_page_for_text_contract():
+    t = "short  text with   odd   spacing"
+    expected = normalize_ws(t) + BLOCK_SEP + SENTINEL_TMPL.format(doc_id=9)
+    assert extract_text(render_page_for_text(9, t)) == expected
+
+
+def test_escaping_roundtrip():
+    row = None
+    for i in range(300):
+        r = gen_page(i)
+        if "&" in r["text"] or "<" in r["text"]:
+            row = r
+            break
+    assert row is not None, "no spicy tokens in 300 pages?"
+    assert extract_text(row["html"]) == row["text"]
+
+
+@pytest.mark.spark
+def test_spark_byte_identity(spark):
+    pages = pages_dataframe(spark, 200, partitions=4)
+    ex = extract_stage(pages)
+    res = (
+        ex.join(pages.select("url", "text"), "url")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("extracted_text") == F.col("text"), 1).otherwise(0)
+            ).alias("identical"),
+        )
+        .collect()[0]
+    )
+    assert res["n"] == 200
+    assert res["identical"] == 200
+
+
+@pytest.mark.spark
+def test_spark_parallelism_invariance(spark):
+    a = extract_stage(pages_dataframe(spark, 120, partitions=2))
+    b = extract_stage(pages_dataframe(spark, 120, partitions=12))
+    ha = sorted(r["text_md5"] for r in a.select("text_md5").collect())
+    hb = sorted(r["text_md5"] for r in b.select("text_md5").collect())
+    assert ha == hb

@@ -1,0 +1,200 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from docling_eval_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_near_pairs,
+)
+from docling_eval_spark.operators.multimodal import (
+    decode_image_meta,
+    frame_sample_stage,
+    image_features_stage,
+    image_meta_stage,
+)
+from docling_eval_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from docling_eval_spark.operators.text_analysis import (
+    fingerprint_py,
+    lang_id,
+    quality_score,
+    rolling_fingerprint_col,
+    token_count_col,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (3, "completely unrelated text about spark engines and shuffles"),
+    (4, "Der schnelle braune Fuchs springt über den faulen Hund und läuft"),
+    (5, "le rapide renard brun saute par dessus le chien paresseux et la"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = exact_dedup(docs_df, "doc_id").orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 0 in ids and 1 not in ids
+    assert {r["doc_id"]: r["dup_count"] for r in out}[0] == 2
+    assert len(out) == len(DOCS) - 1
+
+
+def test_ngram_jaccard_hand_value(spark):
+    df = spark.createDataFrame([("abcd", "abcd"), ("abcd", "wxyz")], "a string, b string")
+    pairs = df.select(
+        char_shingles("a", 2).alias("shingles_l"),
+        char_shingles("b", 2).alias("shingles_r"),
+    )
+    got = [r["jaccard"] for r in ngram_jaccard(pairs).collect()]
+    assert got[0] == 1.0
+    assert got[1] == 0.0
+
+
+def test_minhash_similarity_ordering(spark, docs_df):
+    sigs = {r["id"]: r["signature"] for r in minhash_signatures(docs_df, "doc_id", num_perm=64).collect()}
+    est = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64  # noqa: E731
+    assert est(0, 1) == 1.0  # identical docs → identical signatures
+    assert est(0, 2) > est(0, 3)  # near dup ≫ unrelated
+
+
+def test_minhash_dedup_pairs_end_to_end(spark, docs_df):
+    pairs = minhash_dedup_pairs(docs_df, "doc_id", threshold=0.5)
+    got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(p not in got for p in [(0, 3), (1, 3), (2, 3)])
+
+
+def test_simhash_near_pairs(spark, docs_df):
+    sh = simhash(docs_df, "doc_id")
+    pairs = simhash_near_pairs(sh, max_hamming=16)
+    got = {(r["id_l"], r["id_r"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0  # identical
+    assert (0, 2) in got  # near dup within 16 bits
+    assert (0, 3) not in got
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((50, 8)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, vecs[7].tolist())], "query_id long, query_vec array<double>"
+    )
+    got = [
+        r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=5).orderBy("rank").collect()
+    ]
+    sims = vecs @ vecs[7] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[7]))
+    expected = np.argsort(-sims, kind="stable")[:5].tolist()
+    assert got == expected
+    assert got[0] == 7  # self is its own nearest neighbor
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(q, vecs[q].tolist()) for q in [3, 50, 99]],
+        "query_id long, query_vec array<double>",
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(corpus, queries, k=3, n_planes=6).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5  # multiprobe 6-plane LSH on random data
+    assert all((q, q) in approx for q in [3, 50, 99])  # self always found
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.RandomState(2)
+    base = rng.standard_normal(16)
+    rows = [(0, base.tolist()), (1, (base + 1e-4 * rng.standard_normal(16)).tolist()),
+            (2, rng.standard_normal(16).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_l"], r["id_r"]) for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert got == {(0, 1)}
+
+
+def test_lang_id(spark, docs_df):
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs_df).collect()}
+    assert got[0] == "en" and got[3] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+
+
+def test_quality_and_token_count(spark, docs_df):
+    rows = {r["doc_id"]: r for r in quality_score(docs_df).collect()}
+    assert rows[0]["q_n_tokens"] == 9
+    assert 0.0 <= rows[0]["quality_score"] <= 1.0
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    assert quality_score(empty).collect()[0]["q_n_tokens"] == 0
+    assert empty.select(token_count_col("text").alias("n")).collect()[0]["n"] == 0
+
+
+def test_fingerprint_spark_matches_python(spark, docs_df):
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in docs_df.select(
+            "doc_id", rolling_fingerprint_col("text").alias("fp")
+        ).collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == fingerprint_py(text), doc_id
+    # short text (< k chars) path
+    short = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    assert (
+        short.select(rolling_fingerprint_col("text").alias("fp")).collect()[0]["fp"]
+        == fingerprint_py("abc")
+    )
+
+
+def test_multimodal_plumbing(spark):
+    import struct as st
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + st.pack(">II", 640, 480) + b"\x00" * 50
+    blob = b"\x01\x02" * 5000
+    df = spark.createDataFrame(
+        [("u1", bytearray(png)), ("u2", bytearray(blob))], "url string, media binary"
+    )
+    meta = {r["url"]: r["media_meta"] for r in image_meta_stage(df).collect()}
+    assert meta["u1"]["format"] == "png" and meta["u1"]["width"] == 640
+    assert meta["u1"]["fake"] is False
+    assert meta["u2"]["fake"] is True  # stub path clearly marked
+    feats = image_features_stage(df).collect()[0]["features"]
+    assert len(feats) == 16
+    assert abs(sum(x * x for x in feats) - 1.0) < 1e-5
+    frames = frame_sample_stage(df).groupBy("url").count().collect()
+    by_url = {r["url"]: r["count"] for r in frames}
+    assert by_url["u2"] == 2  # 10000 bytes / 4096 → 2 frames
+    assert decode_image_meta(png)["height"] == 480
