@@ -1,38 +1,1088 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction-parity pipeline on sf0.001.
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 (+ the training-pipeline operators); each callable takes
+(spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins. Conventions used to
+make value-hashes comparable across engines:
+
+- every float output is ``round(x, 6)`` (or 4 for large money sums)
+  on BOTH sides; money sums go through decimal(18,6) so the sum is
+  exact and order-independent before the final double cast;
+- every computed integer is cast to bigint on both sides;
+- deterministic tie-breaks (id columns) on every rank/top-k;
+- DuckDB ``regexp_replace`` gets the ``'g'`` flag to match Spark's
+  replace-all semantics.
+
+Queries with no SQL-expressible oracle (xxhash64-based minhash/simhash,
+APTED TEDS, corpus mAP) are listed in ``queries()`` only — the driver
+records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+N_BINS = 20
+
+# --------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col: str):
+    """Order-independent double sum: exact decimal sum → double."""
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
+_WS = r"[ \t\n\r\f\v]+"
+
+# sentinel paragraph appended by datagen.render_page_for_text — must
+# stay in sync with docling_eval_spark/datagen/pages.py SENTINEL_TMPL
+_SENT_PRE = "Synthetic corpus document "
+_SENT_POST = (
+    " rendered deterministically for extraction parity checking with "
+    "exactly eighteen words in this closing sentinel paragraph here."
+)
+
+_EN = "the of and to in a is that it for on with as are was be at by this have from or an not".split()
+_DE = "der die und das in den von zu mit sich des auf ist im dem nicht ein eine als auch es an".split()
+_FR = "le la de les des et en un une du dans est que pour qui sur pas plus par il au".split()
+_ES = "el la de los las y en un una del se que por con no es para al lo como".split()
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped rollup (SURVEY A1/A10): partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("dp")
+    return (
+        li.withColumn("dp", disc_price)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dec_sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(_dec_sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(_dec_sum("dp"), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_stats_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_stats semantics (reference stats.py:76-90) per group:
+    exact median, sample std, 20-bin histogram as columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.col("l_discount")
+    binned = li.withColumn(
+        "__bin",
+        F.when((v < 0) | (v > 1), F.lit(None)).otherwise(
+            F.least(F.floor(v * N_BINS), F.lit(N_BINS - 1)).cast("int")
+        ),
+    )
+    aggs = [
+        F.count("l_discount").alias("total"),
+        F.round(F.avg("l_discount"), 6).alias("mean"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 6).alias("median"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("std"),
+    ] + [
+        F.sum(F.when(F.col("__bin") == b, 1).otherwise(0)).alias(f"h{b}")
+        for b in range(N_BINS)
+    ]
+    return binned.groupBy("l_returnflag").agg(*aggs)
+
+
+_SQL_STATS = (
+    "SELECT l_returnflag, count(l_discount) AS total, "
+    "round(avg(l_discount), 6) AS mean, "
+    "round(median(l_discount), 6) AS median, "
+    "round(stddev_samp(l_discount), 6) AS std, "
+    + ", ".join(
+        "CAST(count(*) FILTER (WHERE l_discount >= 0 AND l_discount <= 1 AND "
+        f"least(CAST(floor(l_discount * 20) AS INT), 19) = {b}) AS BIGINT) AS h{b}"
+        for b in range(N_BINS)
+    )
+    + " FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def _q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label frequency counters (SURVEY A2)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(_dec_sum("value"), 4).alias("sum_value"))
+    )
+
+
+_SQL_EVENT_COUNTS = """
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def _q_delta_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Δ histogram (SURVEY A6: groupBy computed integer delta)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value")).cast("bigint").alias("delta")
+    ).agg(F.count("*").alias("n"))
+
+
+_SQL_DELTA_HIST = (
+    "SELECT CAST(floor(value) AS BIGINT) AS delta, count(*) AS n "
+    "FROM events GROUP BY 1"
+)
+
+
+def _q_histogram_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative histogram table (SURVEY W4, reference stats.py:38-50):
+    acc = probability mass of strictly-earlier bins."""
+    li = _t(spark, sf_dir, "lineitem")
+    binned = li.select(
+        "l_returnflag",
+        F.least(F.floor(F.col("l_discount") * N_BINS), F.lit(N_BINS - 1))
+        .cast("bigint")
+        .alias("bin"),
+    ).groupBy("l_returnflag", "bin").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("l_returnflag")
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return binned.select(
+        "l_returnflag",
+        "bin",
+        "n",
+        F.round(100.0 * F.col("n") / F.sum("n").over(tot), 6).alias("prob_pct"),
+        F.round(
+            F.coalesce(
+                100.0 * F.sum("n").over(cum) / F.sum("n").over(tot), F.lit(0.0)
+            ),
+            6,
+        ).alias("acc_pct"),
+    )
+
+
+_SQL_HIST_CUMSUM = """
+WITH binned AS (
+  SELECT l_returnflag,
+         CAST(least(CAST(floor(l_discount * 20) AS INT), 19) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, bin, n,
+       round(100.0 * n / sum(n) OVER (PARTITION BY l_returnflag), 6) AS prob_pct,
+       round(coalesce(100.0 * sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             / sum(n) OVER (PARTITION BY l_returnflag), 0.0), 6) AS acc_pct
+FROM binned
+"""
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (SURVEY O3/W2) with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+_SQL_TOPK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash equi-join chain (SURVEY J1/J2): fact ⋈ dims."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(_dec_sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+_SQL_REVENUE = """
+SELECT n_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (SURVEY J2 miss-handling)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def _q_nations_with_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (SURVEY J8)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return n.join(
+        s, n["n_nationkey"] == s["s_nationkey"], "left_semi"
+    ).select("n_nationkey", "n_name")
+
+
+_SQL_SEMI = """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+"""
+
+
+def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sample via md5 ordering (SURVEY P12: seeded
+    sampling re-expressed engine-portably)."""
+    o = _t(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string").cast("binary")).alias("h")
+    return (
+        o.select("o_orderkey", h)
+        .orderBy("h")
+        .limit(20)
+    )
+
+
+_SQL_SAMPLE = """
+SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h
+FROM orders ORDER BY h LIMIT 20
+"""
+
+
+def _q_shard_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard bucketing (SURVEY W5: bucket = (row_number-1) // 200)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.withColumn(
+            "bucket", F.floor((F.row_number().over(w) - 1) / 200).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_BUCKETS = """
+SELECT bucket, count(*) AS n FROM (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 200) AS BIGINT) AS bucket
+  FROM events
+) GROUP BY bucket
+"""
+
+
+def _q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record union across sources (SURVEY U3)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_UNION = """
+SELECT c_mktsegment, count(*) AS n FROM (
+  SELECT DISTINCT * FROM (
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING')
+) GROUP BY c_mktsegment
+"""
+
+
+def _q_doc_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar binary/string funcs (SURVEY F1/F2): sha256, md5, base64."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+        F.md5(F.col("text").cast("binary")).alias("md5"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64_prefix"),
+    )
+
+
+_SQL_DIGESTS = """
+SELECT doc_id, sha256(text) AS sha, md5(text) AS md5,
+       base64(encode(substring(text, 1, 12))) AS b64_prefix
+FROM documents
+"""
+
+
+def _q_regex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-tag strip + whitespace collapse (SURVEY F3/F4)."""
+    d = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("<i> "), F.col("text"), F.lit(" </i>"))
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(wrapped, "</?[ibu]>", ""), _WS, " ")
+    )
+    return d.select("doc_id", F.md5(cleaned.cast("binary")).alias("clean_md5"))
+
+
+_SQL_REGEX_CLEAN = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace('<i> ' || text || ' </i>',
+           '</?[ibu]>', '', 'g'), '[ \t\n\r\f\v]+', ' ', 'g'))) AS clean_md5
+FROM documents
+"""
+
+
+def _q_char_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level normalized edit distance on adjacent doc pairs
+    (SURVEY F7 char flavor)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    l = d.select(F.col("doc_id").alias("id_l"), F.col("text").alias("t_l"))
+    r = d.select((F.col("doc_id") - 1).alias("id_l"), F.col("text").alias("t_r"))
+    j = l.join(r, "id_l")
+    lev = F.levenshtein("t_l", "t_r").cast("bigint")
+    return j.select(
+        "id_l",
+        lev.alias("edit_dist"),
+        F.round(
+            lev / F.greatest(F.length("t_l"), F.length("t_r")), 6
+        ).alias("norm_edit"),
+    )
+
+
+_SQL_EDIT = """
+SELECT a.doc_id AS id_l,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       round(levenshtein(a.text, b.text) /
+             greatest(length(a.text), length(b.text)), 6) AS norm_edit
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def _q_token_set_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set precision/recall/F1 (SURVEY U1: P=|∩|/|pred|,
+    R=|∩|/|true|, reference markdown_text_evaluator.py:205-212)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.array_distinct(F.filter(F.split(F.trim(F.col("text")), _WS), lambda x: x != ""))
+    td = d.select("doc_id", toks.alias("toks"))
+    l = td.select(F.col("doc_id").alias("id_l"), F.col("toks").alias("tk_l"))
+    r = td.select((F.col("doc_id") - 1).alias("id_l"), F.col("toks").alias("tk_r"))
+    j = l.join(r, "id_l")
+    inter = F.size(F.array_intersect("tk_l", "tk_r")).cast("bigint")
+    p = inter / F.size("tk_r")
+    rc = inter / F.size("tk_l")
+    return j.select(
+        "id_l",
+        inter.alias("n_common"),
+        F.round(p, 6).alias("precision"),
+        F.round(rc, 6).alias("recall"),
+        F.round(
+            F.when((p + rc) > 0, 2 * p * rc / (p + rc)).otherwise(F.lit(0.0)), 6
+        ).alias("f1"),
+    )
+
+
+_SQL_TOKEN_SET = r"""
+WITH td AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                       x -> x <> '')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_l,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(b.toks), 6) AS precision,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 6) AS recall,
+       round(CASE WHEN len(list_intersect(a.toks, b.toks)) * 1.0 / len(b.toks)
+                       + len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks) > 0
+             THEN 2.0 * (len(list_intersect(a.toks, b.toks)) * 1.0 / len(b.toks))
+                      * (len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks))
+                  / (len(list_intersect(a.toks, b.toks)) * 1.0 / len(b.toks)
+                     + len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks))
+             ELSE 0.0 END, 6) AS f1
+FROM td a JOIN td b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def _q_reading_order_ard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARD_norm over event streams (SURVEY A7/W1): per user, predicted
+    order = rank by value, true order = rank by time; deterministic
+    tie-breaks on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    ranked = ev.select(
+        "user_id",
+        (F.row_number().over(wt) - 1).alias("rt"),
+        (F.row_number().over(wv) - 1).alias("rv"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(
+            1.0
+            - F.sum(F.abs(F.col("rv") - F.col("rt")))
+            / (F.count("*") * F.count("*")),
+            6,
+        ).alias("ard_norm"),
+    )
+
+
+_SQL_ARD = """
+WITH ranked AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rt,
+         row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) - 1 AS rv
+  FROM events
+)
+SELECT user_id, count(*) AS n,
+       round(1.0 - sum(abs(rv - rt)) * 1.0 / (count(*) * count(*)), 6) AS ard_norm
+FROM ranked GROUP BY user_id
+"""
+
+
+def _q_iou_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox IoU as pure column algebra (SURVEY F11/F12) over
+    deterministic part-derived boxes."""
+    p = _t(spark, sf_dir, "part")
+    l1 = (F.col("p_partkey") % 50).cast("double")
+    t1 = ((F.col("p_partkey") * 7) % 50).cast("double")
+    r1 = l1 + 10 + (F.col("p_size") % 10)
+    b1 = t1 + 12
+    dx = (F.col("p_size") % 8).cast("double")
+    l2, t2, r2, b2 = l1 + dx, t1 + 2, r1 + dx, b1 + 2
+    ix = F.greatest(F.lit(0.0), F.least(r1, r2) - F.greatest(l1, l2))
+    iy = F.greatest(F.lit(0.0), F.least(b1, b2) - F.greatest(t1, t2))
+    inter = ix * iy
+    union = (r1 - l1) * (b1 - t1) + (r2 - l2) * (b2 - t2) - inter
+    return p.select(
+        "p_partkey",
+        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias(
+            "iou"
+        ),
+    )
+
+
+_SQL_IOU = """
+WITH boxes AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 50 AS DOUBLE) AS l1,
+         CAST((p_partkey * 7) % 50 AS DOUBLE) AS t1,
+         CAST(p_partkey % 50 + 10 + (p_size % 10) AS DOUBLE) AS r1,
+         CAST((p_partkey * 7) % 50 + 12 AS DOUBLE) AS b1,
+         CAST(p_size % 8 AS DOUBLE) AS dx
+  FROM part
+)
+SELECT p_partkey,
+       round(CASE WHEN (r1-l1)*(b1-t1) + (r1+dx-l1-dx)*(b1+2-t1-2)
+                       - greatest(0, least(r1, r1+dx) - greatest(l1, l1+dx))
+                         * greatest(0, least(b1, b1+2) - greatest(t1, t1+2)) > 0
+             THEN greatest(0, least(r1, r1+dx) - greatest(l1, l1+dx))
+                  * greatest(0, least(b1, b1+2) - greatest(t1, t1+2))
+                  / ((r1-l1)*(b1-t1) + (r1+dx-l1-dx)*(b1+2-t1-2)
+                     - greatest(0, least(r1, r1+dx) - greatest(l1, l1+dx))
+                       * greatest(0, least(b1, b1+2) - greatest(t1, t1+2)))
+             ELSE 0.0 END, 6) AS iou
+FROM boxes
+"""
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish (training-pipeline op)."""
+    from docling_eval_spark.operators.text_analysis import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col("text").cast("bigint").alias("n_ws_tokens"),
+        bpe_ish_token_count_col("text").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+            x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def _q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features rollup per source (training-pipeline op)."""
+    from docling_eval_spark.operators.text_analysis import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    stop_arr = F.array(*[F.lit(w) for w in _EN])
+    feats = d.select(
+        "source",
+        F.length("text").alias("nc"),
+        F.size(toks).alias("nt"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+            / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    return feats.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("nc"), 6).alias("avg_chars"),
+        F.round(F.avg("nt"), 6).alias("avg_tokens"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+    )
+
+
+_SQL_QUALITY = r"""
+WITH feats AS (
+  SELECT source, length(text) AS nc,
+         len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+             x -> x <> '')) AS nt,
+         len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+             x -> x <> '' AND list_contains({en_stops}, lower(x)))) * 1.0 /
+         len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+             x -> x <> '')) AS stop_ratio
+  FROM documents
+)
+SELECT source, count(*) AS docs, round(avg(nc), 6) AS avg_chars,
+       round(avg(nt), 6) AS avg_tokens, round(avg(stop_ratio), 6) AS avg_stop_ratio
+FROM feats GROUP BY source
+""".format(en_stops=_sql_list(_EN))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID rollup (training-pipeline op).
+    Tie-break = lexicographically-largest language (array_max on
+    (hits, lang) structs) — mirrored in the CASE order of the oracle."""
+    from docling_eval_spark.operators.text_analysis import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(d, "text")
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_LANG_ID = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+             x -> x <> ''), x -> lower(x)) AS tk
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         len(list_filter(tk, x -> list_contains({en}, x))) AS h_en,
+         len(list_filter(tk, x -> list_contains({de}, x))) AS h_de,
+         len(list_filter(tk, x -> list_contains({fr}, x))) AS h_fr,
+         len(list_filter(tk, x -> list_contains({es}, x))) AS h_es
+  FROM toks
+)
+SELECT CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       count(*) AS n
+FROM hits GROUP BY 1
+""".format(en=_sql_list(_EN), de=_sql_list(_DE), fr=_sql_list(_FR), es=_sql_list(_ES))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (training-pipeline op): winner id + size."""
+    d = _t(spark, sf_dir, "documents")
+    digest = F.md5(
+        F.trim(F.regexp_replace(F.col("text"), _WS, " ")).cast("binary")
+    )
+    return (
+        d.groupBy(digest.alias("digest"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("dup_count"))
+        .select("keeper_id", "dup_count")
+    )
+
+
+_SQL_EXACT_DEDUP = r"""
+SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM documents
+GROUP BY md5(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')))
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard on adjacent doc pairs (dedup family)."""
+    from docling_eval_spark.operators.dedup import shingle_table
+
+    d = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    l = d.select(F.col("id").alias("id_l"), F.col("shingles").alias("sh_l"))
+    r = d.select((F.col("id") - 1).alias("id_l"), F.col("shingles").alias("sh_r"))
+    j = l.join(r, "id_l")
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    return j.select(
+        "id_l",
+        F.round(
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    )
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, length(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))) - 1),
+             i -> substring(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')), i, 3)
+         )) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_l,
+       round(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+             THEN len(list_intersect(a.s, b.s)) * 1.0 /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin rolling-hash fingerprint (training-pipeline op);
+    identical modular arithmetic reproduced in the oracle."""
+    from docling_eval_spark.operators.text_analysis import fingerprint_table
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_table(d, "doc_id", "text", k=8).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
+
+
+_SQL_FINGERPRINT = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(t) = 0 THEN NULL ELSE
+         list_min(list_transform(
+           range(1, CASE WHEN length(t) >= 8 THEN length(t) - 6 ELSE 2 END),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(i, least(i + 7, length(t)) + 1),
+                                   j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+                  (acc, x) -> (acc * 1000003 + x) % 2147483647)))
+       END AS fp
+FROM norm
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors (similarity op)."""
+    from docling_eval_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(e, q, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+_SQL_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v)) > 0
+                   AND sqrt(list_inner_product(q.qv, q.qv)) > 0
+              THEN list_inner_product(e.v, q.qv) /
+                   (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+              ELSE 0.0 END AS cos
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank,
+         cos
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _render_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_eval_spark.datagen.pages import render_documents_stage
+    from docling_eval_spark.extraction.stage import extract_stage
+
+    # documents.parquet is one small file → one scan partition; the
+    # render+extract kernels are CPU-bound Python, so spread rows
+    # across cores first (tiny shuffle, large Python win)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pages = render_documents_stage(d)
+    ex = extract_stage(pages.select(F.col("doc_id").cast("string").alias("url"), "html"))
+    return ex.withColumn("doc_id", F.col("url").cast("long"))
+
+
+def _q_extract_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship invariant: per-document md5 of text extracted by
+    the full kernel (lexer → boilerplate classifier → normalizer) from
+    rendered HTML. The oracle recomputes the expected digest from the
+    raw text + sentinel contract — byte identity per url."""
+    return _render_extract(spark, sf_dir).select("doc_id", "text_md5")
+
+
+_SQL_EXTRACT_MD5 = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
+           || chr(10) || chr(10)
+           || 'Synthetic corpus document ' || CAST(doc_id AS VARCHAR)
+           || ' rendered deterministically for extraction parity checking with exactly eighteen words in this closing sentinel paragraph here.')
+       AS text_md5
+FROM documents
+"""
+
+
+def _q_extract_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang extraction match rollup (flagship aggregate)."""
+    d = _t(spark, sf_dir, "documents")
+    ex = _render_extract(spark, sf_dir).select("doc_id", "extracted_text")
+    expected = F.concat(
+        F.trim(F.regexp_replace(F.col("text"), _WS, " ")),
+        F.lit("\n\n"),
+        F.lit(_SENT_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_SENT_POST),
+    )
+    j = d.join(ex, "doc_id").withColumn(
+        "is_match", (F.col("extracted_text") == expected).cast("int")
+    )
+    return j.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("is_match").cast("bigint").alias("matches"),
+        F.round(F.avg("is_match"), 6).alias("match_rate"),
+    )
+
+
+_SQL_EXTRACT_MATCH = """
+SELECT lang, count(*) AS docs, CAST(count(*) AS BIGINT) AS matches,
+       round(1.0, 6) AS match_rate
+FROM documents GROUP BY lang
+"""
+
+
+def _q_point_in_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate join + min-area tie-break (SURVEY J6: point →
+    smallest enclosing box, `cvat_annotation/create.py:58-90`)."""
+    from docling_eval_spark.operators.spatial import point_in_box_join
+
+    p = _t(spark, sf_dir, "part")
+    boxes = p.select(
+        (F.col("p_partkey") % 5).cast("int").alias("page_no"),
+        F.col("p_partkey").alias("box_id"),
+        (F.col("p_partkey") % 50).cast("double").alias("l"),
+        ((F.col("p_partkey") * 7) % 50).cast("double").alias("t"),
+        (F.col("p_partkey") % 50 + 10 + F.col("p_size") % 10).cast("double").alias("r"),
+        ((F.col("p_partkey") * 7) % 50 + 12).cast("double").alias("b"),
+    )
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    points = ev.select(
+        (F.col("event_id") % 5).cast("int").alias("page_no"),
+        F.col("event_id").alias("point_id"),
+        (F.col("value") % 60).alias("x"),
+        ((F.col("event_id") * 3) % 60).cast("double").alias("y"),
+    )
+    out = point_in_box_join(points, boxes)
+    # misses → -1 sentinels: nullable doubles hash as NaN≠None across
+    # engines' dataframe bridges
+    return out.select(
+        "page_no",
+        "point_id",
+        F.coalesce("box_id", F.lit(-1)).alias("box_id"),
+        F.round(F.coalesce("box_area", F.lit(-1.0)), 6).alias("box_area"),
+    )
+
+
+_SQL_POINT_IN_BOX = """
+WITH boxes AS (
+  SELECT CAST(p_partkey % 5 AS INT) AS page_no, p_partkey AS box_id,
+         CAST(p_partkey % 50 AS DOUBLE) AS l,
+         CAST((p_partkey * 7) % 50 AS DOUBLE) AS t,
+         CAST(p_partkey % 50 + 10 + p_size % 10 AS DOUBLE) AS r,
+         CAST((p_partkey * 7) % 50 + 12 AS DOUBLE) AS b
+  FROM part
+), points AS (
+  SELECT CAST(event_id % 5 AS INT) AS page_no, event_id AS point_id,
+         value % 60 AS x, CAST((event_id * 3) % 60 AS DOUBLE) AS y
+  FROM events WHERE event_id < 2000
+), joined AS (
+  SELECT p.page_no, p.point_id, b.box_id, (b.r - b.l) * (b.b - b.t) AS box_area
+  FROM points p LEFT JOIN boxes b
+    ON p.page_no = b.page_no AND p.x >= b.l AND p.x <= b.r
+   AND p.y >= b.t AND p.y <= b.b
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY page_no, point_id
+           ORDER BY box_area ASC NULLS LAST, box_id ASC NULLS LAST) AS rn
+  FROM joined
+)
+SELECT page_no, point_id, coalesce(box_id, -1) AS box_id,
+       round(coalesce(box_area, -1.0), 6) AS box_area
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---- rows-only queries (no SQL-expressible oracle; driver records the
+# weaker check — SURVEY §4.2 custom algorithms)
+
+
+def _q_bbox_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox-matched text metrics (SURVEY J4) over event-derived boxes:
+    pred boxes shifted, every third event's text token dropped."""
+    from docling_eval_spark.evaluators.bbox_text import bbox_text_stage
+    from docling_eval_spark.evaluators.stats import compute_stats
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    text = F.concat_ws(" ", "event_type", F.col("event_id").cast("string"), "props")
+    pred_text = F.when(
+        F.col("event_id") % 3 == 0, F.concat_ws(" ", "event_type", "props")
+    ).otherwise(text)
+    box = lambda dx: [  # noqa: E731
+        (F.col("value") % 50 + dx).alias("l"),
+        ((F.col("event_id") % 40).cast("double")).alias("t"),
+        (F.col("value") % 50 + 20 + dx).alias("r"),
+        ((F.col("event_id") % 40).cast("double") + 15).alias("b"),
+    ]
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct(text.alias("text"), *box(F.lit(0.0)))).alias("gt"),
+        F.collect_list(F.struct(pred_text.alias("text"), *box(F.lit(2.0)))).alias(
+            "pred"
+        ),
+    )
+    rows = bbox_text_stage(
+        per_user.select(F.col("user_id").cast("string").alias("url"), "gt", "pred"),
+        "gt",
+        "pred",
+    )
+    return compute_stats(rows, "f1_score").select(
+        "total", F.round("mean", 6).alias("mean"), F.round("median", 6).alias("median")
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_eval_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return minhash_dedup_pairs(dup, "doc_id", threshold=0.7).select(
+        "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_eval_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+def _q_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mAP over deterministic event-derived layout boxes
+    (SURVEY A3 two-stage distributed algorithm)."""
+    from docling_eval_spark.evaluators.layout import corpus_map
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    box = lambda shift: F.struct(  # noqa: E731
+        F.col("event_type").alias("label"),
+        F.lit(1).alias("page_no"),
+        (F.col("value") % 50 + shift).alias("l"),
+        ((F.col("event_id") % 40).cast("double") + shift).alias("t"),
+        (F.col("value") % 50 + 20 + shift).alias("r"),
+        ((F.col("event_id") % 40).cast("double") + 15 + shift).alias("b"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(box(F.lit(0.0))).alias("gt_layout"),
+        F.collect_list(
+            F.struct(
+                F.col("event_type").alias("label"),
+                F.lit(1).alias("page_no"),
+                (F.col("value") % 50 + F.when(F.col("event_id") % 3 == 0, 4.0).otherwise(0.0)).alias("l"),
+                ((F.col("event_id") % 40).cast("double")).alias("t"),
+                (F.col("value") % 50 + 20 + F.when(F.col("event_id") % 3 == 0, 4.0).otherwise(0.0)).alias("r"),
+                ((F.col("event_id") % 40).cast("double") + 15).alias("b"),
+                (0.5 + (F.col("event_id") % 50) / 100.0).alias("score"),
+            )
+        ).alias("pred_layout"),
+    )
+    return corpus_map(per_user).select(
+        F.round("map", 6).alias("map"),
+        F.round("map_50", 6).alias("map_50"),
+        F.round("map_75", 6).alias("map_75"),
+    )
+
+
+def _q_teds_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEDS rollup on extracted tables (identity prediction):
+    all/simple/complex splits (reference table_evaluator.py:150-172)."""
+    from docling_eval_spark.datagen.pages import pages_dataframe
+    from docling_eval_spark.evaluators.teds import teds_stage
+    from docling_eval_spark.extraction.stage import extract_stage
+
+    pages = pages_dataframe(spark, 150, partitions=8)
+    ex = extract_stage(pages).filter(F.size("tables") > 0)
+    paired = ex.select(
+        "url",
+        F.col("tables").alias("gt_tables"),
+        F.col("tables").alias("pred_tables"),
+    )
+    t = teds_stage(paired)
+    return t.groupBy("is_complex").agg(
+        F.count("*").alias("n_tables"),
+        F.round(F.avg("teds"), 6).alias("mean_teds"),
+        F.round(F.avg("teds_struct"), 6).alias("mean_teds_struct"),
+    )
+
+
+# --------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: render documents → full extraction kernel → per-lang
+    byte-identity match rollup on sf0.001."""
+    return _q_extract_match_stats(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "stats_discount": _q_stats_discount,
+        "event_type_counts": _q_event_type_counts,
+        "delta_histogram": _q_delta_histogram,
+        "histogram_cumsum": _q_histogram_cumsum,
+        "topk_orders": _q_topk_orders,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "customers_without_orders": _q_customers_without_orders,
+        "nations_with_suppliers": _q_nations_with_suppliers,
+        "deterministic_sample": _q_deterministic_sample,
+        "shard_buckets": _q_shard_buckets,
+        "union_segments": _q_union_segments,
+        "doc_digests": _q_doc_digests,
+        "regex_clean": _q_regex_clean,
+        "char_edit_distance": _q_char_edit_distance,
+        "token_set_metrics": _q_token_set_metrics,
+        "reading_order_ard": _q_reading_order_ard,
+        "iou_boxes": _q_iou_boxes,
+        "token_counts": _q_token_counts,
+        "quality_by_source": _q_quality_by_source,
+        "lang_id": _q_lang_id,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "fingerprint": _q_fingerprint,
+        "cosine_topk": _q_cosine_topk,
+        "point_in_box": _q_point_in_box,
+        "extract_md5": _q_extract_md5,
+        "extract_match_stats": _q_extract_match_stats,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "bbox_text_metrics": _q_bbox_text_metrics,
+        "corpus_map": _q_corpus_map,
+        "teds_identity": _q_teds_identity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "stats_discount": _SQL_STATS,
+        "event_type_counts": _SQL_EVENT_COUNTS,
+        "delta_histogram": _SQL_DELTA_HIST,
+        "histogram_cumsum": _SQL_HIST_CUMSUM,
+        "topk_orders": _SQL_TOPK,
+        "revenue_by_nation": _SQL_REVENUE,
+        "customers_without_orders": _SQL_ANTI,
+        "nations_with_suppliers": _SQL_SEMI,
+        "deterministic_sample": _SQL_SAMPLE,
+        "shard_buckets": _SQL_BUCKETS,
+        "union_segments": _SQL_UNION,
+        "doc_digests": _SQL_DIGESTS,
+        "regex_clean": _SQL_REGEX_CLEAN,
+        "char_edit_distance": _SQL_EDIT,
+        "token_set_metrics": _SQL_TOKEN_SET,
+        "reading_order_ard": _SQL_ARD,
+        "iou_boxes": _SQL_IOU,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "quality_by_source": _SQL_QUALITY,
+        "lang_id": _SQL_LANG_ID,
+        "exact_dedup": _SQL_EXACT_DEDUP,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "fingerprint": _SQL_FINGERPRINT,
+        "cosine_topk": _SQL_COSINE_TOPK,
+        "point_in_box": _SQL_POINT_IN_BOX,
+        "extract_md5": _SQL_EXTRACT_MD5,
+        "extract_match_stats": _SQL_EXTRACT_MATCH,
+        # minhash_pairs / simhash / corpus_map / teds_identity:
+        # intentionally omitted (non-SQL-expressible; rows-only check)
+    }

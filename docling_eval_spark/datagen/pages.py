@@ -272,6 +272,33 @@ def render_page_for_text(doc_id: int, text: str, lang: str = "en") -> bytes:
     return doc.encode("utf-8")
 
 
+def render_documents_stage(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, text, lang) → (doc_id, url, html, text, lang) pages by
+    wrapping each driver-provided document text via
+    ``render_page_for_text`` (Arrow-batched)."""
+    src = docs_df.select("doc_id", "text", "lang")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "url": [f"https://docs.example/{i}" for i in pdf["doc_id"]],
+                    "html": [
+                        render_page_for_text(int(i), t if t is not None else "")
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "text": pdf["text"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                }
+            )
+
+    return src.mapInPandas(
+        kernel,
+        schema="doc_id long, url string, html binary, text string, lang string",
+    )
+
+
 def _gen_batches(batches: Iterator[pd.DataFrame], seed: int) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = [gen_page(int(i), seed) for i in pdf["id"]]

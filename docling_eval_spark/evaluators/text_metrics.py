@@ -130,13 +130,16 @@ def _ngrams(tokens: list[str], n: int) -> Counter:
 
 
 def bleu(true_txt: str, pred_txt: str, max_n: int = 4) -> float:
-    """Corpus-of-one BLEU-4 with brevity penalty, no smoothing."""
-    ref = tokenize_13a(true_txt)
-    hyp = tokenize_13a(pred_txt)
-    if not hyp or len(hyp) < max_n:
-        # HF bleu yields 0.0 when any modified precision is undefined/0
-        if not hyp:
-            return 0.0
+    """Corpus-of-one BLEU-4 on tokenizer_13a tokens (HF 'bleu')."""
+    return bleu_tokens(tokenize_13a(true_txt), tokenize_13a(pred_txt), max_n)
+
+
+def bleu_tokens(ref: list[str], hyp: list[str], max_n: int = 4) -> float:
+    """BLEU-4 with brevity penalty, uniform 0.25 weights, no smoothing
+    (nltk corpus_bleu semantics on pre-tokenized input,
+    `bbox_text_evaluator.py:267-269`)."""
+    if not hyp:
+        return 0.0
     log_sum = 0.0
     for n in range(1, max_n + 1):
         hyp_ngrams = _ngrams(hyp, n)
@@ -152,8 +155,10 @@ def bleu(true_txt: str, pred_txt: str, max_n: int = 4) -> float:
 
 def meteor_exact(true_txt: str, pred_txt: str) -> float:
     """METEOR with exact-match alignment (see module docstring)."""
-    ref = tokenize(true_txt)
-    hyp = tokenize(pred_txt)
+    return meteor_tokens(tokenize(true_txt), tokenize(pred_txt))
+
+
+def meteor_tokens(ref: list[str], hyp: list[str]) -> float:
     if not ref or not hyp:
         return 0.0
     # exact alignment: greedy left-to-right unique matching by position
@@ -180,6 +185,24 @@ def meteor_exact(true_txt: str, pred_txt: str) -> float:
     frag = Fraction(chunks, m)
     penalty = 0.5 * float(frag) ** 3
     return float((1 - penalty) * fmean)
+
+
+def token_metrics(true_tokens: list[str], pred_tokens: list[str]) -> dict[str, float]:
+    """All six metrics over pre-tokenized input (the bbox-matched text
+    path, `bbox_text_evaluator.py:256-290`; None-metrics become 0)."""
+    ts, ps = set(true_tokens), set(pred_tokens)
+    inter = len(ts & ps)
+    p = inter / len(ps) if ps else 0.0
+    r = inter / len(ts) if ts else 0.0
+    m = max(len(true_tokens), len(pred_tokens))
+    return {
+        "bleu": bleu_tokens(true_tokens, pred_tokens),
+        "f1_score": 2 * p * r / (p + r) if (p + r) > 0 else 0.0,
+        "precision": p,
+        "recall": r,
+        "edit_distance": levenshtein(pred_tokens, true_tokens) / m if m else 0.0,
+        "meteor": meteor_tokens(true_tokens, pred_tokens),
+    }
 
 
 def text_metrics(true_txt: str, pred_txt: str) -> dict[str, float]:

@@ -30,6 +30,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
 
+from docling_eval_spark.functions import let_col
+
 _WS = r"[ \t\n\r\f\v]+"
 # 2^31-1: keeps a*x products within a 64-bit long under ANSI mode
 _MERSENNE = (1 << 31) - 1
@@ -57,18 +59,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 # ---------------------------------------------------------------- shingles
 
-def char_shingles(text_col: str, k: int = 5) -> F.Column:
-    """Distinct character k-gram shingles of the normalized text."""
-    norm = _norm(text_col)
-    n = F.length(norm)
-    idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.when(n > 0, F.sequence(F.lit(1), F.lit(1))).otherwise(
-            F.array().cast("array<int>")
+def _shingles_of_norm(norm: F.Column, k: int) -> F.Column:
+    """Distinct k-gram shingles; ``norm`` is let-bound so the (possibly
+    expensive, e.g. regex) normalization expression evaluates exactly
+    once per row instead of once per character position (see
+    functions.let for the Catalyst lambda-substitution hazard)."""
+
+    def body(nrm: F.Column) -> F.Column:
+        n = F.length(nrm)
+        idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.when(n > 0, F.sequence(F.lit(1), F.lit(1))).otherwise(
+                F.array().cast("array<int>")
+            )
         )
+        return F.array_distinct(
+            F.transform(idxs, lambda i: F.substr(nrm, i, F.lit(k)))
+        )
+
+    return let_col(norm, body)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(id, shingles) projection of a document table."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _shingles_of_norm(_norm(text_col), k).alias("shingles"),
     )
-    return F.array_distinct(
-        F.transform(idxs, lambda i: F.substr(norm, i, F.lit(k)))
-    )
+
+
+def char_shingles(text_col: str, k: int = 5) -> F.Column:
+    """Shingles of a text column as a single expression."""
+    return _shingles_of_norm(_norm(text_col), k)
 
 
 def ngram_jaccard(
@@ -96,36 +119,64 @@ def _perm_coeffs(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
+def minhash_signatures_from_shingles(
+    shingle_df: DataFrame, num_perm: int = 30, seed: int = 1
+) -> DataFrame:
+    """(id, shingles) → (id, signature array<long>[num_perm]), JVM-side.
+
+    Base shingle code: xxhash64 (signed 64-bit) folded into [0, p) via
+    pmod; permutation i: min over shingles of (a_i·x + b_i) mod p.
+
+    Shape matters: ONE ``aggregate`` over the base-hash array whose
+    accumulator is the running per-permutation minima (zip_with against
+    a literal coefficient array). The base array is the aggregate's
+    input, so shingling+hashing evaluates once per row — the naive
+    ``array(min(transform(base,...)) × num_perm)`` shape re-evaluated
+    the whole shingle pipeline per permutation (30-50× slower).
+    """
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_coeffs(num_perm, seed)
+        ]
+    )
+    base = F.transform(
+        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    )
+    sig = F.aggregate(
+        base,
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm),
+        lambda acc, x: F.zip_with(
+            acc,
+            coeffs,
+            lambda m, c: F.least(
+                m,
+                F.pmod(
+                    F.pmod(x * c["a"], F.lit(_MERSENNE)) + c["b"],
+                    F.lit(_MERSENNE),
+                ),
+            ),
+        ),
+    )
+    return shingle_df.select("id", sig.alias("signature"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     k: int = 5,
-    num_perm: int = 32,
+    num_perm: int = 30,
     seed: int = 1,
 ) -> DataFrame:
-    """(id, signature array<long>[num_perm]) — all JVM-side.
-
-    Base shingle code: xxhash64 (signed 64-bit) folded into [0, p) via
-    pmod; permutation i: min over shingles of (a_i·x + b_i) mod p.
-    """
-    shingles = char_shingles(text_col, k)
-    base = F.transform(
-        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    return minhash_signatures_from_shingles(
+        shingle_table(df, id_col, text_col, k), num_perm, seed
     )
-    def perm_min(a: int, b: int):
-        def rehash(x):
-            return F.pmod(F.pmod(x * a, F.lit(_MERSENNE)) + b, F.lit(_MERSENNE))
-
-        return F.array_min(F.transform(base, rehash))
-
-    sig = F.array(*[perm_min(a, b) for a, b in _perm_coeffs(num_perm, seed)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
     sig_df: DataFrame,
-    bands: int = 8,
+    bands: int = 6,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Banded LSH candidate pairs (id_l < id_r) from signatures.
@@ -134,6 +185,12 @@ def minhash_lsh_pairs(
     than ``max_bucket`` (degenerate boilerplate clusters) are dropped
     with a count — at corpus scale those are handled by exact-dedup
     first, and a quadratic bucket is an error, not work.
+
+    Band geometry: collision prob for similarity s is 1-(1-s^r)^b with
+    r = num_perm/bands rows per band; defaults (r=5, b=6) center the
+    S-curve at (1/6)^(1/5) ≈ 0.70 — the default verify threshold.
+    Wider bands (r=4, b=8) pulled in ~40% of merely-0.5-similar pairs,
+    which exploded verification cost on template-correlated corpora.
     """
     rows_per_band = F.floor(F.size("signature") / bands)
     banded = sig_df.select(
@@ -154,17 +211,31 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    sized = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_hash"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    l = sized.select("band", "band_hash", F.col("id").alias("id_l"))
-    r = sized.select("band", "band_hash", F.col("id").alias("id_r"))
-    return (
-        l.join(r, ["band", "band_hash"])
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
-        .distinct()
+    # ONE shuffle: gather each bucket's ids and expand combinations as
+    # array algebra — a windowed-count + self-join shape would shuffle
+    # three times and recompute the signature pipeline per branch
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(
+                            F.least(x, y).alias("id_l"),
+                            F.greatest(x, y).alias("id_r"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_l", "p.id_r").distinct()
 
 
 def minhash_dedup_pairs(
@@ -172,21 +243,51 @@ def minhash_dedup_pairs(
     id_col: str,
     text_col: str = "text",
     k: int = 5,
-    num_perm: int = 32,
-    bands: int = 8,
+    num_perm: int = 30,
+    bands: int = 6,
     threshold: float = 0.7,
     seed: int = 1,
+    estimate_margin: float = 0.2,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: LSH candidates verified by exact
-    shingle Jaccard ≥ threshold."""
-    with_sh = df.select(
-        F.col(id_col).alias("id"), char_shingles(text_col, k).alias("shingles")
-    )
-    pairs = minhash_lsh_pairs(
-        minhash_signatures(df, id_col, text_col, k, num_perm, seed), bands
+    """End-to-end near-dup pairs: LSH candidates → signature-estimate
+    prefilter → exact shingle Jaccard ≥ threshold.
+
+    The prefilter compares the 30-long signatures (matching-minima
+    fraction estimates Jaccard) and keeps pairs ≥ threshold −
+    estimate_margin; only survivors pay the exact intersection over
+    the (much larger) shingle arrays. With 30 permutations the
+    estimate's σ ≈ 0.085 at s=0.7, so margin 0.2 ≈ 2.4σ — the extra
+    miss probability on borderline pairs is <1% on top of the banding
+    S-curve. Shingle and signature tables are persisted: each feeds
+    two plan branches (at warehouse scale: materialized intermediate
+    tables).
+    """
+    with_sh = shingle_table(df, id_col, text_col, k).persist()
+    sigs = minhash_signatures_from_shingles(with_sh, num_perm, seed).persist()
+    pairs = minhash_lsh_pairs(sigs, bands)
+    est = (
+        pairs.join(
+            sigs.select(F.col("id").alias("id_l"), F.col("signature").alias("sig_l")),
+            "id_l",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_r"), F.col("signature").alias("sig_r")),
+            "id_r",
+        )
+        .withColumn(
+            "est",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_l", "sig_r", lambda x, y: x == y), lambda b: b
+                )
+            )
+            / num_perm,
+        )
+        .filter(F.col("est") >= threshold - estimate_margin)
+        .select("id_l", "id_r")
     )
     joined = (
-        pairs.join(
+        est.join(
             with_sh.select(
                 F.col("id").alias("id_l"), F.col("shingles").alias("shingles_l")
             ),

@@ -13,6 +13,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from docling_eval_spark.functions import let_col
+
 # ---------------------------------------------------------------- tokens
 
 _WS = r"[ \t\n\r\f\v]+"
@@ -133,31 +135,53 @@ _FP_BASE = 1_000_003
 _FP_MOD = (1 << 31) - 1
 
 
+def fingerprint_table(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(id, fp) fingerprint projection of a document table."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        rolling_fingerprint_col(F.col(text_col), k).alias("fp"),
+    )
+
+
 def rolling_fingerprint_col(text: Column | str, k: int = 8) -> Column:
     """Karp–Rabin rolling-hash document fingerprint: min hash over all
     k-char shingles of the normalized text (winnowing's global-min
-    special case). SQL higher-order functions only — the polynomial
-    fold runs in codegen, and the same arithmetic is reproducible in
-    any engine (used by the DuckDB oracle)."""
+    special case). SQL higher-order functions only — and the same
+    modular arithmetic is reproducible in any engine (the DuckDB
+    oracle recomputes it bit-for-bit).
+
+    Both the normalized string and its char-code array are let-bound
+    (functions.let) so the regex normalization and the char decoding
+    run once per row, not once per lambda element."""
     t = F.col(text) if isinstance(text, str) else text
-    norm = F.trim(F.regexp_replace(t, _WS, " "))
-    n = F.length(norm)
-    idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.sequence(F.lit(1), F.lit(1))
-    )
-    def shingle_hash(i):
-        # window [i, min(i+k-1, n)] — whole (short) text when n < k
-        return F.aggregate(
-            F.sequence(i, F.least(i + (k - 1), n)),
-            F.lit(0).cast("long"),
-            lambda acc, j: F.pmod(
-                acc * _FP_BASE + F.ascii(F.substr(norm, j, F.lit(1))),
-                F.lit(_FP_MOD),
-            ),
+    norm_expr = F.trim(F.regexp_replace(t, _WS, " "))
+
+    def over_norm(nrm: Column) -> Column:
+        n = F.length(nrm)
+        codes = F.transform(
+            F.split(nrm, ""), lambda ch: F.ascii(ch).cast("long")
         )
-    return F.when(n == 0, F.lit(None).cast("long")).otherwise(
-        F.array_min(F.transform(idxs, shingle_hash))
-    )
+
+        def over_codes(cds: Column) -> Column:
+            idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+                F.sequence(F.lit(1), F.lit(1))
+            )
+            # window = slice(codes, i, k); slice clamps at the end, so
+            # short (< k chars) texts hash the whole string
+            shingle_hash = lambda i: F.aggregate(  # noqa: E731
+                F.slice(cds, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
+            )
+            return F.array_min(F.transform(idxs, shingle_hash))
+
+        return F.when(n == 0, F.lit(None).cast("long")).otherwise(
+            let_col(codes, over_codes)
+        )
+
+    return let_col(norm_expr, over_norm)
 
 
 def fingerprint_py(text: str, k: int = 8) -> int | None:

@@ -53,8 +53,12 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
         .config("spark.sql.session.timeZone", "UTC")
-        # page HTML rows are large; keep scan partitions bounded
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # CPU-bound Python kernels need task counts set by rows-worth-
+        # of-work, not bytes: 32 MB of page HTML ≈ 15k docs ≈ 30 s of
+        # kernel time per task — fine-grained enough to keep all cores
+        # busy, coarse enough to amortize Arrow batch setup. (The
+        # 128 MB default produced 3 tasks for a 76 MB corpus.)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,197 @@
+"""Serializers (K7/K8), bbox-text evaluator (J4), spatial joins (J6/J7),
+report sinks (S10-S12)."""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_eval_spark.datagen.pages import gen_page
+from docling_eval_spark.evaluators.bbox_text import evaluate_document, match_bboxes
+from docling_eval_spark.evaluators.text_metrics import tokenize
+from docling_eval_spark.extraction.kernel import extract_document
+from docling_eval_spark.extraction.serializers import (
+    doc_to_markdown,
+    table_to_html,
+)
+from docling_eval_spark.extraction.tables import parse_table
+
+
+def test_markdown_export_labels():
+    items = [
+        {"label": "title", "text": "My Title"},
+        {"label": "text", "text": "Hello world."},
+        {"label": "section_header", "text": "Part 1"},
+        {"label": "list_item", "text": "first"},
+        {"label": "unknown_label", "text": "dropped"},
+    ]
+    md = doc_to_markdown(items)
+    assert md == "# My Title\n\nHello world.\n\n## Part 1\n\n- first"
+
+
+def test_markdown_roundtrip_from_extraction():
+    doc = extract_document(gen_page(0)["html"])
+    md = doc_to_markdown(doc["items"])
+    # every content block's text must appear in the markdown
+    for it in doc["items"]:
+        assert it["text"] in md
+
+
+def test_table_html_roundtrip():
+    """table → HTML → parse → same grid (K4 ↔ K8 are inverses)."""
+    grid = {
+        "num_rows": 3,
+        "num_cols": 3,
+        "cells": [
+            dict(text="a", row_span=1, col_span=2, start_row_offset_idx=0,
+                 end_row_offset_idx=1, start_col_offset_idx=0,
+                 end_col_offset_idx=2, col_header=True, row_header=False),
+            dict(text="b", row_span=1, col_span=1, start_row_offset_idx=0,
+                 end_row_offset_idx=1, start_col_offset_idx=2,
+                 end_col_offset_idx=3, col_header=True, row_header=False),
+            dict(text="c & d", row_span=2, col_span=1, start_row_offset_idx=1,
+                 end_row_offset_idx=3, start_col_offset_idx=0,
+                 end_col_offset_idx=1, col_header=False, row_header=False),
+            dict(text="e", row_span=1, col_span=2, start_row_offset_idx=1,
+                 end_row_offset_idx=2, start_col_offset_idx=1,
+                 end_col_offset_idx=3, col_header=False, row_header=False),
+            dict(text="f", row_span=1, col_span=2, start_row_offset_idx=2,
+                 end_row_offset_idx=3, start_col_offset_idx=1,
+                 end_col_offset_idx=3, col_header=False, row_header=False),
+        ],
+    }
+    html = table_to_html(grid)
+    parsed = parse_table(html.replace("<table>", "").replace("</table>", ""))
+    assert parsed.num_rows == 3 and parsed.num_cols == 3
+    got = {
+        (c.start_row_offset_idx, c.start_col_offset_idx): (
+            c.text, c.row_span, c.col_span
+        )
+        for c in parsed.cells
+    }
+    assert got[(0, 0)] == ("a", 1, 2)
+    assert got[(1, 0)] == ("c & d", 2, 1)
+    assert got[(2, 1)] == ("f", 1, 2)
+
+
+# ------------------------------------------------------------- bbox text
+
+
+def _item(text, l, t, r, b):
+    return {"text": text, "l": l, "t": t, "r": r, "b": b}
+
+
+def test_bbox_match_identity():
+    items = [_item("hello world", 0, 0, 10, 10), _item("foo bar", 0, 20, 10, 30)]
+    scores = evaluate_document(items, items)
+    assert len(scores) == 2
+    for s in scores:
+        assert s["f1_score"] == 1.0
+        assert s["edit_distance"] == 0.0
+
+
+def test_bbox_match_many_to_one_and_orphans():
+    true_items = [_item("alpha beta", 0, 0, 10, 10), _item("orphan text", 100, 100, 110, 110)]
+    # two pred boxes both overlapping the first true box; pivot = true
+    # (fewer? equal counts → pivot=true); both preds map to box 0
+    pred_items = [_item("alpha", 0, 0, 10, 5), _item("beta", 0, 5, 10, 10)]
+    matches = match_bboxes(true_items, pred_items)
+    by_true = {tuple(m["true_tokens"]): m for m in matches}
+    assert by_true[("alpha", "beta")]["pred_tokens"] == ["alpha", "beta"]
+    # the orphan true box: second pred...? both preds matched box 0 →
+    # true box 1 is an unmatched pivot → orphan with empty preds
+    assert by_true[("orphan", "text")]["pred_tokens"] == []
+    scores = evaluate_document(true_items, pred_items)
+    perfect = [s for s in scores if s["f1_score"] == 1.0]
+    zero = [s for s in scores if s["f1_score"] == 0.0]
+    assert len(perfect) == 1 and len(zero) == 1
+
+
+def test_bbox_match_zero_iou_still_maps():
+    # reference argmax has no threshold: a far-away pred still maps
+    matches = match_bboxes(
+        [_item("a b c", 0, 0, 10, 10)], [_item("x", 500, 500, 510, 510)]
+    )
+    assert len(matches) == 1
+    assert matches[0]["pred_tokens"] == ["x"]
+
+
+def test_bbox_stage(spark):
+    item_t = "array<struct<text:string,l:double,t:double,r:double,b:double>>"
+    rows = [
+        (
+            "u1",
+            [("hello world", 0.0, 0.0, 10.0, 10.0)],
+            [("hello world", 0.0, 0.0, 10.0, 10.0)],
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, f"url string, gt_layout_text {item_t}, pred_layout_text {item_t}"
+    )
+    from docling_eval_spark.evaluators.bbox_text import bbox_text_stage
+
+    out = bbox_text_stage(df).collect()
+    assert len(out) == 1
+    # 2-token match: BLEU-4 is 0 (no 4-grams — nltk semantics); set
+    # metrics are the identity signal
+    assert out[0]["f1_score"] == pytest.approx(1.0)
+    assert out[0]["edit_distance"] == 0.0
+
+
+# ------------------------------------------------------------- spatial
+
+
+def test_point_in_box_join(spark):
+    from docling_eval_spark.operators.spatial import iou_pair_join, point_in_box_join
+
+    boxes = spark.createDataFrame(
+        [
+            (1, 10, 0.0, 0.0, 100.0, 100.0),  # big box
+            (1, 11, 40.0, 40.0, 60.0, 60.0),  # small box inside big
+            (2, 12, 0.0, 0.0, 10.0, 10.0),
+        ],
+        "page_no int, box_id long, l double, t double, r double, b double",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 100, 50.0, 50.0),  # inside both → smallest (11) wins
+            (1, 101, 5.0, 5.0),    # only big box
+            (1, 102, 500.0, 500.0),  # nowhere → null box
+            (2, 103, 5.0, 5.0),
+        ],
+        "page_no int, point_id long, x double, y double",
+    )
+    got = {r["point_id"]: r["box_id"] for r in point_in_box_join(points, boxes).collect()}
+    assert got == {100: 11, 101: 10, 102: None, 103: 12}
+
+    pairs = iou_pair_join(boxes, boxes, cutoff=0.9).collect()
+    assert {(r["id_l"], r["id_r"]) for r in pairs} == {(10, 10), (11, 11), (12, 12)}
+
+
+# ------------------------------------------------------------- reports
+
+
+def test_reports(spark, tmp_path):
+    from docling_eval_spark.reporting.reports import (
+        save_comparison_html,
+        stats_to_table_text,
+        write_metric_report,
+    )
+
+    df = spark.createDataFrame([(v / 10.0,) for v in range(10)], "score double")
+    row = write_metric_report(df, "score", str(tmp_path), "score")
+    assert row["total"] == 10
+    md = (tmp_path / "score.md").read_text()
+    assert md.count("\n") == 21  # header + separator + 20 bins
+    assert "(0.000, 0.050]" in md
+    svg = (tmp_path / "score.svg").read_text()
+    assert svg.startswith("<svg") and "rect" in svg
+    assert "| 10.00 |" not in stats_to_table_text(row, "x").splitlines()[0]
+
+    cmp_df = spark.createDataFrame(
+        [("u1", "same", "same"), ("u2", "a", "b")],
+        "url string, text string, extracted_text string",
+    )
+    n = save_comparison_html(cmp_df, str(tmp_path / "cmp.html"))
+    assert n == 2
+    html = (tmp_path / "cmp.html").read_text()
+    assert "#ffe8e8" in html and "#e8ffe8" in html
