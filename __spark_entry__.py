@@ -807,20 +807,20 @@ FROM documents
 
 
 def _q_extract_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-lang extraction match rollup (flagship aggregate)."""
-    d = _t(spark, sf_dir, "documents")
-    ex = _render_extract(spark, sf_dir).select("doc_id", "extracted_text")
-    expected = F.concat(
-        F.trim(F.regexp_replace(F.col("text"), _WS, " ")),
-        F.lit("\n\n"),
-        F.lit(_SENT_PRE),
-        F.col("doc_id").cast("string"),
-        F.lit(_SENT_POST),
+    """Per-lang extraction match rollup (flagship aggregate).
+
+    Fused shape: the GT text rides through the extraction kernel
+    (extract_match_stage), so the byte-identity check is a single
+    narrow map + one hash agg — zero joins (the join-shaped variant's
+    shuffle capped scaling; see BENCH/BASELINE.md)."""
+    from docling_eval_spark.datagen.pages import render_documents_stage
+    from docling_eval_spark.extraction.stage import extract_match_stage
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    j = d.join(ex, "doc_id").withColumn(
-        "is_match", (F.col("extracted_text") == expected).cast("int")
-    )
-    return j.groupBy("lang").agg(
+    matched = extract_match_stage(render_documents_stage(d))
+    return matched.groupBy("lang").agg(
         F.count("*").alias("docs"),
         F.sum("is_match").cast("bigint").alias("matches"),
         F.round(F.avg("is_match"), 6).alias("match_rate"),
@@ -894,8 +894,125 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _q_kv_link_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-value graph link agreement (FUNSD analog, SURVEY K3):
+    GT links = consecutive events by time per user, predicted links =
+    consecutive by value; per-user link P/R/F1 via set joins."""
+    from docling_eval_spark.operators.kv_graph import kv_link_metrics
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    gt = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("src"),
+        F.lead("event_id").over(wt).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pred = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("src"),
+        F.lead("event_id").over(wv).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return kv_link_metrics(gt, pred)
+
+
+_SQL_KV_LINKS = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 5000),
+gt AS (
+  SELECT user_id AS key, event_id AS src,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), pred AS (
+  SELECT user_id AS key, event_id AS src,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY value, event_id) AS dst
+  FROM ev
+), g AS (SELECT DISTINCT key, src, dst FROM gt WHERE dst IS NOT NULL),
+p AS (SELECT DISTINCT key, src, dst FROM pred WHERE dst IS NOT NULL),
+inter AS (
+  SELECT g.key, count(*) AS n_inter FROM g JOIN p
+    ON g.key = p.key AND g.src = p.src AND g.dst = p.dst GROUP BY g.key
+), gn AS (SELECT key, count(*) AS n_gt FROM g GROUP BY key),
+pn AS (SELECT key, count(*) AS n_pred FROM p GROUP BY key)
+SELECT gn.key,
+       CAST(gn.n_gt AS BIGINT) AS n_gt,
+       CAST(coalesce(pn.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(coalesce(inter.n_inter, 0) AS BIGINT) AS n_inter,
+       round(CASE WHEN coalesce(pn.n_pred,0) > 0
+             THEN coalesce(inter.n_inter,0) * 1.0 / pn.n_pred ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN gn.n_gt > 0
+             THEN coalesce(inter.n_inter,0) * 1.0 / gn.n_gt ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN coalesce(pn.n_pred,0) > 0
+                    THEN coalesce(inter.n_inter,0) * 1.0 / pn.n_pred ELSE 0.0 END
+                  + CASE WHEN gn.n_gt > 0
+                    THEN coalesce(inter.n_inter,0) * 1.0 / gn.n_gt ELSE 0.0 END) > 0
+             THEN 2.0 * (coalesce(inter.n_inter,0) * 1.0 / pn.n_pred)
+                      * (coalesce(inter.n_inter,0) * 1.0 / gn.n_gt)
+                  / ((coalesce(inter.n_inter,0) * 1.0 / pn.n_pred)
+                     + (coalesce(inter.n_inter,0) * 1.0 / gn.n_gt))
+             ELSE 0.0 END, 6) AS f1
+FROM gn LEFT JOIN pn ON gn.key = pn.key
+LEFT JOIN inter ON gn.key = inter.key
+"""
+
+
 # ---- rows-only queries (no SQL-expressible oracle; driver records the
 # weaker check — SURVEY §4.2 custom algorithms)
+
+
+def _q_otsl_roundtrip_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTSL parse path (SURVEY K5): extracted grids → OTSL strings →
+    parse back → TEDS vs original (expect 1.0 everywhere)."""
+    from docling_eval_spark.datagen.pages import pages_dataframe
+    from docling_eval_spark.evaluators.teds import teds_stage
+    from docling_eval_spark.extraction.otsl import grid_to_otsl, otsl_parse_stage, parse_otsl  # noqa: F401
+    from docling_eval_spark.extraction.stage import extract_stage
+
+    import pandas as pd
+
+    pages = pages_dataframe(spark, 120, partitions=8)
+    ex = extract_stage(pages).filter(F.size("tables") > 0)
+    one = ex.select("url", F.posexplode("tables").alias("table_id", "gt"))
+
+    def to_otsl(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"{u}#{t}" for u, t in zip(pdf["url"], pdf["table_id"])
+                    ],
+                    "otsl": [
+                        grid_to_otsl(
+                            {
+                                "num_rows": g["num_rows"],
+                                "num_cols": g["num_cols"],
+                                "cells": [dict(c) for c in g["cells"]],
+                            }
+                        )
+                        for g in pdf["gt"]
+                    ],
+                }
+            )
+
+    otsl_df = one.mapInPandas(to_otsl, "url string, otsl string")
+    parsed = otsl_parse_stage(otsl_df).select(
+        "url",
+        F.struct("num_rows", "num_cols", "cells").alias("pred_table"),
+    )
+    gt_df = one.select(
+        F.concat_ws("#", "url", F.col("table_id").cast("string")).alias("url"),
+        F.col("gt").alias("gt_table"),
+    )
+    paired = gt_df.join(parsed, "url").select(
+        "url",
+        F.array("gt_table").alias("gt_tables"),
+        F.array("pred_table").alias("pred_tables"),
+    )
+    t = teds_stage(paired)
+    return t.agg(
+        F.count("*").alias("n_tables"),
+        F.round(F.avg("teds"), 6).alias("mean_teds"),
+        F.round(F.min("teds"), 6).alias("min_teds"),
+    )
 
 
 def _q_bbox_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,11 +1160,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "point_in_box": _q_point_in_box,
+        "kv_link_metrics": _q_kv_link_metrics,
         "extract_md5": _q_extract_md5,
         "extract_match_stats": _q_extract_match_stats,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "bbox_text_metrics": _q_bbox_text_metrics,
+        "otsl_roundtrip_teds": _q_otsl_roundtrip_teds,
         "corpus_map": _q_corpus_map,
         "teds_identity": _q_teds_identity,
     }
@@ -1081,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _SQL_FINGERPRINT,
         "cosine_topk": _SQL_COSINE_TOPK,
         "point_in_box": _SQL_POINT_IN_BOX,
+        "kv_link_metrics": _SQL_KV_LINKS,
         "extract_md5": _SQL_EXTRACT_MD5,
         "extract_match_stats": _SQL_EXTRACT_MATCH,
         # minhash_pairs / simhash / corpus_map / teds_identity:

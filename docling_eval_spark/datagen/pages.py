@@ -275,20 +275,29 @@ def render_page_for_text(doc_id: int, text: str, lang: str = "en") -> bytes:
 def render_documents_stage(docs_df: DataFrame) -> DataFrame:
     """(doc_id, text, lang) → (doc_id, url, html, text, lang) pages by
     wrapping each driver-provided document text via
-    ``render_page_for_text`` (Arrow-batched)."""
+    ``render_page_for_text`` (Arrow-batched). The emitted ``text``
+    column is the full extraction ground truth (normalized source text
+    + sentinel paragraph), so the pages table satisfies the standard
+    contract: extract_text(html) == text, byte-identical."""
     src = docs_df.select("doc_id", "text", "lang")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            texts = [t if t is not None else "" for t in pdf["text"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "url": [f"https://docs.example/{i}" for i in pdf["doc_id"]],
+                    "url": [f"https://docs.example/{i}" for i in ids],
                     "html": [
-                        render_page_for_text(int(i), t if t is not None else "")
-                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                        render_page_for_text(i, t) for i, t in zip(ids, texts)
                     ],
-                    "text": pdf["text"].to_numpy(),
+                    "text": [
+                        normalize_ws(t)
+                        + BLOCK_SEP
+                        + SENTINEL_TMPL.format(doc_id=i)
+                        for i, t in zip(ids, texts)
+                    ],
                     "lang": pdf["lang"].to_numpy(),
                 }
             )

@@ -77,8 +77,21 @@ def _extract_html(data: bytes) -> dict[str, Any]:
         for g in extract_tables(html_text)
     ]
     text = BLOCK_SEP.join(it["text"] for it in items)
+    _add_charspans(items)
     return {"title": title, "items": items, "tables": tables, "text": text,
             "pages": [], "layout": []}
+
+
+def _add_charspans(items: list[dict[str, Any]]) -> None:
+    """Provenance char offsets of each item within the final text
+    (ProvenanceItem.charspan semantics, reference
+    `cvat_annotation/create.py:417`): [start, end) over the
+    BLOCK_SEP-joined document text."""
+    off = 0
+    for it in items:
+        end = off + len(it["text"])
+        it["charspan"] = [off, end]
+        off = end + len(BLOCK_SEP)
 
 
 def _extract_pdf(data: bytes) -> dict[str, Any]:
@@ -103,6 +116,7 @@ def _extract_pdf(data: bytes) -> dict[str, Any]:
             }
         )
     text = BLOCK_SEP.join(it["text"] for it in items)
+    _add_charspans(items)
     return {
         "title": "",
         "items": items,

@@ -32,6 +32,8 @@ _ITEM = T.StructType(
     [
         T.StructField("label", T.StringType()),
         T.StructField("text", T.StringType()),
+        # [start, end) offsets into extracted_text (charspan provenance)
+        T.StructField("charspan", T.ArrayType(T.IntegerType())),
     ]
 )
 _CELL = T.StructType(
@@ -104,7 +106,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "title": [d["title"] for d in docs],
                 "extracted_text": [d["text"] for d in docs],
                 "text_md5": [d["text_md5"] for d in docs],
-                "items": [d["items"] for d in docs],
+                "items": [
+                    [(it["label"], it["text"], it.get("charspan")) for it in d["items"]]
+                    for d in docs
+                ],
                 "tables": [
                     [
                         (
@@ -169,6 +174,49 @@ def extract_text_stage(pages_df: DataFrame) -> DataFrame:
     return extract_stage(pages_df).select(
         "url", "extracted_text", "text_md5", "status"
     )
+
+
+_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("text_md5", T.StringType()),
+        T.StructField("is_match", T.IntegerType()),
+    ]
+)
+
+
+def extract_match_stage(pages_df: DataFrame) -> DataFrame:
+    """Extraction + ground-truth comparison fused into one narrow map.
+
+    The GT text column rides THROUGH the kernel, so the byte-identity
+    check costs zero shuffles — vs the join-shaped flagship
+    (extract → shuffle both sides → equi-join) whose shuffle capped
+    end-to-end scaling at ~0.54 (8→32 cores) in BENCH/BASELINE.md.
+    Keyed grouping later still works: output keeps url.
+    """
+    src = pages_df.select("url", "html", "text", "lang")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = [extract_document(b) for b in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "status": [d["status"] for d in docs],
+                    "extracted_text": [d["text"] for d in docs],
+                    "text_md5": [d["text_md5"] for d in docs],
+                    "is_match": [
+                        int(d["text"] == (t if t is not None else ""))
+                        for d, t in zip(docs, pdf["text"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=_MATCH_SCHEMA)
 
 
 def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:

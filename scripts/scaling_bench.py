@@ -44,7 +44,8 @@ import json, sys, time
 sys.path.insert(0, "@REPO@")
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
-from docling_eval_spark.extraction.stage import extract_stage, extract_text_stage
+from docling_eval_spark.extraction.stage import (
+    extract_match_stage, extract_stage, extract_text_stage)
 
 cores = int(sys.argv[1]); pages_dir = sys.argv[2]
 spark = (SparkSession.builder.appName(f"scale-{cores}")
@@ -82,6 +83,14 @@ wall_join, res = best_of(
              .collect()[0]),
 )
 
+# fused shape: GT rides through the kernel — zero-shuffle byte check
+wall_fused, res_fused = best_of(
+    2,
+    lambda: (extract_match_stage(pages)
+             .agg(F.count("*").alias("docs"), F.sum("is_match").alias("identical"))
+             .collect()[0]),
+)
+
 # invariance hash OUTSIDE the timed window (serial reducer tail)
 h = (extract_stage(pages)
      .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", "url", "text_md5"))))).alias("corpus_hash"))
@@ -91,7 +100,10 @@ print("RESULT " + json.dumps({"cores": cores, "docs": res["docs"],
       "extract_sec": round(wall_extract, 2),
       "extract_docs_per_sec": round(res["docs"] / wall_extract, 1),
       "join_sec": round(wall_join, 2),
-      "join_docs_per_sec": round(res["docs"] / wall_join, 1)}))
+      "join_docs_per_sec": round(res["docs"] / wall_join, 1),
+      "fused_sec": round(wall_fused, 2),
+      "fused_docs_per_sec": round(int(res_fused["docs"]) / wall_fused, 1),
+      "fused_identical": int(res_fused["identical"])}))
 spark.stop()
 """
 
@@ -165,7 +177,8 @@ def main() -> None:
     hashes = {r["corpus_hash"] for r in results.values()}
     rows = "\n".join(
         f"| local[{n}] | {r['extract_sec']} | {r['extract_docs_per_sec']} | "
-        f"{r['join_sec']} | {r['join_docs_per_sec']} | {r['identical']}/{r['docs']} |"
+        f"{r['join_sec']} | {r['join_docs_per_sec']} | "
+        f"{r['fused_sec']} | {r['fused_docs_per_sec']} | {r['identical']}/{r['docs']} |"
         for n, r in results.items()
     )
     md = f"""# BENCH — measured baselines
@@ -176,18 +189,19 @@ Same job, same {n_docs}-page synthetic corpus (seed 42), four
 parallelism levels, each a separate fresh-JVM process (no real cluster
 in this sandbox — see BASELINE.md §2). Two job shapes: extraction only
 (scan → mapInPandas kernel, no shuffle) and the flagship shape
-(extraction → ground-truth join → byte-identity aggregate).
+(extraction → ground-truth join → byte-identity aggregate), plus the
+fused variant (GT rides through the kernel: zero-shuffle byte check).
 
-| parallelism | extract (s) | extract docs/s | extract+join (s) | e2e docs/s | byte-identical |
-|---|---|---|---|---|---|
+| parallelism | extract (s) | extract docs/s | extract+join (s) | e2e docs/s | fused (s) | fused docs/s | byte-identical |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 ### Scaling efficiency (throughput ratio / core ratio)
 
-| N → 4N | extraction job | e2e job | raw-Python control (no Spark) |
-|---|---|---|---|
-| local[4] → local[16] | **{eff('extract_docs_per_sec', 4, 16):.3f}** | {eff('join_docs_per_sec', 4, 16):.3f} | {ctrl_eff(4, 16):.3f} |
-| local[8] → local[32] | **{eff('extract_docs_per_sec', 8, 32):.3f}** | {eff('join_docs_per_sec', 8, 32):.3f} | {ctrl_eff(8, 32):.3f} |
+| N → 4N | extraction job | e2e join job | e2e fused job | raw-Python control (no Spark) |
+|---|---|---|---|---|
+| local[4] → local[16] | **{eff('extract_docs_per_sec', 4, 16):.3f}** | {eff('join_docs_per_sec', 4, 16):.3f} | {eff('fused_docs_per_sec', 4, 16):.3f} | {ctrl_eff(4, 16):.3f} |
+| local[8] → local[32] | **{eff('extract_docs_per_sec', 8, 32):.3f}** | {eff('join_docs_per_sec', 8, 32):.3f} | {eff('fused_docs_per_sec', 8, 32):.3f} | {ctrl_eff(8, 32):.3f} |
 
 The raw-Python control runs the identical kernel via multiprocessing
 with no Spark: it is this host's own scaling ceiling (all-core turbo/

@@ -195,3 +195,59 @@ def test_reports(spark, tmp_path):
     assert n == 2
     html = (tmp_path / "cmp.html").read_text()
     assert "#ffe8e8" in html and "#e8ffe8" in html
+
+
+# ------------------------------------------------------------- otsl / kv
+
+
+def test_otsl_roundtrip_all_generated_tables():
+    from docling_eval_spark.extraction.otsl import grid_to_otsl, parse_otsl
+    from docling_eval_spark.evaluators.teds import is_complex_grid, teds_score
+
+    tot = 0
+    for i in range(120):
+        doc = extract_document(gen_page(i)["html"])
+        for g in doc["tables"]:
+            g2 = parse_otsl(grid_to_otsl(g))
+            assert teds_score(g, g2) == 1.0
+            assert is_complex_grid(g) == is_complex_grid(g2)
+            tot += 1
+    assert tot > 40
+
+
+def test_otsl_spans_and_headers():
+    from docling_eval_spark.extraction.otsl import parse_otsl
+
+    s = "<otsl><ched>H<lcel><ched>X<nl><fcel>a<xcel>...wait"  # malformed tail ok
+    s = "<otsl><ched>H<lcel><ched>X<nl><rhed>r<fcel>b<fcel>c<nl></otsl>"
+    g = parse_otsl(s)
+    assert g["num_rows"] == 2 and g["num_cols"] == 3
+    by_pos = {
+        (c["start_row_offset_idx"], c["start_col_offset_idx"]): c
+        for c in g["cells"]
+    }
+    assert by_pos[(0, 0)]["col_span"] == 2 and by_pos[(0, 0)]["col_header"]
+    assert by_pos[(1, 0)]["row_header"]
+    # 2-D merge: fcel with ucel below and lcel right and xcel diag
+    s2 = "<otsl><fcel>big<lcel><fcel>z<nl><ucel><xcel><fcel>w<nl></otsl>"
+    g2 = parse_otsl(s2)
+    big = {
+        (c["start_row_offset_idx"], c["start_col_offset_idx"]): c
+        for c in g2["cells"]
+    }[(0, 0)]
+    assert big["row_span"] == 2 and big["col_span"] == 2
+
+
+def test_kv_link_metrics(spark):
+    from docling_eval_spark.operators.kv_graph import kv_link_metrics
+
+    gt = spark.createDataFrame(
+        [("d1", 1, 2), ("d1", 2, 3), ("d2", 1, 2)], "key string, src int, dst int"
+    )
+    pred = spark.createDataFrame(
+        [("d1", 1, 2), ("d1", 3, 4), ("d2", 9, 9)], "key string, src int, dst int"
+    )
+    got = {r["key"]: r for r in kv_link_metrics(gt, pred).collect()}
+    assert got["d1"]["n_inter"] == 1
+    assert got["d1"]["precision"] == 0.5 and got["d1"]["recall"] == 0.5
+    assert got["d2"]["f1"] == 0.0

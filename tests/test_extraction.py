@@ -69,6 +69,17 @@ def test_failure_rows_not_exceptions():
     assert extract_document(b"\x00\xff\x9c")["status"] == "SUCCESS"
 
 
+def test_charspan_provenance():
+    doc = extract_document(gen_page(0)["html"])
+    text = doc["text"]
+    assert doc["items"], "no items extracted"
+    for it in doc["items"]:
+        s, e = it["charspan"]
+        assert text[s:e] == it["text"]
+    assert doc["items"][0]["charspan"][0] == 0
+    assert doc["items"][-1]["charspan"][1] == len(text)
+
+
 def test_render_page_for_text_contract():
     t = "short  text with   odd   spacing"
     expected = normalize_ws(t) + BLOCK_SEP + SENTINEL_TMPL.format(doc_id=9)
