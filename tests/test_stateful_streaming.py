@@ -1,0 +1,77 @@
+"""Stateful streaming sessionization vs the batch window oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from docling_eval_spark.streaming.stateful import sessionize_batch, sessionize_stream
+
+
+def test_batch_sessionization_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 01:10:00", 3.0),  # > 30min gap → new session
+        (2, "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = sessionize_batch(df, "30 minutes").collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert sorted(r["n_events"] for r in by_user[1]) == [1, 2]
+    assert len(by_user[2]) == 1
+
+
+def test_stream_sessionization_matches_batch(spark, tmp_path):
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "ts", "value")
+    )
+    src_dir = str(tmp_path / "events")
+    events.write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src_dir)
+    )
+    sessions = sessionize_stream(stream, gap="30 minutes")
+    name = "sess_out"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        f"SELECT user_id, session_start, n_events, round(sum_value, 6) AS sum_value FROM {name}"
+    ).collect()
+    oracle = sessionize_batch(events, "30 minutes").collect()
+
+    # availableNow emits only CLOSED sessions; each user's final
+    # (still-open) session stays in state. Compare the closed ones.
+    def key(r):
+        return (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+
+    got_set = {key(r) for r in got}
+    oracle_by_user: dict[int, list] = {}
+    for r in oracle:
+        oracle_by_user.setdefault(r["user_id"], []).append(r)
+    # every emitted session must exist in the oracle with identical
+    # boundaries and aggregates
+    oracle_set = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 6))
+        for r in oracle
+    }
+    assert got_set <= oracle_set
+    # and all but (at most) the trailing session per user was emitted
+    for uid, rows in oracle_by_user.items():
+        emitted = [r for r in got if r["user_id"] == uid]
+        assert len(emitted) >= len(rows) - 1
