@@ -1,0 +1,86 @@
+"""CLI mirroring the reference's single entry point
+(`evaluate -t {create|evaluate|visualize} -m <modality>`,
+reference `cli/main.py:456-563`), Spark-first:
+
+    python -m docling_eval_spark.cli create \
+        --pages <parquet dir | synthetic:N> --output <dataset dir>
+    python -m docling_eval_spark.cli evaluate \
+        --dataset <dir> --modality markdown_text --output <dir>
+    python -m docling_eval_spark.cli visualize \
+        --dataset <dir> --evaluation <dir> --modality markdown_text \
+        --output <dir>
+
+Modalities: markdown_text table_structure layout reading_order
+bbox_text all (matching the reference's EvaluationModality enum).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from docling_eval_spark import pipelines
+from docling_eval_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="docling-eval-spark")
+    sub = ap.add_subparsers(dest="task", required=True)
+
+    c = sub.add_parser("create", help="pages table → benchmark dataset")
+    c.add_argument("--pages", required=True,
+                   help="pages parquet dir, or synthetic:N for N generated pages")
+    c.add_argument("--output", required=True)
+    c.add_argument("--buckets", type=int, default=16)
+    c.add_argument("--records-per-shard", type=int, default=1000)
+
+    e = sub.add_parser("evaluate", help="dataset → metric rows + stats")
+    e.add_argument("--dataset", required=True)
+    e.add_argument("--modality", required=True,
+                   choices=pipelines.MODALITIES + ["all"])
+    e.add_argument("--output", required=True)
+
+    v = sub.add_parser("visualize", help="metric rows → report files")
+    v.add_argument("--dataset", required=True)
+    v.add_argument("--evaluation", required=True)
+    v.add_argument("--modality", required=True,
+                   choices=pipelines.MODALITIES + ["all"])
+    v.add_argument("--output", required=True)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(f"docling-eval-spark-{args.task}")
+    try:
+        if args.task == "create":
+            pages_path = args.pages
+            if pages_path.startswith("synthetic:"):
+                from docling_eval_spark.datagen.pages import write_pages_parquet
+
+                n = int(pages_path.split(":", 1)[1])
+                pages_path = f"{args.output.rstrip('/')}_pages"
+                write_pages_parquet(spark, pages_path, n)
+                print(f"generated {n} synthetic pages at {pages_path}")
+            pipelines.create_dataset(
+                spark, pages_path, args.output,
+                buckets=args.buckets, records_per_shard=args.records_per_shard,
+            )
+            n = spark.read.parquet(args.output).count()
+            print(f"dataset written: {args.output} ({n} documents)")
+        elif args.task == "evaluate":
+            mods = pipelines.MODALITIES if args.modality == "all" else [args.modality]
+            for m in mods:
+                pipelines.evaluate(spark, args.dataset, m, args.output)
+                print(f"evaluated {m} → {args.output}/evaluation_{m}")
+        else:
+            mods = pipelines.MODALITIES if args.modality == "all" else [args.modality]
+            for m in mods:
+                pipelines.visualize(
+                    spark, args.dataset, args.evaluation, m, args.output
+                )
+                print(f"visualized {m} → {args.output}")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,11 +14,12 @@ implementation):
 - ``bleu``                — BLEU-4, uniform 0.25 weights, brevity
   penalty, tokenizer_13a, no smoothing (HF `evaluate` "bleu" default,
   `markdown_text_evaluator.py:52,189-197`)
-- ``meteor_exact``        — METEOR with exact-match alignment
-  (alpha=.9, beta=3, gamma=.5). Deviation: the reference's NLTK
-  meteor also uses Porter-stem + WordNet-synonym alignment stages;
-  WordNet is unavailable offline, so alignment is exact-match only
-  (scores are a lower bound; identical texts still score 1.0).
+- ``meteor_exact``        — METEOR (alpha=.9, beta=3, gamma=.5) with
+  staged exact → Porter-stem alignment (our from-scratch stemmer,
+  evaluators/porter.py, matches the published algorithm). Remaining
+  deviation vs the reference's NLTK meteor: the WordNet-synonym stage
+  (corpora unavailable offline) — scores are a slight lower bound on
+  texts relying on synonym matches; identical/stem-equal texts agree.
 
 Spark surface: one iterator ``mapInPandas`` stage computing all six
 metrics per row in a single pass (Arrow-batched; per-batch Python,
@@ -161,15 +162,30 @@ def meteor_exact(true_txt: str, pred_txt: str) -> float:
 def meteor_tokens(ref: list[str], hyp: list[str]) -> float:
     if not ref or not hyp:
         return 0.0
-    # exact alignment: greedy left-to-right unique matching by position
+    from docling_eval_spark.evaluators.porter import porter_stem
+
+    # staged alignment (NLTK meteor: exact → Porter stem [→ WordNet,
+    # unavailable offline]); each stage greedily matches remaining
+    # tokens left-to-right, uniquely
     ref_taken = [False] * len(ref)
+    hyp_taken = [False] * len(hyp)
     matches: list[tuple[int, int]] = []  # (hyp_idx, ref_idx)
-    for hi, htok in enumerate(hyp):
-        for ri, rtok in enumerate(ref):
-            if not ref_taken[ri] and htok == rtok:
-                ref_taken[ri] = True
-                matches.append((hi, ri))
-                break
+
+    def stage(key):
+        rkeys = [key(t) for t in ref]
+        for hi, htok in enumerate(hyp):
+            if hyp_taken[hi]:
+                continue
+            hk = key(htok)
+            for ri in range(len(ref)):
+                if not ref_taken[ri] and hk == rkeys[ri]:
+                    ref_taken[ri] = True
+                    hyp_taken[hi] = True
+                    matches.append((hi, ri))
+                    break
+
+    stage(lambda t: t)
+    stage(porter_stem)
     m = len(matches)
     if m == 0:
         return 0.0

@@ -1,0 +1,41 @@
+"""Three-phase CLI flow (create → evaluate → visualize), the
+reference's `evaluate -t ...` surface (cli/main.py:456-563 analog)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from docling_eval_spark import pipelines
+from docling_eval_spark.datagen.pages import write_pages_parquet
+
+
+def test_three_phase_pipeline(spark, tmp_path):
+    pages = str(tmp_path / "pages")
+    dataset = str(tmp_path / "dataset")
+    eval_dir = str(tmp_path / "eval")
+    reports = tmp_path / "reports"
+
+    write_pages_parquet(spark, pages, 80, partitions=4)
+    pipelines.create_dataset(spark, pages, dataset, buckets=4)
+    ds = pipelines.read_dataset(spark, dataset)
+    assert ds.count() == 80
+    assert "bucket" in ds.columns  # url-hash partition layout
+
+    pipelines.evaluate(spark, dataset, "markdown_text", eval_dir)
+    pipelines.evaluate(spark, dataset, "reading_order", eval_dir)
+    per_doc = spark.read.parquet(f"{eval_dir}/evaluation_markdown_text")
+    assert per_doc.count() == 80
+    # identity dataset: everything perfect
+    row = per_doc.agg({"f1_score": "avg", "edit_distance": "avg"}).collect()[0]
+    assert row["avg(f1_score)"] == 1.0
+    assert row["avg(edit_distance)"] == 0.0
+
+    pipelines.visualize(spark, dataset, eval_dir, "markdown_text", str(reports))
+    stats = json.loads((reports / "markdown_text_f1_score.json").read_text())
+    assert stats["total"] == 80 and stats["mean"] == 1.0
+    assert (reports / "comparison.html").exists()
+    assert (reports / "markdown_text_bleu.svg").exists()
+
+    ro = spark.read.parquet(f"{eval_dir}/evaluation_reading_order")
+    assert ro.agg({"ard_norm": "avg"}).collect()[0][0] == 1.0

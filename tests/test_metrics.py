@@ -219,3 +219,29 @@ def test_greedy_matching_quirk_weights():
     assert res["average_iou"] == pytest.approx(0.8)
     assert res["matched_gt"] == 1
     assert res["unmatched_gt"] == 0
+
+
+def test_porter_stemmer_published_cases():
+    from docling_eval_spark.evaluators.porter import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "motoring": "motor",
+        "conflated": "conflat", "hopping": "hop", "happy": "happi",
+        "relational": "relat", "vietnamization": "vietnam",
+        "decisiveness": "decis", "triplicate": "triplic",
+        "electrical": "electr", "adjustment": "adjust",
+        "adoption": "adopt", "activate": "activ", "rate": "rate",
+        "controll": "control", "roll": "roll",
+    }
+    for w, expected in cases.items():
+        assert porter_stem(w) == expected, w
+
+
+def test_meteor_stem_alignment():
+    # morphological variants align via the stem stage
+    score = meteor_exact(
+        "the cats were running quickly", "the cat was run quick"
+    )
+    assert score > 0.5
+    # without stem matches this pair would only align 'the'
+    assert meteor_exact("cats running", "zebra xylophone") == 0.0
