@@ -1051,7 +1051,11 @@ def _q_bbox_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    # single-file table → 1 scan partition; spread the CPU-heavy
+    # shingling across cores first (tiny shuffle)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     dup = d.select("doc_id", "text").unionByName(
         d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
