@@ -964,7 +964,7 @@ def _q_otsl_roundtrip_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse back → TEDS vs original (expect 1.0 everywhere)."""
     from docling_eval_spark.datagen.pages import pages_dataframe
     from docling_eval_spark.evaluators.teds import teds_stage
-    from docling_eval_spark.extraction.otsl import grid_to_otsl, otsl_parse_stage, parse_otsl  # noqa: F401
+    from docling_eval_spark.extraction.otsl import grid_to_otsl, otsl_parse_stage
     from docling_eval_spark.extraction.stage import extract_stage
 
     import pandas as pd

@@ -22,8 +22,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-import pyspark.sql.functions as F  # noqa: E402
-
 import __spark_entry__ as entrymod  # noqa: E402
 from docling_eval_spark.session import get_spark  # noqa: E402
 

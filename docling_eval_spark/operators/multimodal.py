@@ -22,7 +22,6 @@ import struct as _struct
 from collections.abc import Iterator
 
 import pandas as pd
-import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 

@@ -69,8 +69,6 @@ def windowed_match_rate(
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
     # GT columns ride through the extraction kernel (no stream-stream
     # self-join needed — a narrow map keeps the plan append-only)
-    import pandas as pd  # local: only the closure ships to executors
-
     from docling_eval_spark.extraction.kernel import extract_text as _xt
 
     def kernel(batches):
