@@ -148,9 +148,21 @@ def evaluate_reading_order(ds: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.expr(
             "transform(array_sort(transform(items, (it, i) -> struct(it.charspan[0] as s, i as idx))), x -> x.idx)"
         ).alias("pred_order"),
+        # bbox areas for the weighted variant (MiniPDF docs carry
+        # layout boxes 1:1 with items; HTML docs get unit weights)
+        F.when(
+            F.size("layout") == F.size("items"),
+            F.expr("transform(layout, b -> (b.r - b.l) * (b.b - b.t))"),
+        )
+        .otherwise(F.expr("transform(items, it -> 1.0D)"))
+        .alias("areas"),
     ).filter(F.size("pred_order") > 0)
-    per_doc = ard_stage(with_order, "pred_order", areas_col=None)
-    stats = compute_stats(per_doc, "ard_norm")
+    per_doc = ard_stage(with_order, "pred_order", areas_col="areas")
+    stats = compute_stats(per_doc, "ard_norm").withColumn(
+        "metric", F.lit("ard_norm")
+    ).unionByName(
+        compute_stats(per_doc, "w_ard_norm").withColumn("metric", F.lit("w_ard_norm"))
+    )
     return per_doc, stats
 
 
@@ -205,7 +217,7 @@ def visualize(
         "markdown_text": METRIC_COLS,
         "table_structure": ["teds", "teds_struct"],
         "layout": ["map_val", "map_50", "map_75"],
-        "reading_order": ["ard_norm"],
+        "reading_order": ["ard_norm", "w_ard_norm"],
         "bbox_text": METRIC_COLS,
     }[modality]
     for c in value_cols:

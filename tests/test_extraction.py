@@ -122,3 +122,34 @@ def test_spark_parallelism_invariance(spark):
     ha = sorted(r["text_md5"] for r in a.select("text_md5").collect())
     hb = sorted(r["text_md5"] for r in b.select("text_md5").collect())
     assert ha == hb
+
+
+@pytest.mark.spark
+def test_salted_repartition_evens_skew(spark):
+    """Zipf-host corpus: round-robin salting spreads rows evenly for
+    stateless map stages (SURVEY §7 skew risk)."""
+    from docling_eval_spark.extraction.stage import salted_repartition
+
+    pages = pages_dataframe(spark, 400, partitions=4)
+    # adversarial layout: partition by host — Zipf host0 dominates
+    skewed = pages.repartition(8, F.substring_index(F.col("url"), "/", 3))
+    import pyspark.sql.functions as SF
+
+    def spread(df, n_parts=8):
+        counts = (
+            df.withColumn("pid", SF.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        sizes = [r["count"] for r in counts]
+        # empty partitions produce no group — normalize by true count
+        return max(sizes) / (sum(sizes) / n_parts)
+
+    assert spread(skewed) > 1.5  # genuinely skewed
+    balanced = salted_repartition(skewed, 8)
+    assert spread(balanced) < 1.2  # near-uniform
+    # and extraction results are unaffected by the spread
+    a = sorted(r["text_md5"] for r in extract_stage(balanced).select("text_md5").collect())
+    b = sorted(r["text_md5"] for r in extract_stage(pages).select("text_md5").collect())
+    assert a == b
