@@ -22,10 +22,40 @@ records the weaker rows-only check for those.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+# make the package importable regardless of the caller's CWD
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship docling_eval_spark to executor Python workers.
+
+    A driver started outside /root/repo imports this module fine (the
+    sys.path insert above), but executor workers unpickle kernel
+    closures in their own interpreters — without the package on THEIR
+    path, every mapInPandas fails with ModuleNotFoundError. addPyFile
+    distributes a zip of the package to all workers once per session.
+    """
+    if getattr(spark, "_des_pkg_added", False):
+        return
+    import shutil
+    import tempfile
+
+    zdir = Path(tempfile.gettempdir()) / "docling_eval_spark_pkg"
+    zdir.mkdir(exist_ok=True)
+    zpath = shutil.make_archive(
+        str(zdir / "docling_eval_spark"), "zip",
+        root_dir=str(_REPO), base_dir="docling_eval_spark",
+    )
+    spark.sparkContext.addPyFile(zpath)
+    spark._des_pkg_added = True  # type: ignore[attr-defined]
 
 N_BINS = 20
 
@@ -1133,46 +1163,59 @@ def _q_teds_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: render documents → full extraction kernel → per-lang
     byte-identity match rollup on sf0.001."""
+    _ensure_pkg(spark)
     return _q_extract_match_stats(spark, "/root/testdata/sf0.001")
+
+
+def _with_pkg(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "pricing_summary": _q_pricing_summary,
-        "stats_discount": _q_stats_discount,
-        "event_type_counts": _q_event_type_counts,
-        "delta_histogram": _q_delta_histogram,
-        "histogram_cumsum": _q_histogram_cumsum,
-        "topk_orders": _q_topk_orders,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "customers_without_orders": _q_customers_without_orders,
-        "nations_with_suppliers": _q_nations_with_suppliers,
-        "deterministic_sample": _q_deterministic_sample,
-        "shard_buckets": _q_shard_buckets,
-        "union_segments": _q_union_segments,
-        "doc_digests": _q_doc_digests,
-        "regex_clean": _q_regex_clean,
-        "char_edit_distance": _q_char_edit_distance,
-        "token_set_metrics": _q_token_set_metrics,
-        "reading_order_ard": _q_reading_order_ard,
-        "iou_boxes": _q_iou_boxes,
-        "token_counts": _q_token_counts,
-        "quality_by_source": _q_quality_by_source,
-        "lang_id": _q_lang_id,
-        "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "fingerprint": _q_fingerprint,
-        "cosine_topk": _q_cosine_topk,
-        "point_in_box": _q_point_in_box,
-        "kv_link_metrics": _q_kv_link_metrics,
-        "extract_md5": _q_extract_md5,
-        "extract_match_stats": _q_extract_match_stats,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "bbox_text_metrics": _q_bbox_text_metrics,
-        "otsl_roundtrip_teds": _q_otsl_roundtrip_teds,
-        "corpus_map": _q_corpus_map,
-        "teds_identity": _q_teds_identity,
+        "pricing_summary": _with_pkg(_q_pricing_summary),
+        "stats_discount": _with_pkg(_q_stats_discount),
+        "event_type_counts": _with_pkg(_q_event_type_counts),
+        "delta_histogram": _with_pkg(_q_delta_histogram),
+        "histogram_cumsum": _with_pkg(_q_histogram_cumsum),
+        "topk_orders": _with_pkg(_q_topk_orders),
+        "revenue_by_nation": _with_pkg(_q_revenue_by_nation),
+        "customers_without_orders": _with_pkg(_q_customers_without_orders),
+        "nations_with_suppliers": _with_pkg(_q_nations_with_suppliers),
+        "deterministic_sample": _with_pkg(_q_deterministic_sample),
+        "shard_buckets": _with_pkg(_q_shard_buckets),
+        "union_segments": _with_pkg(_q_union_segments),
+        "doc_digests": _with_pkg(_q_doc_digests),
+        "regex_clean": _with_pkg(_q_regex_clean),
+        "char_edit_distance": _with_pkg(_q_char_edit_distance),
+        "token_set_metrics": _with_pkg(_q_token_set_metrics),
+        "reading_order_ard": _with_pkg(_q_reading_order_ard),
+        "iou_boxes": _with_pkg(_q_iou_boxes),
+        "token_counts": _with_pkg(_q_token_counts),
+        "quality_by_source": _with_pkg(_q_quality_by_source),
+        "lang_id": _with_pkg(_q_lang_id),
+        "exact_dedup": _with_pkg(_q_exact_dedup),
+        "ngram_jaccard": _with_pkg(_q_ngram_jaccard),
+        "fingerprint": _with_pkg(_q_fingerprint),
+        "cosine_topk": _with_pkg(_q_cosine_topk),
+        "point_in_box": _with_pkg(_q_point_in_box),
+        "kv_link_metrics": _with_pkg(_q_kv_link_metrics),
+        "extract_md5": _with_pkg(_q_extract_md5),
+        "extract_match_stats": _with_pkg(_q_extract_match_stats),
+        "minhash_pairs": _with_pkg(_q_minhash_pairs),
+        "simhash": _with_pkg(_q_simhash),
+        "bbox_text_metrics": _with_pkg(_q_bbox_text_metrics),
+        "otsl_roundtrip_teds": _with_pkg(_q_otsl_roundtrip_teds),
+        "corpus_map": _with_pkg(_q_corpus_map),
+        "teds_identity": _with_pkg(_q_teds_identity),
     }
 
 
