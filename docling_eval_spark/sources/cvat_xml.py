@@ -1,0 +1,111 @@
+"""CVAT-style annotation XML → boxes DataFrame (SURVEY S7).
+
+The reference parses CVAT annotation XML with xmltodict
+(`cvat_annotation/create.py:834-839`) into per-image box/polyline
+dicts. Spark-first shape: read whole XML files with the binaryFile
+source (one row per annotation file — these are small sidecar files,
+not the data plane), parse with stdlib ElementTree inside an
+Arrow-batched kernel, explode to one row per box.
+
+Output: (file, image_name, page_width, page_height, label, box_id,
+l, t, r, b) — joins directly against the spatial operators
+(operators/spatial.py) for the point-in-box / IoU recovery flows the
+reference builds on CVAT data (J6/J7).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+CVAT_BOX_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("image_name", T.StringType()),
+        T.StructField("page_width", T.DoubleType()),
+        T.StructField("page_height", T.DoubleType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("box_id", T.IntegerType()),
+        T.StructField("l", T.DoubleType()),
+        T.StructField("t", T.DoubleType()),
+        T.StructField("r", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),
+    ]
+)
+
+
+def parse_cvat_xml(data: bytes, file: str = "") -> list[dict]:
+    """One annotation XML → box rows (pure function; malformed files
+    yield an empty list rather than raising — sidecar hygiene)."""
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError:
+        return []
+    rows: list[dict] = []
+    for image in root.iter("image"):
+        name = image.get("name", "")
+        w = float(image.get("width", 0) or 0)
+        h = float(image.get("height", 0) or 0)
+        box_id = 0
+        for box in image.iter("box"):
+            rows.append(
+                {
+                    "file": file,
+                    "image_name": name,
+                    "page_width": w,
+                    "page_height": h,
+                    "label": box.get("label", ""),
+                    "box_id": box_id,
+                    "l": float(box.get("xtl", 0) or 0),
+                    "t": float(box.get("ytl", 0) or 0),
+                    "r": float(box.get("xbr", 0) or 0),
+                    "b": float(box.get("ybr", 0) or 0),
+                }
+            )
+            box_id += 1
+        # polylines → their bounding box (the reference walks polyline
+        # points into enclosing boxes; the bbox is what J6 consumes)
+        for poly in image.iter("polyline"):
+            pts = [
+                tuple(float(c) for c in p.split(","))
+                for p in (poly.get("points", "") or "").split(";")
+                if "," in p
+            ]
+            if not pts:
+                continue
+            xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+            rows.append(
+                {
+                    "file": file,
+                    "image_name": name,
+                    "page_width": w,
+                    "page_height": h,
+                    "label": poly.get("label", ""),
+                    "box_id": box_id,
+                    "l": min(xs),
+                    "t": min(ys),
+                    "r": max(xs),
+                    "b": max(ys),
+                }
+            )
+            box_id += 1
+    return rows
+
+
+def read_cvat_annotations(spark: SparkSession, glob: str) -> DataFrame:
+    """Glob of CVAT XML files → box rows."""
+    files = spark.read.format("binaryFile").load(glob).select("path", "content")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CVAT_BOX_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_cvat_xml(bytes(content), file=path))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(kernel, schema=CVAT_BOX_SCHEMA)

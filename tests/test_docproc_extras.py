@@ -251,3 +251,43 @@ def test_kv_link_metrics(spark):
     assert got["d1"]["n_inter"] == 1
     assert got["d1"]["precision"] == 0.5 and got["d1"]["recall"] == 0.5
     assert got["d2"]["f1"] == 0.0
+
+
+# ------------------------------------------------------------- cvat xml
+
+
+def test_cvat_xml_source(spark, tmp_path):
+    from docling_eval_spark.sources.cvat_xml import read_cvat_annotations
+
+    xml = """<?xml version="1.0"?>
+<annotations>
+  <image id="0" name="page_1.png" width="612" height="792">
+    <box label="table" xtl="10.5" ytl="20" xbr="100" ybr="200"/>
+    <box label="text" xtl="5" ytl="210" xbr="300" ybr="260"/>
+    <polyline label="reading_order" points="10,10;50,40;90,20"/>
+  </image>
+  <image id="1" name="page_2.png" width="612" height="792"/>
+</annotations>"""
+    (tmp_path / "ann1.xml").write_text(xml)
+    (tmp_path / "bad.xml").write_text("<not-closed")
+    df = read_cvat_annotations(spark, str(tmp_path / "*.xml"))
+    rows = df.collect()
+    assert len(rows) == 3  # 2 boxes + 1 polyline bbox; bad file → 0
+    by_label = {r["label"]: r for r in rows}
+    assert by_label["table"]["l"] == 10.5
+    assert by_label["reading_order"]["l"] == 10.0
+    assert by_label["reading_order"]["r"] == 90.0
+    assert all(r["image_name"] == "page_1.png" for r in rows)
+
+    # plugs into the spatial join (J6) directly
+    from docling_eval_spark.operators.spatial import point_in_box_join
+    import pyspark.sql.functions as SF
+
+    boxes = df.select(
+        SF.lit(1).alias("page_no"), "box_id", "l", "t", "r", "b"
+    )
+    points = spark.createDataFrame(
+        [(1, 0, 50.0, 100.0)], "page_no int, point_id long, x double, y double"
+    )
+    got = point_in_box_join(points, boxes).collect()
+    assert got[0]["box_id"] == 0  # inside the table box
