@@ -95,7 +95,12 @@ def _add_charspans(items: list[dict[str, Any]]) -> None:
 
 
 def _extract_pdf(data: bytes) -> dict[str, Any]:
-    pages, blocks = parse_minipdf(data)
+    if data.startswith(PDF_MINI_MAGIC):
+        pages, blocks = parse_minipdf(data)
+    else:
+        from docling_eval_spark.extraction.pdf_real import parse_pdf
+
+        pages, blocks = parse_pdf(data)
     width = pages[0][1] if pages else 612.0
     ordered = reading_order(blocks, page_width=width)
     items = []

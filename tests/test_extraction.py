@@ -63,9 +63,10 @@ def test_minipdf_reading_order():
 
 
 def test_failure_rows_not_exceptions():
+    # a PDF magic with no page objects → failure row, not a crash
     doc = extract_document(b"%PDF-1.7 real pdf")
     assert doc["status"] == "FAILURE"
-    assert "NotImplementedError" in doc["error"]
+    assert "ValueError" in doc["error"]
     assert extract_document(b"\x00\xff\x9c")["status"] == "SUCCESS"
 
 

@@ -1,0 +1,115 @@
+"""Real-PDF content-stream extraction on spec-compliant fixtures
+(built by a minimal from-scratch PDF writer — no PDF libs in the
+container, so fixtures are generated from the public file format)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from docling_eval_spark.extraction.kernel import extract_document, extract_text
+from docling_eval_spark.extraction.pdf_real import parse_pdf
+
+
+def make_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
+    """Minimal valid PDF: catalog → pages → page+content per stream."""
+    objs: list[bytes] = []
+    n_pages = len(page_streams)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, cs in enumerate(page_streams):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R /Resources << /Font << /F1 "
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"
+            ).encode()
+        )
+        body = zlib.compress(cs) if compress else cs
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(
+            b"<< "
+            + filt
+            + f"/Length {len(body)} >>\nstream\n".encode()
+            + body
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+SIMPLE_CS = (
+    b"BT /F1 12 Tf 72 720 Td (Hello real PDF world) Tj ET\n"
+    b"BT /F1 12 Tf 72 680 Td (Second paragraph with) Tj 0 -14 Td "
+    b"(a continued line) Tj ET"
+)
+
+
+def test_uncompressed_pdf_text():
+    pdf = make_pdf([SIMPLE_CS])
+    pages, blocks = parse_pdf(pdf)
+    assert pages == [(1, 612.0, 792.0)]
+    texts = [b.text for b in blocks]
+    assert texts[0] == "Hello real PDF world"
+    assert "Second paragraph with" in texts[1]
+    assert "a continued line" in texts[1]
+    # geometry: first block near y=720 from top-left → t = 792-732=60
+    assert blocks[0].t == pytest.approx(792 - 720 - 12)
+    assert blocks[0].l == 72.0
+
+
+def test_flate_and_multipage_and_kernel_route():
+    cs2 = b"BT /F1 10 Tf 100 700 Td (Page two content) Tj ET"
+    pdf = make_pdf([SIMPLE_CS, cs2], compress=True)
+    doc = extract_document(pdf)
+    assert doc["status"] == "SUCCESS"
+    assert doc["mimetype"] == "application/pdf"
+    assert len(doc["pages"]) == 2
+    assert "Hello real PDF world" in doc["text"]
+    assert "Page two content" in doc["text"]
+    # reading order: page 1 blocks before page 2
+    assert doc["text"].index("Hello") < doc["text"].index("Page two")
+
+
+def test_string_escapes_hex_and_tj_array():
+    cs = (
+        rb"BT /F1 12 Tf 72 700 Td (Escaped \(parens\) and \\ back\051) Tj ET"
+        b"\nBT /F1 12 Tf 72 650 Td <48656C6C6F> Tj ET"
+        b"\nBT /F1 12 Tf 72 600 Td [(A) -120 (B) -120 (C)] TJ ET"
+    )
+    pdf = make_pdf([cs])
+    _, blocks = parse_pdf(pdf)
+    texts = [b.text for b in blocks]
+    assert texts[0] == "Escaped (parens) and \\ back)"
+    assert texts[1] == "Hello"
+    assert texts[2] == "ABC"
+
+
+def test_degradation_paths():
+    # garbage with a PDF magic but no page objects → FAILURE row
+    doc = extract_document(b"%PDF-1.7 not really a pdf")
+    assert doc["status"] == "FAILURE"
+    assert "ValueError" in doc["error"]
+    # encrypted marker → clearly-marked unsupported
+    enc = make_pdf([SIMPLE_CS])[:-6] + b"/Encrypt 9 0 R\n%%EOF"
+    assert extract_document(enc)["status"] == "FAILURE"
+    # corrupt Flate stream degrades to empty text, not a crash
+    pdf = make_pdf([SIMPLE_CS], compress=True).replace(b"stream\nx", b"stream\nZZ", 1)
+    assert extract_text(pdf) == ""

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+ANY input, not just the synthetic corpus."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_eval_spark.evaluators.reading_order import ard_norm_py
+from docling_eval_spark.evaluators.teds import is_complex_grid, teds_score
+from docling_eval_spark.evaluators.text_metrics import (
+    levenshtein,
+    text_metrics,
+    tokenize,
+)
+from docling_eval_spark.extraction.kernel import extract_document
+from docling_eval_spark.extraction.otsl import grid_to_otsl, parse_otsl
+
+TEXT = st.text(max_size=200)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2000))
+def test_extractor_total_on_arbitrary_bytes(data):
+    """The kernel is total: any byte blob → a row, never an exception."""
+    doc = extract_document(data)
+    assert doc["status"] in ("SUCCESS", "FAILURE")
+    assert isinstance(doc["text"], str)
+    # charspans always consistent with the text
+    for it in doc["items"]:
+        s, e = it["charspan"]
+        assert doc["text"][s:e] == it["text"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT, TEXT)
+def test_metric_bounds(a, b):
+    m = text_metrics(a, b)
+    for k, v in m.items():
+        assert 0.0 <= v <= 1.0, (k, v)
+    # symmetry of identity
+    if tokenize(a):
+        assert text_metrics(a, a)["edit_distance"] == 0.0
+        assert text_metrics(a, a)["f1_score"] == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60), st.text(max_size=60), st.text(max_size=60))
+def test_levenshtein_triangle(a, b, c):
+    ab, bc, ac = levenshtein(a, b), levenshtein(b, c), levenshtein(a, c)
+    assert ac <= ab + bc
+    assert ab == levenshtein(b, a)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.permutations(list(range(8))))
+def test_ard_bounds_and_identity(perm):
+    ard, _ = ard_norm_py(list(perm))
+    assert 0.0 <= ard <= 1.0
+    if list(perm) == sorted(perm):
+        assert ard == 1.0
+
+
+def _grid_strategy():
+    @st.composite
+    def grids(draw):
+        nrows = draw(st.integers(1, 4))
+        ncols = draw(st.integers(1, 4))
+        occupied = [[False] * ncols for _ in range(nrows)]
+        cells = []
+        for r in range(nrows):
+            c = 0
+            while c < ncols:
+                if occupied[r][c]:
+                    c += 1
+                    continue
+                max_cs = 1
+                while c + max_cs < ncols and not occupied[r][c + max_cs]:
+                    max_cs += 1
+                cs = draw(st.integers(1, max_cs))
+                rs = draw(st.integers(1, nrows - r))
+                text = draw(st.text(alphabet="abcxyz ", max_size=6))
+                cells.append(
+                    dict(
+                        text=text.strip(),
+                        row_span=rs,
+                        col_span=cs,
+                        start_row_offset_idx=r,
+                        end_row_offset_idx=r + rs,
+                        start_col_offset_idx=c,
+                        end_col_offset_idx=c + cs,
+                        col_header=r == 0 and draw(st.booleans()),
+                        row_header=False,
+                    )
+                )
+                for rr in range(r, r + rs):
+                    for cc in range(c, c + cs):
+                        occupied[rr][cc] = True
+                c += cs
+        return dict(num_rows=nrows, num_cols=ncols, cells=cells)
+
+    return grids()
+
+
+@settings(max_examples=80, deadline=None)
+@given(_grid_strategy())
+def test_teds_identity_and_otsl_roundtrip(grid):
+    assert teds_score(grid, grid) == 1.0
+    g2 = parse_otsl(grid_to_otsl(grid))
+    assert teds_score(grid, g2) == 1.0
+    assert is_complex_grid(grid) == is_complex_grid(g2)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_grid_strategy(), _grid_strategy())
+def test_teds_bounds_and_symmetric_distance(g1, g2):
+    t = teds_score(g1, g2)
+    assert 0.0 <= t <= 1.0
+    # tree edit distance is symmetric → TEDS is symmetric
+    assert t == teds_score(g2, g1)
