@@ -214,6 +214,22 @@ def _gen_minipdf_page(rng: random.Random, doc_id: int) -> tuple[bytes, str]:
     return data, text
 
 
+def _gen_realpdf_page(rng: random.Random) -> tuple[bytes, str]:
+    """Real PDF bytes (see extraction/pdf_write.py); GT = paragraphs in
+    written (top-down) order, matching the content-stream parser +
+    XY-cut linearization."""
+    from docling_eval_spark.extraction.pdf_write import simple_pdf
+
+    n_pages = rng.randint(1, 2)
+    pages = [
+        [_words(rng, rng.randint(6, 14)) for _ in range(rng.randint(2, 5))]
+        for _ in range(n_pages)
+    ]
+    data = simple_pdf(pages, compress=rng.random() < 0.5)
+    text = BLOCK_SEP.join(normalize_ws(p) for pg in pages for p in pg)
+    return data, text
+
+
 def gen_page(i: int, seed: int = 42) -> dict[str, Any]:
     """Pure function of (seed, i) → one pages-table row (+ table specs)."""
     rng = random.Random((seed << 32) ^ i)
@@ -223,6 +239,9 @@ def gen_page(i: int, seed: int = 42) -> dict[str, Any]:
     if i % 10 == 7:
         data, text = _gen_minipdf_page(rng, i)
         tables: list[dict] = []
+    elif i % 10 == 3:
+        data, text = _gen_realpdf_page(rng)
+        tables = []
     else:
         data, text, tables = _gen_html_page(rng, i)
     return {

@@ -101,12 +101,27 @@ def _objects(data: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
 
 
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+
+
 def _stream_of(obj: bytes) -> bytes | None:
-    m = _STREAM_RE.search(obj)
-    if not m:
+    sm = _STREAM_START_RE.search(obj)
+    if not sm:
         return None
-    raw = m.group(1)
-    if b"/FlateDecode" in obj[: m.start()]:
+    lm = _LENGTH_RE.search(obj[: sm.start()])
+    if lm:
+        # slice by declared /Length — binary stream data may itself end
+        # in \r or contain endstream-like bytes, which a delimiter
+        # regex would clip (observed: zlib output ending in 0x0D lost
+        # its last byte to the optional \r before \nendstream)
+        raw = obj[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM_RE.search(obj)
+        if not m:
+            return None
+        raw = m.group(1)
+    if b"/FlateDecode" in obj[: sm.start()]:
         try:
             return zlib.decompress(raw)
         except zlib.error:

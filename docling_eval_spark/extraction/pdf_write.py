@@ -1,0 +1,77 @@
+"""Minimal PDF 1.4 writer (fixture/datagen side of pdf_real.py).
+
+Writes spec-compliant single-font PDFs — catalog/pages/page objects,
+optional FlateDecode content streams, valid xref + trailer — so the
+synthetic corpus can carry REAL PDF bytes whose ground-truth text is
+known by construction. Each paragraph is one BT…ET block at a
+descending y position, so extraction (parse → XY-cut order) recovers
+``"\\n\\n".join(paragraphs)`` byte-identically.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def paragraphs_to_stream(paragraphs: list[str], font_size: int = 12) -> bytes:
+    """One BT/ET block per paragraph, top-down placement."""
+    y = 720
+    parts = []
+    for p in paragraphs:
+        parts.append(
+            f"BT /F1 {font_size} Tf 72 {y} Td ({_escape(p)}) Tj ET"
+        )
+        y -= 40
+    return "\n".join(parts).encode("latin-1", errors="replace")
+
+
+def write_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
+    """Content streams (one per page) → complete PDF bytes."""
+    objs: list[bytes] = []
+    n_pages = len(page_streams)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, cs in enumerate(page_streams):
+        content_num = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R /Resources << /Font << /F1 "
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"
+            ).encode()
+        )
+        body = zlib.compress(cs) if compress else cs
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(
+            b"<< "
+            + filt
+            + f"/Length {len(body)} >>\nstream\n".encode()
+            + body
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def simple_pdf(paragraph_pages: list[list[str]], compress: bool = False) -> bytes:
+    """[[page1 paragraphs], [page2 …]] → PDF bytes."""
+    return write_pdf(
+        [paragraphs_to_stream(p) for p in paragraph_pages], compress=compress
+    )
