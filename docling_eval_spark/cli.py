@@ -33,6 +33,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True)
     c.add_argument("--buckets", type=int, default=16)
     c.add_argument("--records-per-shard", type=int, default=1000)
+    c.add_argument("--perturb", type=float, default=None,
+                   help="seeded noise level for prediction columns "
+                        "(the K10 model slot); omit for identity")
 
     e = sub.add_parser("evaluate", help="dataset → metric rows + stats")
     e.add_argument("--dataset", required=True)
@@ -62,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
             pipelines.create_dataset(
                 spark, pages_path, args.output,
                 buckets=args.buckets, records_per_shard=args.records_per_shard,
+                perturb=args.perturb,
             )
             n = spark.read.parquet(args.output).count()
             print(f"dataset written: {args.output} ({n} documents)")

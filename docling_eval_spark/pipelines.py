@@ -48,14 +48,22 @@ def create_dataset(
     output_dir: str,
     buckets: int | None = 16,
     records_per_shard: int = 1000,
+    perturb: float | None = None,
 ) -> None:
     """pages (url, warc_ts, html, text, lang) → benchmark dataset.
 
     One narrow extraction map + one equi-join with the GT columns;
     output sharded like the reference's SHARD_SIZE=1000 writer
-    (`benchmarks/utils.py:377-403`)."""
+    (`benchmarks/utils.py:377-403`). ``perturb`` plugs the K10 model
+    slot: a seeded noise stage produces pred_text/pred_tables/
+    pred_layout prediction columns so evaluators measure a non-trivial
+    model instead of identity."""
     pages = read_pages(spark, pages_path)
     ex = extract_stage(pages)
+    if perturb is not None:
+        from docling_eval_spark.extraction.perturb import perturb_stage
+
+        ex = perturb_stage(ex, p=perturb)
     dataset = ex.join(
         pages.select("url", F.col("text").alias("gt_text"), "lang", "warc_ts"),
         "url",
@@ -79,10 +87,11 @@ def evaluate_markdown_text(ds: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Per-doc text metrics (gt_text vs extracted_text) + stats rows
     (reference markdown_text_evaluator semantics; our extracted text IS
     the markdown body for text-label docs)."""
+    pred_col = "pred_text" if "pred_text" in ds.columns else "extracted_text"
     per_doc = text_metrics_stage(
-        ds.select("url", "gt_text", "extracted_text"),
+        ds.select("url", "gt_text", F.col(pred_col).alias("pred")),
         true_col="gt_text",
-        pred_col="extracted_text",
+        pred_col="pred",
     )
     stats = None
     for m in METRIC_COLS:
@@ -92,12 +101,14 @@ def evaluate_markdown_text(ds: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def evaluate_table_structure(
-    ds: DataFrame, gt_tables_col: str = "tables", pred_tables_col: str = "tables"
+    ds: DataFrame, gt_tables_col: str = "tables", pred_tables_col: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """TEDS per table + all/simple/complex stats
     (`table_evaluator.py:150-172`). With a synthetic-identity dataset
     the GT and pred table columns coincide; a model stage (K10 slot)
     would populate a separate pred column."""
+    if pred_tables_col is None:
+        pred_tables_col = "pred_tables" if "pred_tables" in ds.columns else "tables"
     per_table = teds_stage(
         ds.select(
             "url",
@@ -127,9 +138,11 @@ def evaluate_table_structure(
 
 
 def evaluate_layout(
-    ds: DataFrame, gt_col: str = "layout", pred_col: str = "layout"
+    ds: DataFrame, gt_col: str = "layout", pred_col: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Per-image mAP + avg-IoU columns, corpus mAP row."""
+    if pred_col is None:
+        pred_col = "pred_layout" if "pred_layout" in ds.columns else "layout"
     src = ds.select(
         "url", F.col(gt_col).alias("gt_layout"), F.col(pred_col).alias("pred_layout")
     ).filter(F.size("gt_layout") > 0)

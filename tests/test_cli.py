@@ -39,3 +39,37 @@ def test_three_phase_pipeline(spark, tmp_path):
 
     ro = spark.read.parquet(f"{eval_dir}/evaluation_reading_order")
     assert ro.agg({"ard_norm": "avg"}).collect()[0][0] == 1.0
+
+
+def test_perturbed_pipeline_metric_sensitivity(spark, tmp_path):
+    """K10 model slot: seeded noise → metrics drop monotonically with
+    noise level, evaluators prefer pred_* columns."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.extraction.perturb import perturb_stage
+    from docling_eval_spark.datagen.pages import pages_dataframe
+    from docling_eval_spark.extraction.stage import extract_stage
+
+    ex = extract_stage(pages_dataframe(spark, 80, partitions=4)).cache()
+
+    def f1_at(p):
+        ds = perturb_stage(ex, p=p).join(
+            pages_dataframe(spark, 80, partitions=4).select(
+                "url", F.col("text").alias("gt_text")
+            ),
+            "url",
+        )
+        per_doc, _ = pipelines.evaluate_markdown_text(ds)
+        return per_doc.agg(F.avg("f1_score")).collect()[0][0]
+
+    f_low, f_high = f1_at(0.05), f1_at(0.5)
+    assert f_high < f_low < 1.0
+
+    # layout: jittered boxes score below identity, deterministic
+    ds = perturb_stage(ex, p=0.3)
+    per_image, _ = pipelines.evaluate_layout(ds)
+    m = per_image.agg(F.avg("map_75").alias("m")).collect()[0]["m"]
+    assert 0.0 <= m < 1.0
+    per_image2, _ = pipelines.evaluate_layout(perturb_stage(ex, p=0.3))
+    m2 = per_image2.agg(F.avg("map_75").alias("m")).collect()[0]["m"]
+    assert m == m2  # seeded determinism
