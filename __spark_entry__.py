@@ -1157,6 +1157,123 @@ def _q_teds_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twins of the portable-hash dedup family. The shingle/token
+# hashes are polynomial mod 2^31-1 over code points — identical integer
+# sequences in both engines (same trick as _SQL_FINGERPRINT), so the
+# whole MinHash→LSH→verify and SimHash pipelines are value-exact.
+
+_POLY_P = 2147483647
+_POLY_B1 = 1000003
+_POLY_B2 = 1000033
+
+
+def _sql_minhash_pairs() -> str:
+    """Oracle for _q_minhash_pairs: same coefficients (seed 1), same
+    banding (30 perms / 6 bands), same 0.5 estimate prefilter and 0.7
+    exact-Jaccard threshold, same ≤1000 bucket cap."""
+    from docling_eval_spark.operators.dedup import _perm_coeffs
+
+    mins = ",\n      ".join(
+        f"coalesce(list_min(list_transform(sh, x -> ((x * {a}) % {_POLY_P} + {b}) % {_POLY_P})), {_POLY_P})"
+        for a, b in _perm_coeffs(30, seed=1)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+),
+dup AS (
+  SELECT id, t FROM norm UNION ALL SELECT id + 100000 AS id, t FROM norm
+),
+codes AS (
+  SELECT id,
+    CASE WHEN length(t) = 0 THEN CAST([] AS BIGINT[]) ELSE
+      list_distinct(list_transform(
+        range(1, CASE WHEN length(t) >= 5 THEN length(t) - 3 ELSE 2 END),
+        i -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(i, least(i + 4, length(t)) + 1),
+                                j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+               (acc, x) -> (acc * {_POLY_B1} + x) % {_POLY_P})))
+    END AS sh
+  FROM dup
+),
+sigs AS (
+  SELECT id, [
+      {mins}
+  ] AS sig
+  FROM codes
+),
+bands AS (
+  SELECT id, b.b AS band,
+         md5(array_to_string(list_slice(sig, b.b * 5 + 1, b.b * 5 + 5), ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 6)) AS b) b
+),
+bucket_sizes AS (
+  SELECT band, band_hash, count(*) AS n FROM bands GROUP BY band, band_hash
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_l, r.id AS id_r
+  FROM bands l
+  JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id
+  JOIN bucket_sizes s ON s.band = l.band AND s.band_hash = l.band_hash
+  WHERE s.n <= 1000
+),
+est AS (
+  SELECT c.id_l, c.id_r
+  FROM cand c
+  JOIN sigs sl ON sl.id = c.id_l
+  JOIN sigs sr ON sr.id = c.id_r
+  WHERE len(list_filter(range(1, 31), i -> sl.sig[i] = sr.sig[i])) / 30.0 >= 0.5
+),
+jac AS (
+  SELECT e.id_l, e.id_r,
+         len(list_intersect(cl.sh, cr.sh)) AS inter,
+         len(cl.sh) + len(cr.sh) - len(list_intersect(cl.sh, cr.sh)) AS un
+  FROM est e
+  JOIN codes cl ON cl.id = e.id_l
+  JOIN codes cr ON cr.id = e.id_r
+)
+SELECT id_l, id_r,
+       round(inter * 1.0 / un, 6) AS jaccard
+FROM jac
+WHERE un > 0 AND inter * 1.0 / un >= 0.7
+"""
+
+
+_SQL_SIMHASH = rf"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+),
+toks AS (
+  SELECT id, list_filter(string_split(t, ' '), x -> x <> '') AS tk FROM norm
+),
+hs AS (
+  SELECT id, list_transform(tk, w ->
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(w) + 1),
+                       j -> CAST(unicode(substring(w, j, 1)) AS BIGINT))),
+        (acc, x) -> (acc * {_POLY_B1} + x) % {_POLY_P})
+    + 2147483648 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(w) + 1),
+                       j -> CAST(unicode(substring(w, j, 1)) AS BIGINT))),
+        (acc, x) -> (acc * {_POLY_B2} + x) % {_POLY_P})
+  ) AS hashes
+  FROM toks
+)
+SELECT id,
+  CASE WHEN len(hashes) = 0 THEN CAST(0 AS BIGINT) ELSE
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 62), b ->
+      CASE WHEN list_sum(list_transform(hashes,
+                   h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+      (a, x) -> a + x)
+  END AS simhash
+FROM hs
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -1250,6 +1367,6 @@ def oracle_sql() -> dict[str, str]:
         "kv_link_metrics": _SQL_KV_LINKS,
         "extract_md5": _SQL_EXTRACT_MD5,
         "extract_match_stats": _SQL_EXTRACT_MATCH,
-        # minhash_pairs / simhash / corpus_map / teds_identity:
-        # intentionally omitted (non-SQL-expressible; rows-only check)
+        "minhash_pairs": _sql_minhash_pairs(),
+        "simhash": _SQL_SIMHASH,
     }

@@ -174,7 +174,17 @@ def is_complex_grid(grid: dict[str, Any]) -> bool:
 def teds_score(
     gt_grid: dict[str, Any], pred_grid: dict[str, Any], structure_only: bool = False
 ) -> float:
-    """TEDS ∈ [0,1], rounded to 3 decimals like the reference."""
+    """TEDS ∈ [0,1], rounded to 3 decimals like the reference.
+
+    Reference quirk + clamp: the reference normalizes by
+    ``max(len(gt.xpath('.//*')), len(pred.xpath('.//*')))`` (reference
+    ``evaluators/teds.py:74-83``) — descendants only, root excluded —
+    while the edit distance includes root-adjacent operations, so
+    ``dist`` can exceed ``n_nodes`` on degenerate shape mismatches
+    (e.g. a 1×3 text grid vs a 2×1 empty grid gives raw −0.25). We keep
+    the reference's normalization for parity on all normal inputs and
+    clamp the result at 0.0 so TEDS is a true [0,1] score.
+    """
     if structure_only:
         gt_grid = _strip_text(gt_grid)
         pred_grid = _strip_text(pred_grid)
@@ -185,7 +195,7 @@ def teds_score(
         return 1.0
     # reference computes APTED(pred, gt); distance is symmetric
     dist = tree_edit_distance(t2, t1)
-    return round(1.0 - dist / n_nodes, 3)
+    return round(max(0.0, 1.0 - dist / n_nodes), 3)
 
 
 def _strip_text(grid: dict[str, Any]) -> dict[str, Any]:

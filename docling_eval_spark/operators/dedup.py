@@ -5,14 +5,17 @@
 - ngram_jaccard      — character n-gram Jaccard similarity between
   candidate pairs (exact set intersection over distinct shingles).
 - minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH:
-  shingle → 64-bit base hash (xxhash64, JVM) → per-permutation affine
-  rehash (a_i·x+b_i mod p) → min per permutation, all inside SQL
-  higher-order functions; bands explode to (band_id, band_hash) keys
-  and candidate pairs come from an equi-self-join on the band key.
+  shingle → polynomial base hash over code points mod 2^31−1 (JVM
+  codegen, and *engine-portable*: the DuckDB oracle recomputes the
+  identical integers) → per-permutation affine rehash (a_i·x+b_i
+  mod p) → min per permutation, all inside SQL higher-order
+  functions; bands explode to (band_id, band_hash) keys and candidate
+  pairs come from an equi-self-join on the band key.
   No cross join ever materializes: complexity is per-bucket.
-- simhash            — 64-bit SimHash from token hashes; token
-  hashing stays JVM-side (xxhash64), the per-bit majority fold is a
-  vectorized pandas UDF over the token-hash array.
+- simhash            — 62-bit SimHash from token hashes; token
+  hashing is a pair of JVM-side polynomial hashes (portable, same
+  reason), the per-bit majority fold is a vectorized pandas UDF over
+  the token-hash array.
 
 Scale notes: every family is shuffle-bounded by its key (digest, band
 key, simhash prefix). Skewed buckets (boilerplate-identical pages)
@@ -35,6 +38,9 @@ from docling_eval_spark.functions import let_col
 _WS = r"[ \t\n\r\f\v]+"
 # 2^31-1: keeps a*x products within a 64-bit long under ANSI mode
 _MERSENNE = (1 << 31) - 1
+# polynomial-hash base (same as text_analysis fingerprints); any engine
+# can reproduce (acc*B + code) % (2^31-1) exactly
+_POLY_BASE = 1_000_003
 
 
 def _norm(text_col: str):
@@ -94,6 +100,46 @@ def char_shingles(text_col: str, k: int = 5) -> F.Column:
     return _shingles_of_norm(_norm(text_col), k)
 
 
+def _shingle_codes_of_norm(norm: F.Column, k: int) -> F.Column:
+    """Distinct k-gram *hash codes* (array<long>, each in [0, 2^31−1)):
+    polynomial hash of each k-char window's code points. Cheaper than
+    materializing substring shingles (int dedup instead of string
+    dedup) and bit-for-bit reproducible in DuckDB (the minhash oracle
+    recomputes these). Same windowing as `_shingles_of_norm`: texts
+    shorter than k hash the whole string (slice clamps at the end)."""
+
+    def over_norm(nrm: F.Column) -> F.Column:
+        n = F.length(nrm)
+        codes = F.transform(F.split(nrm, ""), lambda ch: F.ascii(ch).cast("long"))
+
+        def over_codes(cds: F.Column) -> F.Column:
+            idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+                F.when(n > 0, F.sequence(F.lit(1), F.lit(1))).otherwise(
+                    F.array().cast("array<int>")
+                )
+            )
+            window_hash = lambda i: F.aggregate(  # noqa: E731
+                F.slice(cds, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc * _POLY_BASE + x, F.lit(_MERSENNE)),
+            )
+            return F.array_distinct(F.transform(idxs, window_hash))
+
+        return let_col(codes, over_codes)
+
+    return let_col(norm, over_norm)
+
+
+def shingle_code_table(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(id, shingles: array<long>) hashed-shingle projection."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _shingle_codes_of_norm(_norm(text_col), k).alias("shingles"),
+    )
+
+
 def ngram_jaccard(
     df_pairs: DataFrame,
     left_shingles: str = "shingles_l",
@@ -119,13 +165,12 @@ def _perm_coeffs(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def minhash_signatures_from_shingles(
-    shingle_df: DataFrame, num_perm: int = 30, seed: int = 1
+def minhash_signatures_from_codes(
+    code_df: DataFrame, num_perm: int = 30, seed: int = 1
 ) -> DataFrame:
-    """(id, shingles) → (id, signature array<long>[num_perm]), JVM-side.
-
-    Base shingle code: xxhash64 (signed 64-bit) folded into [0, p) via
-    pmod; permutation i: min over shingles of (a_i·x + b_i) mod p.
+    """(id, shingles: array<long> in [0,p)) → (id, signature
+    array<long>[num_perm]), JVM-side. Permutation i: min over shingle
+    codes of (a_i·x + b_i) mod p; empty shingle set → all-p signature.
 
     Shape matters: ONE ``aggregate`` over the base-hash array whose
     accumulator is the running per-permutation minima (zip_with against
@@ -140,11 +185,8 @@ def minhash_signatures_from_shingles(
             for a, b in _perm_coeffs(num_perm, seed)
         ]
     )
-    base = F.transform(
-        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-    )
     sig = F.aggregate(
-        base,
+        F.col("shingles"),
         F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm),
         lambda acc, x: F.zip_with(
             acc,
@@ -158,7 +200,7 @@ def minhash_signatures_from_shingles(
             ),
         ),
     )
-    return shingle_df.select("id", sig.alias("signature"))
+    return code_df.select("id", sig.alias("signature"))
 
 
 def minhash_signatures(
@@ -169,8 +211,8 @@ def minhash_signatures(
     num_perm: int = 30,
     seed: int = 1,
 ) -> DataFrame:
-    return minhash_signatures_from_shingles(
-        shingle_table(df, id_col, text_col, k), num_perm, seed
+    return minhash_signatures_from_codes(
+        shingle_code_table(df, id_col, text_col, k), num_perm, seed
     )
 
 
@@ -250,7 +292,10 @@ def minhash_dedup_pairs(
     estimate_margin: float = 0.2,
 ) -> DataFrame:
     """End-to-end near-dup pairs: LSH candidates → signature-estimate
-    prefilter → exact shingle Jaccard ≥ threshold.
+    prefilter → exact Jaccard over distinct hashed shingles ≥ threshold
+    (int-array intersection — cheaper than string shingles; the 2^31−1
+    hash space makes collisions negligible, and the DuckDB oracle
+    reproduces the identical hashed sets, so the gate is value-exact).
 
     The prefilter compares the 30-long signatures (matching-minima
     fraction estimates Jaccard) and keeps pairs ≥ threshold −
@@ -262,8 +307,8 @@ def minhash_dedup_pairs(
     two plan branches (at warehouse scale: materialized intermediate
     tables).
     """
-    with_sh = shingle_table(df, id_col, text_col, k).persist()
-    sigs = minhash_signatures_from_shingles(with_sh, num_perm, seed).persist()
+    with_sh = shingle_code_table(df, id_col, text_col, k).persist()
+    sigs = minhash_signatures_from_codes(with_sh, num_perm, seed).persist()
     pairs = minhash_lsh_pairs(sigs, bands)
     est = (
         pairs.join(
@@ -316,18 +361,43 @@ _SIMHASH_SCHEMA = T.StructType(
 )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document.
+_POLY_BASE_2 = 1_000_033  # second independent base for the high bits
 
-    Token hashing is JVM-side (xxhash64 over the whitespace-token
-    array); the per-bit majority vote folds the hash array in a
-    vectorized kernel (numpy bit unpacking), Arrow-batched.
+
+def _token_pair_hash(tok: F.Column) -> F.Column:
+    """h1 + 2^31·h2: two polynomial hashes of the token's code points
+    mod 2^31−1, folded in ONE aggregate (struct accumulator — the char
+    split evaluates once per token, not once per base)."""
+    codes = F.transform(F.split(tok, ""), lambda ch: F.ascii(ch).cast("long"))
+    hs = F.aggregate(
+        codes,
+        F.struct(
+            F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
+        ),
+        lambda acc, x: F.struct(
+            F.pmod(acc["h1"] * _POLY_BASE + x, F.lit(_MERSENNE)).alias("h1"),
+            F.pmod(acc["h2"] * _POLY_BASE_2 + x, F.lit(_MERSENNE)).alias("h2"),
+        ),
+    )
+    # let-bind: hs feeds two terms; unbound it would fold twice per token
+    return let_col(hs, lambda v: v["h1"] + F.lit(1 << 31).cast("long") * v["h2"])
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """62-bit SimHash per document.
+
+    Token hash = h1 + 2^31·h2 with two independent polynomial hashes
+    mod 2^31−1 — JVM-side codegen AND bit-for-bit reproducible in the
+    DuckDB oracle (xxhash64 would be Spark-only). Bits 62-63 are always
+    0, so the value is a non-negative long. The per-bit majority vote
+    folds the hash array in a vectorized kernel (numpy bit unpacking),
+    Arrow-batched.
     """
     tok_hashes = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.transform(
             F.filter(F.split(_norm(text_col), " "), lambda x: x != ""),
-            lambda x: F.xxhash64(x),
+            _token_pair_hash,
         ).alias("hashes"),
     )
 
@@ -357,20 +427,27 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation: split the 64-bit hash into (max_hamming+1)
-    16-bit blocks — two hashes within distance d must agree exactly on
-    at least one block (pigeonhole) — equi-join per block, verify
-    with bit_count(xor)."""
-    blocks = 4
+    disjoint balanced blocks — two hashes within distance ≤ max_hamming
+    must agree exactly on at least one block (pigeonhole) — equi-join
+    per block, verify with bit_count(xor). Narrower blocks (higher
+    max_hamming) mean more random collisions: the default d=3 gives
+    four 16-bit blocks, the classic web-dedup setting."""
+    blocks = max_hamming + 1
+    if not 1 <= blocks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    base_w, extra = divmod(64, blocks)
+    widths = [base_w + 1] * extra + [base_w] * (blocks - extra)
+    offsets = [sum(widths[:i]) for i in range(blocks)]
     exploded = sim_df.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(
-                        F.lit(0xFFFF)
+                    F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                        F.lit((1 << w) - 1)
                     )
-                    for b in range(blocks)
+                    for off, w in zip(offsets, widths)
                 ]
             )
         ).alias("block", "block_val"),

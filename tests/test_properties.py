@@ -114,7 +114,33 @@ def test_teds_identity_and_otsl_roundtrip(grid):
 @settings(max_examples=80, deadline=None)
 @given(_grid_strategy(), _grid_strategy())
 def test_teds_bounds_and_symmetric_distance(g1, g2):
+    # teds_score clamps at 0.0: the reference's normalization excludes
+    # the root node (xpath('.//*')), so the raw ratio can dip below 0
+    # on degenerate shape mismatches; the clamp keeps TEDS in [0,1].
     t = teds_score(g1, g2)
     assert 0.0 <= t <= 1.0
     # tree edit distance is symmetric → TEDS is symmetric
     assert t == teds_score(g2, g1)
+
+
+def test_teds_clamp_hand_case():
+    """1×3 text grid vs 2×1 empty grid: raw score is −0.25 (dist=5 over
+    n_nodes=4, root excluded per the reference quirk) → clamped to 0.0."""
+
+    def _cell(r, c, text):
+        return dict(
+            text=text,
+            row_span=1,
+            col_span=1,
+            start_row_offset_idx=r,
+            end_row_offset_idx=r + 1,
+            start_col_offset_idx=c,
+            end_col_offset_idx=c + 1,
+            col_header=False,
+            row_header=False,
+        )
+
+    g1 = dict(num_rows=1, num_cols=3, cells=[_cell(0, c, "x") for c in range(3)])
+    g2 = dict(num_rows=2, num_cols=1, cells=[_cell(r, 0, "") for r in range(2)])
+    assert teds_score(g1, g2) == 0.0
+    assert teds_score(g2, g1) == 0.0
