@@ -15,9 +15,10 @@ make value-hashes comparable across engines:
 - DuckDB ``regexp_replace`` gets the ``'g'`` flag to match Spark's
   replace-all semantics.
 
-Queries with no SQL-expressible oracle (xxhash64-based minhash/simhash,
-APTED TEDS, corpus mAP) are listed in ``queries()`` only — the driver
-records the weaker rows-only check for those.
+Every query has a DuckDB oracle: the dedup family uses engine-portable
+polynomial hashes, TEDS/OTSL queries run over grids with closed-form
+edit distances, and corpus mAP's PR curves are recomputed relationally
+(window cum-sums + 101-point interpolation as a max-over-recall join).
 """
 
 from __future__ import annotations
@@ -989,92 +990,471 @@ LEFT JOIN inter ON gn.key = inter.key
 # weaker check — SURVEY §4.2 custom algorithms)
 
 
-def _q_otsl_roundtrip_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OTSL parse path (SURVEY K5): extracted grids → OTSL strings →
-    parse back → TEDS vs original (expect 1.0 everywhere)."""
-    from docling_eval_spark.datagen.pages import pages_dataframe
-    from docling_eval_spark.evaluators.teds import teds_stage
-    from docling_eval_spark.extraction.otsl import grid_to_otsl, otsl_parse_stage
-    from docling_eval_spark.extraction.stage import extract_stage
+def _known_grid_df(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Deterministic table grids derived from `events` (url, s, k, gt):
+    shape s = event_id %% 4 — three full unit grids (2x3, 3x5, 4x2) and
+    one 2x2 grid with a col_span=2 cell — so the TEDS / OTSL query
+    oracles can recompute every structural quantity in pure SQL."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < n)
+    sel = ev.select(
+        F.col("event_id").cast("string").alias("url"),
+        (F.col("event_id") % 4).cast("int").alias("s"),
+        (F.lit(1) + F.col("event_id") % 3).cast("int").alias("k"),
+    )
+    cell = (
+        "named_struct('text', {text}, 'row_span', 1, 'col_span', {cs}, "
+        "'start_row_offset_idx', {r}, 'end_row_offset_idx', {r} + 1, "
+        "'start_col_offset_idx', {c}, 'end_col_offset_idx', {c} + {cs}, "
+        "'col_header', false, 'row_header', false)"
+    )
+    unit_cells = (
+        "flatten(transform(sequence(0, (CASE s WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END) - 1), "
+        "r -> transform(sequence(0, (CASE s WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 2 END) - 1), c -> "
+        + cell.format(
+            text="concat('r', cast(r as string), 'c', cast(c as string))",
+            cs="1", r="r", c="c",
+        )
+        + ")))"
+    )
+    span_cells = (
+        "array("
+        + cell.format(text="'a'", cs="2", r="0", c="0") + ", "
+        + cell.format(text="'b'", cs="1", r="1", c="0") + ", "
+        + cell.format(text="'c'", cs="1", r="1", c="1") + ")"
+    )
+    grid = (
+        "CASE WHEN s = 3 THEN named_struct('num_rows', 2, 'num_cols', 2, 'cells', "
+        + span_cells
+        + ") ELSE named_struct("
+        "'num_rows', CASE s WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END, "
+        "'num_cols', CASE s WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 2 END, "
+        "'cells', " + unit_cells + ") END"
+    )
+    return sel.select("url", "s", "k", F.expr(grid).alias("gt"))
 
+
+def _q_teds_known_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEDS with rigorously known edit distances (SURVEY K6/A5): pred =
+    gt grid plus k extra empty rows, so the optimal tree edit distance
+    is exactly k (lower bound: each op changes node count by <= 1 and
+    the trees differ by k nodes; upper bound: k leaf inserts), giving
+    teds = round(1 - k/(nd + k), 3) with nd = num_rows + num_cells.
+    Scores are exported as milli-integers so both engines hash exact
+    bigints instead of rounded doubles; shapes avoid 4th-decimal
+    rounding ties."""
+    from docling_eval_spark.evaluators.teds import teds_stage
+
+    g = _known_grid_df(spark, sf_dir, 600)
+    paired = g.select(
+        "url",
+        F.array("gt").alias("gt_tables"),
+        F.array(
+            F.struct(
+                (F.col("gt.num_rows") + F.col("k")).alias("num_rows"),
+                F.col("gt.num_cols").alias("num_cols"),
+                F.col("gt.cells").alias("cells"),
+            )
+        ).alias("pred_tables"),
+    )
+    t = teds_stage(paired)
+    return t.select(
+        "url",
+        F.round(F.col("teds") * 1000).cast("bigint").alias("milli_teds"),
+        F.round(F.col("teds_struct") * 1000).cast("bigint").alias("milli_teds_struct"),
+        "is_complex",
+        F.col("true_nrows").cast("bigint").alias("true_nrows"),
+        F.col("pred_nrows").cast("bigint").alias("pred_nrows"),
+    )
+
+
+_SQL_TEDS_KNOWN = """
+WITH e AS (
+  SELECT event_id, CAST(event_id % 4 AS INT) AS s, CAST(1 + event_id % 3 AS INT) AS k
+  FROM events WHERE event_id < 600
+), p AS (
+  SELECT event_id, k, s = 3 AS is_complex,
+    CASE s WHEN 0 THEN 8 WHEN 1 THEN 18 WHEN 2 THEN 12 ELSE 5 END AS nd,
+    CASE s WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 2 END AS nr
+  FROM e
+)
+SELECT CAST(event_id AS VARCHAR) AS url,
+  CAST(round(1000 * (1 - k * 1.0 / (nd + k))) AS BIGINT) AS milli_teds,
+  CAST(round(1000 * (1 - k * 1.0 / (nd + k))) AS BIGINT) AS milli_teds_struct,
+  is_complex,
+  CAST(nr AS BIGINT) AS true_nrows,
+  CAST(nr + k AS BIGINT) AS pred_nrows
+FROM p
+"""
+
+
+def _q_otsl_roundtrip_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTSL path (SURVEY K5): known grids -> OTSL strings -> parse back
+    -> TEDS vs original. The oracle rebuilds the exact OTSL string in
+    SQL and asserts the roundtrip invariant milli_teds = 1000."""
     import pandas as pd
 
-    pages = pages_dataframe(spark, 120, partitions=8)
-    ex = extract_stage(pages).filter(F.size("tables") > 0)
-    one = ex.select("url", F.posexplode("tables").alias("table_id", "gt"))
+    from docling_eval_spark.evaluators.teds import teds_stage
+    from docling_eval_spark.extraction.otsl import grid_to_otsl, otsl_parse_stage
+
+    g = _known_grid_df(spark, sf_dir, 400)
 
     def to_otsl(batches):
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "url": [
-                        f"{u}#{t}" for u, t in zip(pdf["url"], pdf["table_id"])
-                    ],
+                    "url": pdf["url"],
                     "otsl": [
                         grid_to_otsl(
                             {
-                                "num_rows": g["num_rows"],
-                                "num_cols": g["num_cols"],
-                                "cells": [dict(c) for c in g["cells"]],
+                                "num_rows": gr["num_rows"],
+                                "num_cols": gr["num_cols"],
+                                "cells": [dict(c) for c in gr["cells"]],
                             }
                         )
-                        for g in pdf["gt"]
+                        for gr in pdf["gt"]
                     ],
                 }
             )
 
-    otsl_df = one.mapInPandas(to_otsl, "url string, otsl string")
+    otsl_df = g.select("url", "gt").mapInPandas(to_otsl, "url string, otsl string")
     parsed = otsl_parse_stage(otsl_df).select(
-        "url",
-        F.struct("num_rows", "num_cols", "cells").alias("pred_table"),
+        "url", F.struct("num_rows", "num_cols", "cells").alias("pred_table")
     )
-    gt_df = one.select(
-        F.concat_ws("#", "url", F.col("table_id").cast("string")).alias("url"),
-        F.col("gt").alias("gt_table"),
+    paired = (
+        g.select("url", F.array("gt").alias("gt_tables"))
+        .join(parsed, "url")
+        .select("url", "gt_tables", F.array("pred_table").alias("pred_tables"))
     )
-    paired = gt_df.join(parsed, "url").select(
-        "url",
-        F.array("gt_table").alias("gt_tables"),
-        F.array("pred_table").alias("pred_tables"),
+    t = teds_stage(paired).select(
+        "url", F.round(F.col("teds") * 1000).cast("bigint").alias("milli_teds")
     )
-    t = teds_stage(paired)
-    return t.agg(
-        F.count("*").alias("n_tables"),
-        F.round(F.avg("teds"), 6).alias("mean_teds"),
-        F.round(F.min("teds"), 6).alias("min_teds"),
-    )
+    return otsl_df.join(t, "url").select("url", "otsl", "milli_teds")
+
+
+_SQL_OTSL_ROUNDTRIP = """
+WITH e AS (
+  SELECT event_id, CAST(event_id % 4 AS INT) AS s FROM events WHERE event_id < 400
+), dims AS (
+  SELECT event_id, s,
+    CASE s WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END AS R,
+    CASE s WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 2 END AS C
+  FROM e
+)
+SELECT CAST(event_id AS VARCHAR) AS url,
+  CASE WHEN s = 3 THEN '<otsl><fcel>a<lcel><nl><fcel>b<fcel>c<nl></otsl>'
+  ELSE '<otsl>' || array_to_string(list_transform(range(0, R), r ->
+         array_to_string(list_transform(range(0, C), c ->
+           '<fcel>r' || CAST(r AS VARCHAR) || 'c' || CAST(c AS VARCHAR)), '')
+         || '<nl>'), '') || '</otsl>'
+  END AS otsl,
+  CAST(1000 AS BIGINT) AS milli_teds
+FROM dims
+"""
 
 
 def _q_bbox_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bbox-matched text metrics (SURVEY J4) over event-derived boxes:
-    pred boxes shifted, every third event's text token dropped."""
+    """Bbox-matched text metrics (SURVEY J4) over a fully deterministic
+    geometry whose argmax-IoU matching is SQL-replicable:
+
+    - gt box per event at x = pos*100 (disjoint); events with
+      event_id %% 7 == 0 move their gt to y = 1000 (the orphan case);
+    - main pred = own gt shifted +5 in x (IoU 0.6 with own gt, 0 with
+      every other) -> argmax = own gt unless moved; all-zero IoU rows
+      argmax to pivot index 0 (numpy first-maximal semantics);
+    - event_id %% 11 == 0 adds a far-away false-positive pred;
+    - texts are plain alnum tokens, pred drops its c-token when
+      event_id %% 3 == 0, so set precision/recall/f1 are non-trivial.
+    """
     from docling_eval_spark.evaluators.bbox_text import bbox_text_stage
-    from docling_eval_spark.evaluators.stats import compute_stats
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    text = F.concat_ws(" ", "event_type", F.col("event_id").cast("string"), "props")
-    pred_text = F.when(
-        F.col("event_id") % 3 == 0, F.concat_ws(" ", "event_type", "props")
-    ).otherwise(text)
-    box = lambda dx: [  # noqa: E731
-        (F.col("value") % 50 + dx).alias("l"),
-        ((F.col("event_id") % 40).cast("double")).alias("t"),
-        (F.col("value") % 50 + 20 + dx).alias("r"),
-        ((F.col("event_id") % 40).cast("double") + 15).alias("b"),
-    ]
-    per_user = ev.groupBy("user_id").agg(
-        F.collect_list(F.struct(text.alias("text"), *box(F.lit(0.0)))).alias("gt"),
-        F.collect_list(F.struct(pred_text.alias("text"), *box(F.lit(2.0)))).alias(
-            "pred"
-        ),
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    e = F.col("event_id")
+    base = (
+        ev.select("user_id", "event_id", F.row_number().over(w).alias("pos"))
+        .withColumn("x0", F.col("pos") * 100.0)
+        .withColumn("moved", e % 7 == 0)
+        .withColumn("ta", F.concat(F.lit("a"), (e % 5).cast("string")))
+        .withColumn("tb", F.concat(F.lit("b"), (e % 11).cast("string")))
+        .withColumn("tc", F.concat(F.lit("c"), (e % 3).cast("string")))
+        .withColumn("tz", F.concat(F.lit("z"), (e % 13).cast("string")))
+    )
+    gt_item = F.struct(
+        F.concat_ws(" ", "ta", "tb", "tc").alias("text"),
+        F.col("x0").alias("l"),
+        F.when(F.col("moved"), 1000.0).otherwise(0.0).alias("t"),
+        (F.col("x0") + 20.0).alias("r"),
+        (F.when(F.col("moved"), 1000.0).otherwise(0.0) + 10.0).alias("b"),
+    )
+    main_item = F.struct(
+        F.when(e % 3 == 0, F.concat_ws(" ", "ta", "tb"))
+        .otherwise(F.concat_ws(" ", "ta", "tb", "tc"))
+        .alias("text"),
+        (F.col("x0") + 5.0).alias("l"),
+        F.lit(0.0).alias("t"),
+        (F.col("x0") + 25.0).alias("r"),
+        F.lit(10.0).alias("b"),
+    )
+    fp_item = F.struct(
+        F.col("tz").alias("text"),
+        (F.col("x0") + 50.0).alias("l"),
+        F.lit(500.0).alias("t"),
+        (F.col("x0") + 70.0).alias("r"),
+        F.lit(510.0).alias("b"),
+    )
+    pred_arr = F.concat(
+        F.array(main_item),
+        F.when(e % 11 == 0, F.array(fp_item)).otherwise(F.slice(F.array(fp_item), 1, 0)),
+    )
+    per_user = (
+        base.select(
+            "user_id",
+            "pos",
+            gt_item.alias("gt_item"),
+            pred_arr.alias("pred_items"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "gt_item"))),
+                lambda x: x["gt_item"],
+            ).alias("gt"),
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "pred_items"))),
+                    lambda x: x["pred_items"],
+                )
+            ).alias("pred"),
+        )
     )
     rows = bbox_text_stage(
         per_user.select(F.col("user_id").cast("string").alias("url"), "gt", "pred"),
         "gt",
         "pred",
     )
-    return compute_stats(rows, "f1_score").select(
-        "total", F.round("mean", 6).alias("mean"), F.round("median", 6).alias("median")
+    return rows.select(
+        "url",
+        F.col("match_id").cast("bigint").alias("match_id"),
+        F.round("f1_score", 6).alias("f1_score"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+_SQL_BBOX_TEXT = """
+WITH e AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS pos,
+         event_id % 7 = 0 AS moved,
+         event_id % 11 = 0 AS has_fp,
+         event_id % 3 = 0 AS dropc,
+         'a' || CAST(event_id % 5 AS VARCHAR) AS ta,
+         'b' || CAST(event_id % 11 AS VARCHAR) AS tb,
+         'c' || CAST(event_id % 3 AS VARCHAR) AS tc,
+         'z' || CAST(event_id % 13 AS VARCHAR) AS tz
+  FROM events WHERE event_id < 2000
+),
+preds AS (
+  SELECT user_id, pos, 0 AS kind,
+         CASE WHEN NOT moved THEN pos ELSE 1 END AS tgt,
+         CASE WHEN dropc THEN [ta, tb] ELSE [ta, tb, tc] END AS toks
+  FROM e
+  UNION ALL
+  SELECT user_id, pos, 1 AS kind, 1 AS tgt, [tz] AS toks FROM e WHERE has_fp
+),
+matched AS (
+  SELECT user_id, tgt,
+         min(pos * 2 + kind) AS first_ord,
+         flatten(list(toks ORDER BY pos, kind)) AS ptoks
+  FROM preds GROUP BY user_id, tgt
+),
+gt AS (SELECT user_id, pos, [ta, tb, tc] AS gtoks FROM e),
+m AS (
+  SELECT g.user_id, g.gtoks, mt.ptoks,
+         row_number() OVER (PARTITION BY g.user_id ORDER BY mt.first_ord) - 1 AS match_id
+  FROM gt g JOIN matched mt ON mt.user_id = g.user_id AND mt.tgt = g.pos
+),
+nmatched AS (SELECT user_id, count(*) AS nm FROM m GROUP BY user_id),
+orph AS (
+  SELECT g.user_id, g.gtoks, CAST([] AS VARCHAR[]) AS ptoks,
+         nm.nm + row_number() OVER (PARTITION BY g.user_id ORDER BY g.pos) - 1 AS match_id
+  FROM gt g JOIN nmatched nm ON nm.user_id = g.user_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM matched mt WHERE mt.user_id = g.user_id AND mt.tgt = g.pos
+  )
+),
+allm AS (
+  SELECT user_id, match_id, gtoks, ptoks FROM m
+  UNION ALL
+  SELECT user_id, match_id, gtoks, ptoks FROM orph
+),
+scored AS (
+  SELECT user_id, match_id,
+         len(list_intersect(list_distinct(gtoks), list_distinct(ptoks))) AS inter,
+         len(list_distinct(gtoks)) AS ng,
+         len(list_distinct(ptoks)) AS np
+  FROM allm
+),
+pr AS (
+  SELECT user_id, match_id,
+         CASE WHEN np > 0 THEN inter * 1.0 / np ELSE 0.0 END AS p,
+         CASE WHEN ng > 0 THEN inter * 1.0 / ng ELSE 0.0 END AS r
+  FROM scored
+)
+SELECT CAST(user_id AS VARCHAR) AS url,
+       CAST(match_id AS BIGINT) AS match_id,
+       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1_score,
+       round(p, 6) AS precision,
+       round(r, 6) AS recall
+FROM pr
+"""
+
+
+def _corpus_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user layout images for the corpus-mAP queries:
+    globally disjoint gt boxes (x = event_id*100), main pred shifted by
+    dx = event_id %% 5 (IoU = (20-dx)/(20+dx) with its own gt, 0 with all
+    others -> greedy matching degenerates to the own-pair test, which a
+    SQL oracle can replicate); event_id %% 7 == 0 drops the pred (false
+    negative), event_id %% 11 == 0 adds a zero-IoU false positive.
+    Scores are globally unique ((4000+2e)/8000 vs (2000+2e+1)/8000 —
+    even vs odd numerators), so tie handling never engages."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    e = F.col("event_id")
+    dx = (e % 5).cast("double")
+    gt_item = F.struct(
+        F.col("event_type").alias("label"),
+        F.lit(1).alias("page_no"),
+        (e * 100.0).alias("l"),
+        F.lit(0.0).alias("t"),
+        (e * 100.0 + 20.0).alias("r"),
+        F.lit(10.0).alias("b"),
+    )
+    main = F.struct(
+        F.col("event_type").alias("label"),
+        F.lit(1).alias("page_no"),
+        (e * 100.0 + dx).alias("l"),
+        F.lit(0.0).alias("t"),
+        (e * 100.0 + 20.0 + dx).alias("r"),
+        F.lit(10.0).alias("b"),
+        ((4000.0 + 2.0 * e) / 8000.0).alias("score"),
+    )
+    fp = F.struct(
+        F.col("event_type").alias("label"),
+        F.lit(1).alias("page_no"),
+        (e * 100.0 + 50.0).alias("l"),
+        F.lit(0.0).alias("t"),
+        (e * 100.0 + 70.0).alias("r"),
+        F.lit(10.0).alias("b"),
+        ((2000.0 + 2.0 * e + 1.0) / 8000.0).alias("score"),
+    )
+    pred_arr = F.concat(
+        F.when(e % 7 != 0, F.array(main)).otherwise(F.slice(F.array(main), 1, 0)),
+        F.when(e % 11 == 0, F.array(fp)).otherwise(F.slice(F.array(fp), 1, 0)),
+    )
+    return ev.groupBy("user_id").agg(
+        F.collect_list(gt_item).alias("gt_layout"),
+        F.flatten(F.collect_list(pred_arr)).alias("pred_layout"),
+    )
+
+
+def _q_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mAP (SURVEY A3) via the score-histogram sketch; the
+    DuckDB oracle recomputes the full 101-point interpolated AP."""
+    from docling_eval_spark.evaluators.layout import corpus_map
+
+    per_user = _corpus_layout_df(spark, sf_dir)
+    return corpus_map(per_user).select(
+        F.round("map", 6).alias("map"),
+        F.round("map_50", 6).alias("map_50"),
+        F.round("map_75", 6).alias("map_75"),
+    )
+
+
+def _q_layout_class_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(class, IoU-threshold) AP table (reference
+    layout_evaluator.py:68-71 per-class report, distributed)."""
+    from docling_eval_spark.evaluators.layout import corpus_ap_table
+
+    per_user = _corpus_layout_df(spark, sf_dir)
+    return corpus_ap_table(per_user).select(
+        "label",
+        F.round(F.col("iou_thr") * 100).cast("bigint").alias("thr_pct"),
+        F.round("ap", 6).alias("ap"),
+    )
+
+
+def _sql_corpus_ap_cte() -> str:
+    """Shared CTE chain computing the per-(label, thr) AP table in
+    DuckDB (same IoU-threshold doubles as layout.IOU_THRESHOLDS via
+    repr literals)."""
+    from docling_eval_spark.evaluators.layout import IOU_THRESHOLDS
+
+    thr_rows = ", ".join(
+        f"({t!r}, {round(t * 100)})" for t in IOU_THRESHOLDS
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type AS label,
+         CAST(event_id % 5 AS DOUBLE) AS dx,
+         event_id % 7 = 0 AS miss, event_id % 11 = 0 AS has_fp
+  FROM events WHERE event_id < 2000
+),
+gtc AS (SELECT label, count(*) AS n_gt FROM e GROUP BY label),
+dets0 AS (
+  SELECT label, (4000.0 + 2.0 * event_id) / 8000.0 AS score,
+         CAST((20.0 - dx) * 10.0 AS DOUBLE) / (400.0 - (20.0 - dx) * 10.0) AS iou
+  FROM e WHERE NOT miss
+  UNION ALL
+  SELECT label, (2000.0 + 2.0 * event_id + 1.0) / 8000.0 AS score, 0.0 AS iou
+  FROM e WHERE has_fp
+),
+thrs AS (SELECT * FROM (VALUES {thr_rows}) AS t(thr, thr_pct)),
+dets AS (
+  SELECT d.label, t.thr_pct, d.score, d.iou >= t.thr AS tp
+  FROM dets0 d CROSS JOIN thrs t
+),
+curve AS (
+  SELECT label, thr_pct, score,
+    sum(CASE WHEN tp THEN 1 ELSE 0 END)
+      OVER (PARTITION BY label, thr_pct ORDER BY score DESC) AS ctp,
+    count(*) OVER (PARTITION BY label, thr_pct ORDER BY score DESC) AS cn
+  FROM dets
+),
+points AS (
+  SELECT c.label, c.thr_pct, c.ctp * 1.0 / g.n_gt AS recall, c.ctp * 1.0 / c.cn AS prec
+  FROM curve c JOIN gtc g USING (label)
+),
+rts AS (SELECT unnest(range(0, 101)) AS i),
+best AS (
+  SELECT p.label, p.thr_pct, r.i, max(p.prec) AS bp
+  FROM points p JOIN rts r ON p.recall >= r.i / 100.0
+  GROUP BY p.label, p.thr_pct, r.i
+),
+ap AS (
+  SELECT label, thr_pct, sum(bp) / 101.0 AS ap
+  FROM best GROUP BY label, thr_pct
+)"""
+
+
+def _sql_corpus_map() -> str:
+    return (
+        _sql_corpus_ap_cte()
+        + """
+SELECT round(avg(ap), 6) AS map,
+       round(avg(ap) FILTER (WHERE thr_pct = 50), 6) AS map_50,
+       round(avg(ap) FILTER (WHERE thr_pct = 75), 6) AS map_75
+FROM ap
+"""
+    )
+
+
+def _sql_layout_class_ap() -> str:
+    return (
+        _sql_corpus_ap_cte()
+        + """
+SELECT label, CAST(thr_pct AS BIGINT) AS thr_pct, round(ap, 6) AS ap FROM ap
+"""
     )
 
 
@@ -1098,63 +1478,6 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"), "doc_id")
-
-
-def _q_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus mAP over deterministic event-derived layout boxes
-    (SURVEY A3 two-stage distributed algorithm)."""
-    from docling_eval_spark.evaluators.layout import corpus_map
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    box = lambda shift: F.struct(  # noqa: E731
-        F.col("event_type").alias("label"),
-        F.lit(1).alias("page_no"),
-        (F.col("value") % 50 + shift).alias("l"),
-        ((F.col("event_id") % 40).cast("double") + shift).alias("t"),
-        (F.col("value") % 50 + 20 + shift).alias("r"),
-        ((F.col("event_id") % 40).cast("double") + 15 + shift).alias("b"),
-    )
-    per_user = ev.groupBy("user_id").agg(
-        F.collect_list(box(F.lit(0.0))).alias("gt_layout"),
-        F.collect_list(
-            F.struct(
-                F.col("event_type").alias("label"),
-                F.lit(1).alias("page_no"),
-                (F.col("value") % 50 + F.when(F.col("event_id") % 3 == 0, 4.0).otherwise(0.0)).alias("l"),
-                ((F.col("event_id") % 40).cast("double")).alias("t"),
-                (F.col("value") % 50 + 20 + F.when(F.col("event_id") % 3 == 0, 4.0).otherwise(0.0)).alias("r"),
-                ((F.col("event_id") % 40).cast("double") + 15).alias("b"),
-                (0.5 + (F.col("event_id") % 50) / 100.0).alias("score"),
-            )
-        ).alias("pred_layout"),
-    )
-    return corpus_map(per_user).select(
-        F.round("map", 6).alias("map"),
-        F.round("map_50", 6).alias("map_50"),
-        F.round("map_75", 6).alias("map_75"),
-    )
-
-
-def _q_teds_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TEDS rollup on extracted tables (identity prediction):
-    all/simple/complex splits (reference table_evaluator.py:150-172)."""
-    from docling_eval_spark.datagen.pages import pages_dataframe
-    from docling_eval_spark.evaluators.teds import teds_stage
-    from docling_eval_spark.extraction.stage import extract_stage
-
-    pages = pages_dataframe(spark, 150, partitions=8)
-    ex = extract_stage(pages).filter(F.size("tables") > 0)
-    paired = ex.select(
-        "url",
-        F.col("tables").alias("gt_tables"),
-        F.col("tables").alias("pred_tables"),
-    )
-    t = teds_stage(paired)
-    return t.groupBy("is_complex").agg(
-        F.count("*").alias("n_tables"),
-        F.round(F.avg("teds"), 6).alias("mean_teds"),
-        F.round(F.avg("teds_struct"), 6).alias("mean_teds_struct"),
-    )
 
 
 # DuckDB twins of the portable-hash dedup family. The shingle/token
@@ -1332,7 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_text_metrics": _with_pkg(_q_bbox_text_metrics),
         "otsl_roundtrip_teds": _with_pkg(_q_otsl_roundtrip_teds),
         "corpus_map": _with_pkg(_q_corpus_map),
-        "teds_identity": _with_pkg(_q_teds_identity),
+        "layout_class_ap": _with_pkg(_q_layout_class_ap),
+        "teds_known_distance": _with_pkg(_q_teds_known_distance),
     }
 
 
@@ -1369,4 +1693,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_match_stats": _SQL_EXTRACT_MATCH,
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash": _SQL_SIMHASH,
+        "bbox_text_metrics": _SQL_BBOX_TEXT,
+        "otsl_roundtrip_teds": _SQL_OTSL_ROUNDTRIP,
+        "corpus_map": _sql_corpus_map(),
+        "layout_class_ap": _sql_layout_class_ap(),
+        "teds_known_distance": _SQL_TEDS_KNOWN,
     }

@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_topk",
     "corpus_map",
-    "teds_identity",
+    "teds_known_distance",
 ]
 
 

@@ -22,11 +22,11 @@ greedy score-descending matching, classes without ground truth
 excluded from the mean.
 
 Scale: stage-1 matching is embarrassingly parallel per page. Stage 2
-shuffles once on (label, iou_thr) — 10 × #classes groups; per-group
-detection lists are sorted inside an Arrow kernel. At extreme corpus
-sizes the per-class sort becomes the bottleneck; the natural evolution
-(documented, not yet needed at bench scale) is a score-histogram
-sketch per (label, thr) partition merged associatively.
+reduces detections to a per-(label, iou_thr, score-bin) TP/FP
+histogram in one map-side-combining hash aggregation — no per-class
+detection list is ever collected or sorted, so no group grows with
+corpus size (see corpus_ap_table). The exact full-sort kernel is kept
+behind ``exact=True`` as the small-data oracle.
 """
 
 from __future__ import annotations
@@ -40,7 +40,10 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 IOU_THRESHOLDS = [0.5 + 0.05 * i for i in range(10)]
-REC_THRESHOLDS = np.linspace(0.0, 1.0, 101)
+# i/100.0 exactly (np.linspace accumulates a half-ulp drift on some
+# points, which breaks float-equality parity with SQL oracles that
+# compute i/100.0)
+REC_THRESHOLDS = np.arange(101) / 100.0
 
 
 # ---------------------------------------------------------------- kernels
@@ -129,14 +132,33 @@ def _match_detections(
 
 
 def average_precision(scores: np.ndarray, tp: np.ndarray, n_gt: int) -> float:
-    """COCO 101-point interpolated AP for one (class, threshold)."""
+    """COCO 101-point interpolated AP for one (class, threshold).
+
+    Tie-aware: detections sharing a score form one PR point (threshold
+    semantics, as sklearn's precision_recall_curve). With all-distinct
+    scores this is exactly the classic per-detection curve; with ties
+    the classic curve depends on the arbitrary sort order within the
+    tie (partition order in a distributed run) — this version is
+    deterministic, and it is the fixpoint the score-histogram sketch
+    (`corpus_ap_table`) converges to.
+    """
     if n_gt == 0:
         return float("nan")
     if len(scores) == 0:
         return 0.0
     order = np.argsort(-scores, kind="stable")
+    s_sorted = scores[order]
     tp_c = np.cumsum(tp[order])
     fp_c = np.cumsum(~tp[order])
+    # keep only the last point of each tied-score run
+    last = np.ones(len(s_sorted), dtype=bool)
+    last[:-1] = s_sorted[:-1] != s_sorted[1:]
+    tp_c, fp_c = tp_c[last], fp_c[last]
+    return _ap_from_curve(tp_c, fp_c, n_gt)
+
+
+def _ap_from_curve(tp_c: np.ndarray, fp_c: np.ndarray, n_gt: int) -> float:
+    """AP from cumulative TP/FP counts at score-descending PR points."""
     recall = tp_c / n_gt
     precision = tp_c / np.maximum(tp_c + fp_c, 1e-12)
     # precision envelope (monotone non-increasing from the right)
@@ -285,38 +307,118 @@ _AP_SCHEMA = T.StructType(
 )
 
 
-def corpus_map(df: DataFrame, gt_col: str = "gt_layout", pred_col: str = "pred_layout") -> DataFrame:
-    """Corpus mAP: returns (mAP, mAP@50, mAP@75) one-row DataFrame.
+SCORE_BINS = 100_000  # 1e-5-wide bins: exact for ≤4-decimal scores
 
-    Stage 2 groups detections by (label, iou_thr) — a single shuffle of
-    slim 4-column rows — and builds each PR curve in one kernel; the
-    per-class AP table is then broadcast-joined with GT counts and
-    averaged.
+
+def corpus_ap_table(
+    df: DataFrame,
+    gt_col: str = "gt_layout",
+    pred_col: str = "pred_layout",
+    exact: bool = False,
+) -> DataFrame:
+    """Per-(label, iou_thr) corpus AP table.
+
+    Default (sketch) path — the 100-TB design: detections are binned
+    by score (1e-5-wide bins) and reduced to a per-(label, thr, bin)
+    TP/FP histogram in ONE map-side-combining hash aggregation — no
+    per-class detection list is ever materialized or sorted, so no
+    group grows with corpus size (bounded by SCORE_BINS regardless of
+    row count). The PR curve per (label, thr) is then built from the
+    ≤SCORE_BINS histogram rows in a bounded Arrow kernel. Detections
+    tied within a bin form one PR point — *identical* to the exact
+    kernel whenever distinct scores never share a bin (always true for
+    scores quantized to ≤4 decimals, e.g. model confidences), and a
+    ≤1e-5-score-resolution approximation otherwise.
+
+    ``exact=True`` keeps the round-1 shape (full per-(label,thr)
+    detection list sorted in one kernel) as the small-data oracle the
+    sketch is tested against.
     """
     dets = corpus_detections_stage(df, gt_col, pred_col)
     gt_counts = corpus_gt_counts(df, gt_col)
 
-    def ap_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        label, thr = key
-        n_gt = int(pdf["n_gt"].iloc[0]) if len(pdf) else 0
-        ap = average_precision(
-            pdf["score"].to_numpy(), pdf["tp"].to_numpy(), n_gt
-        )
-        return pd.DataFrame({"label": [label], "iou_thr": [thr], "ap": [ap]})
+    if exact:
 
-    joined = dets.join(F.broadcast(gt_counts), "label", "inner")
-    aps = joined.groupBy("label", "iou_thr").applyInPandas(ap_kernel, schema=_AP_SCHEMA)
+        def ap_kernel(key, pdf):  # no hints: PySpark's eval-type
+            # inference warns on partially-inferable grouped-map hints
+            label, thr = key
+            n_gt = int(pdf["n_gt"].iloc[0]) if len(pdf) else 0
+            ap = average_precision(
+                pdf["score"].to_numpy(), pdf["tp"].to_numpy(), n_gt
+            )
+            return pd.DataFrame({"label": [label], "iou_thr": [thr], "ap": [ap]})
+
+        joined = dets.join(F.broadcast(gt_counts), "label", "inner")
+        aps = joined.groupBy("label", "iou_thr").applyInPandas(
+            ap_kernel, schema=_AP_SCHEMA
+        )
+    else:
+        hist = (
+            dets.withColumn(
+                "bin",
+                F.least(
+                    F.floor(F.col("score") * SCORE_BINS), F.lit(SCORE_BINS - 1)
+                ).cast("int"),
+            )
+            .groupBy("label", "iou_thr", "bin")
+            .agg(
+                F.sum(F.when(F.col("tp"), 1).otherwise(0)).alias("tp_n"),
+                F.count("*").alias("n"),
+            )
+            .join(F.broadcast(gt_counts), "label", "inner")
+        )
+
+        def hist_ap_kernel(key, pdf):  # no hints (see ap_kernel)
+            label, thr = key
+            n_gt = int(pdf["n_gt"].iloc[0]) if len(pdf) else 0
+            p = pdf.sort_values("bin", ascending=False)
+            tp_c = p["tp_n"].to_numpy().cumsum()
+            all_c = p["n"].to_numpy().cumsum()
+            ap = (
+                float("nan")
+                if n_gt == 0
+                else (_ap_from_curve(tp_c, all_c - tp_c, n_gt) if len(p) else 0.0)
+            )
+            return pd.DataFrame({"label": [label], "iou_thr": [thr], "ap": [ap]})
+
+        aps = hist.groupBy("label", "iou_thr").applyInPandas(
+            hist_ap_kernel, schema=_AP_SCHEMA
+        )
+
     # classes with GT but zero detections must contribute AP=0 at every
     # threshold (no detection row → no group above)
     spark = df.sparkSession
     thr_df = spark.createDataFrame(
         [(t,) for t in IOU_THRESHOLDS], schema="iou_thr double"
     )
-    aps = (
+    return (
         gt_counts.crossJoin(F.broadcast(thr_df))
         .join(aps, ["label", "iou_thr"], "left")
         .withColumn("ap", F.coalesce("ap", F.lit(0.0)))
+        .select("label", "iou_thr", "ap")
     )
+
+
+def per_class_ap(ap_table: DataFrame) -> DataFrame:
+    """Per-class AP (averaged over IoU thresholds), sorted descending —
+    the reference's per-class table (`layout_evaluator.py:68-71,240-241`)."""
+    return (
+        ap_table.groupBy("label")
+        .agg(F.avg("ap").alias("ap"))
+        .orderBy(F.desc("ap"), "label")
+    )
+
+
+def corpus_map(
+    df: DataFrame,
+    gt_col: str = "gt_layout",
+    pred_col: str = "pred_layout",
+    exact: bool = False,
+) -> DataFrame:
+    """Corpus mAP: returns (mAP, mAP@50, mAP@75) one-row DataFrame,
+    averaged from the per-(label, thr) AP table (see corpus_ap_table
+    for the sketch-vs-exact story)."""
+    aps = corpus_ap_table(df, gt_col, pred_col, exact=exact)
     return aps.agg(
         F.avg("ap").alias("map"),
         F.avg(F.when(F.col("iou_thr") == 0.5, F.col("ap"))).alias("map_50"),

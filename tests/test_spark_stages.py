@@ -183,3 +183,15 @@ def test_corpus_map(spark):
     assert row["map_50"] == pytest.approx((1.0 + 1.0) / 2)
     # at thr=0.75 the u2 det is fp: text AP = 51/101 ... plus table 1.0
     assert row["map_75"] == pytest.approx((51 / 101 + 1.0) / 2, abs=1e-9)
+
+
+def test_corpus_map_sketch_matches_exact(spark):
+    """The score-histogram sketch (100-TB path) must agree with the
+    exact full-sort kernel to float precision on quantized scores."""
+    df = spark.createDataFrame(
+        _layout_rows(), f"url string, gt_layout {_GT_T}, pred_layout {_PR_T}"
+    )
+    sk = corpus_map(df).collect()[0]
+    ex = corpus_map(df, exact=True).collect()[0]
+    for k in ("map", "map_50", "map_75"):
+        assert sk[k] == pytest.approx(ex[k], abs=1e-12)
