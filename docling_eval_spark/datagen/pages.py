@@ -84,36 +84,70 @@ def _nav_html(rng: random.Random) -> str:
     return f'<header><div class="logo">SynthSite</div><nav>{links}</nav></header>'
 
 
-def _table_html(rng: random.Random) -> tuple[str, dict[str, Any]]:
+def _table_lattice(
+    rng: random.Random,
+) -> tuple[list[list[tuple[str, int, int]]], dict[str, Any]]:
+    """Shared synthetic-table shape: per row, the anchor cells as
+    (text, row_span, col_span); rendered to HTML (_table_html) or the
+    MiniPDF cell grammar (_table_grammar)."""
     nrows = rng.randint(2, 5)
     ncols = rng.randint(2, 4)
     merge = rng.random() < 0.5  # one rowspan/colspan merge → "complex" table
-    rows = []
+    rows: list[list[tuple[str, int, int]]] = []
     merged = False
     skip: set[tuple[int, int]] = set()
     for r in range(nrows):
-        cells = []
+        cells: list[tuple[str, int, int]] = []
         c = 0
         while c < ncols:
             if (r, c) in skip:
                 c += 1
                 continue
-            tag = "th" if r == 0 else "td"
             if merge and r == 1 and c == 0 and nrows >= 3:
-                cells.append(f'<{tag} rowspan="2">r{r}c{c}</{tag}>')
+                cells.append((f"r{r}c{c}", 2, 1))
                 skip.add((r + 1, c))
                 merged = True
                 c += 1
             elif merge and r == 0 and ncols >= 3 and c == ncols - 2:
-                cells.append(f'<{tag} colspan="2">r{r}c{c}</{tag}>')
+                cells.append((f"r{r}c{c}", 1, 2))
                 merged = True
                 c += 2
             else:
-                cells.append(f"<{tag}>r{r}c{c}</{tag}>")
+                cells.append((f"r{r}c{c}", 1, 1))
                 c += 1
-        rows.append("<tr>" + "".join(cells) + "</tr>")
+        rows.append(cells)
     spec = {"num_rows": nrows, "num_cols": ncols, "complex": merged}
+    return rows, spec
+
+
+def _table_html(rng: random.Random) -> tuple[str, dict[str, Any]]:
+    lattice, spec = _table_lattice(rng)
+    rows = []
+    for r, cells in enumerate(lattice):
+        tag = "th" if r == 0 else "td"
+        out = []
+        for text, rs, cs in cells:
+            attrs = (f' rowspan="{rs}"' if rs > 1 else "") + (
+                f' colspan="{cs}"' if cs > 1 else ""
+            )
+            out.append(f"<{tag}{attrs}>{text}</{tag}>")
+        rows.append("<tr>" + "".join(out) + "</tr>")
     return "<table>" + "".join(rows) + "</table>", spec
+
+
+def _table_grammar(rng: random.Random) -> tuple[str, dict[str, Any]]:
+    """Same lattice rendered as the MiniPDF cell grammar
+    (extraction.tables.parse_cell_grammar)."""
+    lattice, spec = _table_lattice(rng)
+    rows = []
+    for cells in lattice:
+        rows.append(
+            " | ".join(
+                (f"{rs}x{cs}>{text}" if (rs, cs) != (1, 1) else text)
+                for text, rs, cs in cells
+            )
+        )
+    return "\n".join(rows), spec
 
 
 def _gen_html_page(rng: random.Random, doc_id: int) -> tuple[bytes, str, list[dict]]:
@@ -175,9 +209,13 @@ def _gen_html_page(rng: random.Random, doc_id: int) -> tuple[bytes, str, list[di
     return html_doc.encode("utf-8"), text, tables
 
 
-def _gen_minipdf_page(rng: random.Random, doc_id: int) -> tuple[bytes, str]:
+def _gen_minipdf_page(
+    rng: random.Random, doc_id: int
+) -> tuple[bytes, str, list[dict]]:
     """MiniPDF layout doc; blocks written in shuffled order, ground
-    truth in geometric reading order (exercises the XY-cut path)."""
+    truth in geometric reading order (exercises the XY-cut path).
+    ~60% of docs carry a table block (cell-grammar payload) below the
+    body — excluded from text by contract, extracted as a grid."""
     two_col = rng.random() < 0.4
     width, height = 612.0, 792.0
     blocks: list[tuple[str, float, float, float, float, str]] = []
@@ -189,6 +227,7 @@ def _gen_minipdf_page(rng: random.Random, doc_id: int) -> tuple[bytes, str]:
         [(72.0, 296.0), (316.0, 540.0)] if two_col else [(72.0, 540.0)]
     )
     texts_by_col: list[list[str]] = []
+    max_cy = y
     for (lx, rx) in cols:
         col_texts = []
         cy = y
@@ -199,6 +238,16 @@ def _gen_minipdf_page(rng: random.Random, doc_id: int) -> tuple[bytes, str]:
             col_texts.append(para)
             cy += h + 10
         texts_by_col.append(col_texts)
+        max_cy = max(max_cy, cy)
+    tables: list[dict] = []
+    if rng.random() < 0.6:
+        grammar, spec = _table_grammar(rng)
+        # full-width block strictly below every column so the XY-cut
+        # reading order of the text blocks is unchanged
+        blocks.append(
+            ("table", 72.0, max_cy + 20, 540.0, max_cy + 80, grammar)
+        )
+        tables.append(spec)
     # ground truth: title first (spans mid-line → col 0, smallest top),
     # then left column top-down, then right column
     gt = [title] + [t for col in texts_by_col for t in col]
@@ -211,7 +260,7 @@ def _gen_minipdf_page(rng: random.Random, doc_id: int) -> tuple[bytes, str]:
         lines.append(f"B {label} {l} {t} {r} {b} {esc}")
     data = "\n".join(lines).encode("utf-8")
     text = BLOCK_SEP.join(normalize_ws(t) for t in gt)
-    return data, text
+    return data, text, tables
 
 
 def _gen_realpdf_page(rng: random.Random) -> tuple[bytes, str]:
@@ -237,8 +286,7 @@ def gen_page(i: int, seed: int = 42) -> dict[str, Any]:
     url = f"https://host{host}.example/{seed}/{i}"
     lang = _LANGS[host % len(_LANGS)]
     if i % 10 == 7:
-        data, text = _gen_minipdf_page(rng, i)
-        tables: list[dict] = []
+        data, text, tables = _gen_minipdf_page(rng, i)
     elif i % 10 == 3:
         data, text = _gen_realpdf_page(rng)
         tables = []

@@ -37,10 +37,27 @@ def _bin_expr(value_col: str):
 
 
 def compute_stats(
-    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    scale_mode: bool = False,
 ) -> DataFrame:
-    """→ one row (per group): total, mean, median, std, hist[20], bins[21]."""
+    """→ one row (per group): total, mean, median, std, hist[20], bins[21].
+
+    ``scale_mode=True`` switches the exact median from
+    ``percentile(col, 0.5)`` (which buffers the whole per-group value
+    list in one task — fine at report scale, a single-node sort at
+    10^12 rows) to a counting-histogram median: metric values are
+    3-decimal-rounded, so a (value → count) hash aggregation has at
+    most ~2001 distinct rows per group and the exact interpolated
+    median falls out of the cumulative counts. Everything (mean, std,
+    hist, total) is derived from the same bounded count table, so the
+    whole rollup is two hash aggregations with map-side combine and no
+    unbounded group anywhere. Median is exact-identical to the default
+    path; mean/std agree to float associativity."""
     group_cols = group_cols or []
+    if scale_mode:
+        return _compute_stats_counting(df, value_col, group_cols)
     binned = df.withColumn("__bin", _bin_expr(value_col))
     hist_aggs = [
         F.sum(F.when(F.col("__bin") == b, 1).otherwise(0)).alias(f"__h{b}")
@@ -64,6 +81,98 @@ def compute_stats(
         F.array(*[F.lit(b / N_BINS) for b in range(N_BINS + 1)]).alias("bins"),
     )
     return agg
+
+
+def _compute_stats_counting(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Counting-histogram stats (see compute_stats scale_mode).
+
+    Agg 1: (group, value) → count — bounded by the value quantization.
+    Agg 2: per group, sorted (value, count) pairs → all stats via SQL
+    higher-order functions over the ≤~2001-element array. Note: unlike
+    the default path, a group with zero non-null values yields no row
+    (there is nothing to anchor it); callers needing sentinel rows for
+    empty groups join them in (pipelines._ensure_groups)."""
+    v = F.col(value_col)
+    counted = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(F.count("*").alias("__c"))
+    )
+    g = counted.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__v").alias("v"), F.col("__c").alias("c")))
+        ).alias("__pairs")
+    )
+    pairs = F.col("__pairs")
+    g = g.withColumn(
+        "total",
+        F.aggregate(pairs, F.lit(0).cast("long"), lambda a, x: a + x["c"]),
+    )
+    # interpolated median == percentile(col, 0.5) == statistics.median:
+    # mean of the values at 1-based positions ceil(n/2) and n/2 + 1
+    # capped into range (equal for odd n)
+    p1 = ((F.col("total") + 1) / 2).cast("long")
+    p2 = (F.col("total") / 2 + 1).cast("long")
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("seen"),
+        F.lit(None).cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+    )
+    med = F.aggregate(
+        pairs,
+        acc0,
+        lambda a, x: F.struct(
+            (a["seen"] + x["c"]).alias("seen"),
+            F.when(a["m1"].isNull() & (a["seen"] + x["c"] >= p1), x["v"])
+            .otherwise(a["m1"])
+            .alias("m1"),
+            F.when(a["m2"].isNull() & (a["seen"] + x["c"] >= p2), x["v"])
+            .otherwise(a["m2"])
+            .alias("m2"),
+        ),
+    )
+    g = g.withColumn("__med", med)
+    sum_v = F.aggregate(
+        pairs, F.lit(0.0), lambda a, x: a + x["v"] * x["c"]
+    )
+    sum_v2 = F.aggregate(
+        pairs, F.lit(0.0), lambda a, x: a + x["v"] * x["v"] * x["c"]
+    )
+    g = g.withColumn("__sum", sum_v).withColumn("__sum2", sum_v2)
+    mean = F.col("__sum") / F.col("total")
+    var = F.when(
+        F.col("total") > 1,
+        (F.col("__sum2") - F.col("total") * mean * mean) / (F.col("total") - 1),
+    )
+    hist_bin = lambda x: (  # noqa: E731  — np.histogram bin of a pair value
+        F.when((x["v"] < 0) | (x["v"] > 1), F.lit(-1))
+        .when(F.floor(x["v"] * N_BINS) >= N_BINS, F.lit(N_BINS - 1))
+        .otherwise(F.floor(x["v"] * N_BINS).cast("int"))
+    )
+    def _bin_sum(b: int):
+        # factory (not a default-arg closure): PySpark counts the
+        # lambda's parameters to bind HOF variables, so the merge
+        # lambda must take exactly (acc, x)
+        return F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.when(hist_bin(x) == b, x["c"]).otherwise(0),
+        )
+
+    hist = F.array(*[_bin_sum(b) for b in range(N_BINS)])
+    return g.select(
+        *group_cols,
+        "total",
+        F.coalesce(mean, F.lit(-1.0)).alias("mean"),
+        F.coalesce(
+            (F.col("__med.m1") + F.col("__med.m2")) / 2, F.lit(-1.0)
+        ).alias("median"),
+        F.coalesce(F.sqrt(var), F.lit(-1.0)).alias("std"),
+        hist.alias("hist"),
+        F.array(*[F.lit(b / N_BINS) for b in range(N_BINS + 1)]).alias("bins"),
+    )
 
 
 def histogram_table(stats_row_df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:

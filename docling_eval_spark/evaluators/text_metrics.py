@@ -163,10 +163,14 @@ def meteor_tokens(ref: list[str], hyp: list[str]) -> float:
     if not ref or not hyp:
         return 0.0
     from docling_eval_spark.evaluators.porter import porter_stem
+    from docling_eval_spark.evaluators.synonyms import synonym_key
 
-    # staged alignment (NLTK meteor: exact → Porter stem [→ WordNet,
-    # unavailable offline]); each stage greedily matches remaining
-    # tokens left-to-right, uniquely
+    # staged alignment (NLTK meteor: exact → Porter stem → WordNet
+    # synsets; WordNet is offline-unavailable, so stage 3 uses the
+    # bundled static synonym table — a strict subset of WordNet, so
+    # this METEOR lower-bounds NLTK's; deviation quantified in
+    # COVERAGE.md §F10); each stage greedily matches remaining tokens
+    # left-to-right, uniquely
     ref_taken = [False] * len(ref)
     hyp_taken = [False] * len(hyp)
     matches: list[tuple[int, int]] = []  # (hyp_idx, ref_idx)
@@ -177,6 +181,8 @@ def meteor_tokens(ref: list[str], hyp: list[str]) -> float:
             if hyp_taken[hi]:
                 continue
             hk = key(htok)
+            if hk is None:  # token outside the stage's vocabulary
+                continue
             for ri in range(len(ref)):
                 if not ref_taken[ri] and hk == rkeys[ri]:
                     ref_taken[ri] = True
@@ -186,6 +192,7 @@ def meteor_tokens(ref: list[str], hyp: list[str]) -> float:
 
     stage(lambda t: t)
     stage(porter_stem)
+    stage(synonym_key)
     m = len(matches)
     if m == 0:
         return 0.0

@@ -105,7 +105,24 @@ def _extract_pdf(data: bytes) -> dict[str, Any]:
     ordered = reading_order(blocks, page_width=width)
     items = []
     layout = []
+    tables = []
     for blk in ordered:
+        if blk.label == "table":
+            # table-labeled PDF blocks carry the cell grammar (reference
+            # evaluates tables from PDFs too, `table_evaluator.py:111-243`);
+            # like the HTML path, tables are structured grids and are
+            # excluded from the text / items / layout streams
+            from docling_eval_spark.extraction.tables import parse_cell_grammar
+
+            g = parse_cell_grammar(blk.text)
+            tables.append(
+                {
+                    "num_rows": g.num_rows,
+                    "num_cols": g.num_cols,
+                    "cells": [vars(c) for c in g.cells],
+                }
+            )
+            continue
         txt = normalize_ws(blk.text)
         if not txt:
             continue
@@ -125,7 +142,7 @@ def _extract_pdf(data: bytes) -> dict[str, Any]:
     return {
         "title": "",
         "items": items,
-        "tables": [],
+        "tables": tables,
         "text": text,
         "pages": [{"page_no": p, "width": w, "height": h} for p, w, h in pages],
         "layout": layout,

@@ -16,10 +16,11 @@ synthetic generator emits:
 Coordinates are top-left-origin points, matching the reference's
 TOPLEFT bbox convention (`benchmarks/dpbench/create.py:124-132`).
 
-A real-PDF content-stream parser would slot in behind the same
-``parse_minipdf`` signature; decoding of true PDF object streams is
-stubbed (raises ``NotImplementedError``) — the Spark plumbing
-(binary column in, labeled blocks + text out) is identical either way.
+Real ``%PDF-1`` bytes are NOT handled here: the extraction kernel
+routes them to the real content-stream parser in ``pdf_real.py``
+(object scan, FlateDecode, BT/ET text ops); ``parse_minipdf`` raising
+``NotImplementedError`` on that magic is a guard against calling the
+wrong parser, not a coverage gap.
 """
 
 from __future__ import annotations
@@ -49,8 +50,8 @@ def parse_minipdf(data: bytes) -> tuple[list[tuple[int, float, float]], list[Lay
     """Parse MiniPDF bytes → (pages=[(page_no,w,h)], blocks)."""
     if data.startswith(REAL_PDF_MAGIC):
         raise NotImplementedError(
-            "real PDF content-stream decoding requires a native backend not "
-            "present in this container; MiniPDF exercises the same plumbing"
+            "real %PDF-1 bytes must go through extraction.pdf_real "
+            "(the kernel routes on magic); parse_minipdf only reads MiniPDF"
         )
     if not data.startswith(MAGIC):
         raise ValueError("not a MiniPDF document")

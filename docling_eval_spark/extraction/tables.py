@@ -120,6 +120,55 @@ def parse_table(table_html: str) -> TableGrid:
     return TableGrid(num_rows=row + 1 if row >= 0 else 0, num_cols=max_col, cells=cells)
 
 
+_GRAMMAR_SPAN_RE = re.compile(r"^(\d+)x(\d+)>(.*)$", re.S)
+
+
+def parse_cell_grammar(s: str) -> TableGrid:
+    """Plain-text cell grammar → span-aware grid (the PDF-path table
+    encoding): rows separated by newlines, cells by ``' | '``; a cell
+    may carry a ``RxC>`` span prefix (row_span x col_span); positions
+    covered by an earlier span are omitted, exactly like HTML source.
+    Row 0 cells are column headers (mirrors the synthetic corpus's
+    all-<th> first rows). Same occupancy-fill semantics as parse_table,
+    so TEDS consumes the result directly."""
+    rows = s.split("\n")
+    occupied: set[tuple[int, int]] = set()
+    cells: list[TableCell] = []
+    max_col = 0
+    for r, row in enumerate(rows):
+        c = 0
+        for raw in row.split(" | "):
+            raw = raw.strip()
+            if not raw:
+                continue
+            rs = cs = 1
+            m = _GRAMMAR_SPAN_RE.match(raw)
+            if m:
+                rs, cs = max(1, int(m.group(1))), max(1, int(m.group(2)))
+                raw = m.group(3).strip()
+            while (r, c) in occupied:
+                c += 1
+            cells.append(
+                TableCell(
+                    text=raw,
+                    row_span=rs,
+                    col_span=cs,
+                    start_row_offset_idx=r,
+                    end_row_offset_idx=r + rs,
+                    start_col_offset_idx=c,
+                    end_col_offset_idx=c + cs,
+                    col_header=r == 0,
+                    row_header=False,
+                )
+            )
+            for rr in range(r, r + rs):
+                for cc in range(c, c + cs):
+                    occupied.add((rr, cc))
+            c += cs
+            max_col = max(max_col, c)
+    return TableGrid(num_rows=len(rows), num_cols=max_col, cells=cells)
+
+
 def extract_tables(html_text: str) -> list[TableGrid]:
     """All top-level tables in document order (nested tables flattened
     into their parent's cell text — adequate for the synthetic corpus)."""

@@ -142,16 +142,30 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate (id_l < id_r, cosine ≥ τ) pairs via bucketed
-    self-join — embedding-space near-dup detection at corpus scale."""
+    self-join — embedding-space near-dup detection at corpus scale.
+
+    Buckets larger than ``max_bucket`` (degenerate clusters, e.g.
+    all-zero embeddings landing in one hyperplane cell) are DROPPED
+    rather than joined — a quadratic bucket at corpus scale is an
+    error, not work (same guard as minhash_lsh_pairs). Inspect the
+    overflow with ``near_dup_bucket_overflow``."""
     planes_df = corpus.withColumn(
         "bucket", bucket_col(vec_col, hyperplanes_for(corpus, vec_col, n_planes, seed))
     )
-    l = planes_df.select(
+    ok = (
+        planes_df.groupBy("bucket")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("bucket")
+    )
+    capped = planes_df.join(F.broadcast(ok), "bucket")
+    l = capped.select(
         "bucket", F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l")
     )
-    r = planes_df.select(
+    r = capped.select(
         "bucket", F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r")
     )
     return (
@@ -161,6 +175,25 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")
         .distinct()
+    )
+
+
+def near_dup_bucket_overflow(
+    corpus: DataFrame,
+    n_planes: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(bucket, n) rows for buckets the near-dup join refuses to expand."""
+    return (
+        corpus.withColumn(
+            "bucket",
+            bucket_col(vec_col, hyperplanes_for(corpus, vec_col, n_planes, seed)),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
     )
 
 

@@ -333,3 +333,22 @@ def visualize(
             ds, str(out / "comparison.html"), gt_col="gt_text",
             pred_col="extracted_text", key_col="url",
         )
+    if modality == "layout":
+        from docling_eval_spark.evaluators.layout import corpus_ap_table
+        from docling_eval_spark.reporting.reports import (
+            per_class_ap_report,
+            save_overlay_html,
+        )
+
+        ds = read_dataset(spark, dataset_dir)
+        pred_col = "pred_layout" if "pred_layout" in ds.columns else "layout"
+        src = ds.select(
+            "url",
+            F.col("layout").alias("gt_layout"),
+            F.col(pred_col).alias("pred_layout"),
+        ).filter(F.size("gt_layout") > 0)
+        per_class_ap_report(
+            corpus_ap_table(src, "gt_layout", "pred_layout"),
+            str(out / "per_class_ap.md"),
+        )
+        save_overlay_html(ds, str(out / "layout_overlay.html"))

@@ -128,6 +128,125 @@ def save_comparison_html(
     return len(rows)
 
 
+def per_class_ap_report(ap_table: DataFrame, out_path: str) -> str:
+    """Per-class AP markdown table, sorted descending — the reference's
+    per-class report (`layout_evaluator.py:68-71,240-241`, e.g.
+    `docs/evaluations/DPBench/..._layout_mAP_0.5_0.95.txt`). Input is
+    the (label, iou_thr, ap) table from evaluators.layout.corpus_ap_table;
+    ≤ #classes × 10 rows, rendered driver-side."""
+    from docling_eval_spark.evaluators.layout import per_class_ap
+
+    rows = per_class_ap(ap_table).collect()
+    ap50 = {
+        r["label"]: r["ap"]
+        for r in ap_table.filter(F.col("iou_thr") == 0.5).collect()
+    }
+    lines = [
+        "| label | AP[0.50:0.95] | AP@0.50 |",
+        "|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['label']} | {r['ap']:.4f} | {ap50.get(r['label'], 0.0):.4f} |"
+        )
+    text = "\n".join(lines)
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(text)
+    return text
+
+
+_OVERLAY_CSS = (
+    "<style>body{font-family:sans-serif}svg{border:1px solid #999;margin:4px}"
+    ".gt{fill:#4878a8;fill-opacity:0.15;stroke:#4878a8;stroke-width:1}"
+    ".pred{fill:none;stroke:#c83232;stroke-width:1.5;stroke-dasharray:4 2}"
+    "text{font-size:7px;fill:#333}</style>"
+)
+
+
+def save_overlay_html(
+    ds: DataFrame,
+    out_path: str,
+    gt_col: str = "layout",
+    pred_col: str | None = None,
+    pages_col: str = "pages",
+    key_col: str = "url",
+    max_docs: int = 12,
+    view_w: float = 400.0,
+) -> int:
+    """GT-vs-pred layout-box overlays as inline SVG, one panel per page
+    (the reference's cluster-overlay / inspection HTML,
+    `visualisation/visualisations.py:237-366,369-399` — drawn over the
+    MiniPDF page geometry instead of rendered page images, since no
+    raster codecs exist in this container). GT boxes: translucent blue;
+    predictions: dashed red. Bounded driver-side sample."""
+    pred_col = pred_col or ("pred_layout" if "pred_layout" in ds.columns else gt_col)
+    cols = [key_col, gt_col, pred_col]
+    has_pages = pages_col in ds.columns
+    if has_pages:
+        cols.append(pages_col)
+    rows = (
+        ds.filter(F.size(gt_col) > 0)
+        .select(*cols)
+        .orderBy(key_col)
+        .limit(max_docs)
+        .collect()
+    )
+    sections = []
+    for r in rows:
+        gt = [x.asDict() for x in (r[gt_col] or [])]
+        pred = [x.asDict() for x in (r[pred_col] or [])]
+        page_dims: dict[int, tuple[float, float]] = {}
+        if has_pages and r[pages_col]:
+            for p in r[pages_col]:
+                page_dims[p["page_no"]] = (float(p["width"]), float(p["height"]))
+        pages = sorted(
+            {b.get("page_no") or 1 for b in gt + pred} | set(page_dims)
+        )
+        panels = []
+        for pg in pages:
+            gt_p = [b for b in gt if (b.get("page_no") or 1) == pg]
+            pr_p = [b for b in pred if (b.get("page_no") or 1) == pg]
+            if pg in page_dims:
+                pw, ph = page_dims[pg]
+            else:  # fall back to content extents + margin
+                ext = gt_p + pr_p
+                pw = max((b["r"] for b in ext), default=1.0) + 10
+                ph = max((b["b"] for b in ext), default=1.0) + 10
+            s = view_w / max(pw, 1e-9)
+            shapes = []
+            for b in gt_p:
+                shapes.append(
+                    f'<rect class="gt" x="{b["l"]*s:.1f}" y="{b["t"]*s:.1f}" '
+                    f'width="{(b["r"]-b["l"])*s:.1f}" height="{(b["b"]-b["t"])*s:.1f}"/>'
+                    f'<text x="{b["l"]*s+1:.1f}" y="{b["t"]*s+7:.1f}">'
+                    f"{_html.escape(str(b.get('label') or ''))}</text>"
+                )
+            for b in pr_p:
+                shapes.append(
+                    f'<rect class="pred" x="{b["l"]*s:.1f}" y="{b["t"]*s:.1f}" '
+                    f'width="{(b["r"]-b["l"])*s:.1f}" height="{(b["b"]-b["t"])*s:.1f}"/>'
+                )
+            panels.append(
+                f'<svg width="{view_w:.0f}" height="{ph*s:.0f}">' + "".join(shapes) + "</svg>"
+            )
+        sections.append(
+            f"<h3>{_html.escape(str(r[key_col]))}</h3>"
+            f"<p>{len(gt)} GT boxes (blue), {len(pred)} predicted (dashed red)</p>"
+            + "".join(panels)
+        )
+    doc = (
+        "<html><head><meta charset='utf-8'>" + _OVERLAY_CSS + "</head><body>"
+        "<h2>Layout overlay: ground truth vs prediction</h2>"
+        + "".join(sections)
+        + "</body></html>"
+    )
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(doc)
+    return len(rows)
+
+
 def delta_row_col_report(teds_df: DataFrame) -> DataFrame:
     """Δrows/Δcols histogram (SURVEY A6, `table_evaluator.py:42-81`)."""
     return (

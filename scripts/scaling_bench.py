@@ -75,11 +75,21 @@ wall_extract, _ = best_of(
     2, lambda: extract_stage(pages).write.format("noop").mode("overwrite").save()
 )
 
+# digest-below-the-shuffle: at warehouse scale you never shuffle full
+# documents to check byte equality — both sides reduce to (url, md5)
+# JVM-side BEFORE the exchange, so the join moves ~80 B/row instead of
+# the multi-KB page text (the full-text shuffle collapsed to 0.489
+# efficiency at 8->32 in round 1; md5 equality == byte equality here)
+# the GT side is IO-light (one digest per row): coalesce its scan to
+# `cores` partitions so it doesn't pay the kernel side's fine-grained
+# task sizing (512k maxPartitionBytes → hundreds of trivial GT tasks)
 wall_join, res = best_of(
     2,
-    lambda: (extract_text_stage(pages).join(pages.select("url", "text"), "url")
+    lambda: (extract_text_stage(pages)
+             .select("url", F.md5("extracted_text").alias("ex_md5"))
+             .join(pages.select("url", F.md5("text").alias("gt_md5")).coalesce(cores), "url")
              .agg(F.count("*").alias("docs"),
-                  F.sum(F.when(F.col("extracted_text") == F.col("text"), 1).otherwise(0)).alias("identical"))
+                  F.sum(F.when(F.col("ex_md5") == F.col("gt_md5"), 1).otherwise(0)).alias("identical"))
              .collect()[0]),
 )
 

@@ -40,6 +40,24 @@ def test_three_phase_pipeline(spark, tmp_path):
     ro = spark.read.parquet(f"{eval_dir}/evaluation_reading_order")
     assert ro.agg({"ard_norm": "avg"}).collect()[0][0] == 1.0
 
+    # PDF-path tables: TEDS coverage must include application/pdf docs
+    # (reference table_evaluator.py:111-243 evaluates tables from PDFs)
+    pipelines.evaluate(spark, dataset, "table_structure", eval_dir)
+    teds_rows = spark.read.parquet(f"{eval_dir}/evaluation_table_structure")
+    pdf_urls = [r["url"] for r in ds.filter(ds.mimetype == "application/pdf").collect()]
+    n_pdf_tables = teds_rows.filter(teds_rows.url.isin(pdf_urls)).count()
+    assert n_pdf_tables > 0
+    assert teds_rows.agg({"teds": "min"}).collect()[0][0] == 1.0  # identity
+
+    # layout visualize: per-class AP table + SVG overlay HTML
+    pipelines.evaluate(spark, dataset, "layout", eval_dir)
+    pipelines.visualize(spark, dataset, eval_dir, "layout", str(reports))
+    ap_md = (reports / "per_class_ap.md").read_text()
+    assert ap_md.startswith("| label | AP[0.50:0.95] | AP@0.50 |")
+    assert "| 1.0000 | 1.0000 |" in ap_md  # identity dataset: AP = 1
+    overlay = (reports / "layout_overlay.html").read_text()
+    assert "<svg" in overlay and 'class="gt"' in overlay and 'class="pred"' in overlay
+
 
 def test_perturbed_pipeline_metric_sensitivity(spark, tmp_path):
     """K10 model slot: seeded noise → metrics drop monotonically with

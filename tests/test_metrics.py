@@ -245,3 +245,16 @@ def test_meteor_stem_alignment():
     assert score > 0.5
     # without stem matches this pair would only align 'the'
     assert meteor_exact("cats running", "zebra xylophone") == 0.0
+
+
+def test_meteor_synonym_stage():
+    """Bundled static synonym table (F10): pins the COVERAGE.md §F10
+    fixture values; out-of-table tokens must never cross-match."""
+    assert meteor_exact(
+        "the big dog runs fast", "the large dog runs quickly"
+    ) == pytest.approx(0.7937, abs=5e-5)
+    assert meteor_exact(
+        "the old house near the road", "the ancient home close to the street"
+    ) == pytest.approx(0.8535, abs=5e-5)
+    # two unknown tokens (both map to no synonym group) must NOT align
+    assert meteor_exact("flibber jabber", "wocket gromp") == 0.0

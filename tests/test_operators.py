@@ -146,6 +146,23 @@ def test_embedding_near_dup(spark):
     assert got == {(0, 1)}
 
 
+def test_embedding_near_dup_bucket_cap(spark):
+    """A degenerate all-identical corpus lands in one bucket; the cap
+    must refuse the quadratic join and report the overflow."""
+    from docling_eval_spark.operators.similarity import near_dup_bucket_overflow
+
+    vec = [1.0] * 8
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    pairs = embedding_near_dup_pairs(df, threshold=0.5, max_bucket=10)
+    assert pairs.count() == 0
+    ov = near_dup_bucket_overflow(df, max_bucket=10).collect()
+    assert len(ov) == 1 and ov[0]["n"] == 50
+    # with the cap relaxed the same corpus yields all C(50,2) pairs
+    assert embedding_near_dup_pairs(df, threshold=0.5, max_bucket=100).count() == 1225
+
+
 def test_lang_id(spark, docs_df):
     got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs_df).collect()}
     assert got[0] == "en" and got[3] == "en"

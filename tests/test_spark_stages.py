@@ -32,6 +32,34 @@ def test_stats_stage_matches_statistics_module(spark):
     assert len(row["bins"]) == 21
 
 
+def test_stats_scale_mode_matches_default(spark):
+    """Counting-histogram stats (scale_mode) == default path: exact
+    median (odd/even/duplicate cases), mean/std to float tolerance,
+    identical histogram — grouped and ungrouped."""
+    rng = np.random.RandomState(5)
+    rows = [
+        (["g1", "g2", "g3"][i % 3], round(float(v), 3))
+        for i, v in enumerate(rng.uniform(0, 1, 257))
+    ] + [("g1", 0.25), ("g1", 0.25), ("g2", 0.999)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for groups in ([], ["g"]):
+        base = {
+            tuple(r[c] for c in groups): r
+            for r in compute_stats(df, "v", groups or None).collect()
+        }
+        scale = {
+            tuple(r[c] for c in groups): r
+            for r in compute_stats(df, "v", groups or None, scale_mode=True).collect()
+        }
+        assert base.keys() == scale.keys()
+        for k in base:
+            assert scale[k]["total"] == base[k]["total"]
+            assert scale[k]["median"] == base[k]["median"]  # exact
+            assert scale[k]["mean"] == pytest.approx(base[k]["mean"], abs=1e-12)
+            assert scale[k]["std"] == pytest.approx(base[k]["std"], abs=1e-12)
+            assert scale[k]["hist"] == base[k]["hist"]
+
+
 def test_histogram_table_cumsum(spark):
     df = spark.createDataFrame([(v / 10.0,) for v in range(10)], "v double")
     tbl = histogram_table(compute_stats(df, "v")).orderBy("bin").collect()
