@@ -263,10 +263,12 @@ def _gen_minipdf_page(
     return data, text, tables
 
 
-def _gen_realpdf_page(rng: random.Random) -> tuple[bytes, str]:
+def _gen_realpdf_page(rng: random.Random) -> tuple[bytes, str, list[dict]]:
     """Real PDF bytes (see extraction/pdf_write.py); GT = paragraphs in
     written (top-down) order, matching the content-stream parser +
-    XY-cut linearization."""
+    XY-cut linearization. ~50% of docs append a unit-cell table lattice
+    on page 1 (recovered by pdf_real.recover_table_blocks; excluded
+    from text by contract)."""
     from docling_eval_spark.extraction.pdf_write import simple_pdf
 
     n_pages = rng.randint(1, 2)
@@ -274,9 +276,18 @@ def _gen_realpdf_page(rng: random.Random) -> tuple[bytes, str]:
         [_words(rng, rng.randint(6, 14)) for _ in range(rng.randint(2, 5))]
         for _ in range(n_pages)
     ]
-    data = simple_pdf(pages, compress=rng.random() < 0.5)
+    tables: list[dict] = []
+    table_pages: list[list[list[str]] | None] = [None] * n_pages
+    if rng.random() < 0.5:
+        nrows = rng.randint(2, 4)
+        ncols = rng.randint(2, 3)
+        table_pages[0] = [
+            [f"t{r}c{c}" for c in range(ncols)] for r in range(nrows)
+        ]
+        tables.append({"num_rows": nrows, "num_cols": ncols, "complex": False})
+    data = simple_pdf(pages, compress=rng.random() < 0.5, table_pages=table_pages)
     text = BLOCK_SEP.join(normalize_ws(p) for pg in pages for p in pg)
-    return data, text
+    return data, text, tables
 
 
 def gen_page(i: int, seed: int = 42) -> dict[str, Any]:
@@ -288,8 +299,7 @@ def gen_page(i: int, seed: int = 42) -> dict[str, Any]:
     if i % 10 == 7:
         data, text, tables = _gen_minipdf_page(rng, i)
     elif i % 10 == 3:
-        data, text = _gen_realpdf_page(rng)
-        tables = []
+        data, text, tables = _gen_realpdf_page(rng)
     else:
         data, text, tables = _gen_html_page(rng, i)
     return {

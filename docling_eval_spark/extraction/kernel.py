@@ -95,17 +95,23 @@ def _add_charspans(items: list[dict[str, Any]]) -> None:
 
 
 def _extract_pdf(data: bytes) -> dict[str, Any]:
+    tables: list[dict[str, Any]] = []
     if data.startswith(PDF_MINI_MAGIC):
         pages, blocks = parse_minipdf(data)
     else:
-        from docling_eval_spark.extraction.pdf_real import parse_pdf
+        from docling_eval_spark.extraction.pdf_real import (
+            parse_pdf,
+            recover_table_blocks,
+        )
 
         pages, blocks = parse_pdf(data)
+        # real PDFs carry no labels: recover table lattices by
+        # coordinate alignment, remove their cells from the text flow
+        blocks, tables = recover_table_blocks(blocks)
     width = pages[0][1] if pages else 612.0
     ordered = reading_order(blocks, page_width=width)
     items = []
     layout = []
-    tables = []
     for blk in ordered:
         if blk.label == "table":
             # table-labeled PDF blocks carry the cell grammar (reference

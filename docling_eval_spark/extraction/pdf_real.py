@@ -252,6 +252,71 @@ def _parse_content_stream(cs: bytes, page_no: int, page_h: float) -> list[Layout
     return blocks
 
 
+def recover_table_blocks(
+    blocks: list[LayoutBlock], min_cols: int = 2, min_rows: int = 2
+) -> tuple[list[LayoutBlock], list[dict]]:
+    """Lattice-alignment table recovery over parsed text blocks (the
+    classic coordinate-clustering heuristic, cf. Tabula/Camelot
+    stream mode; reference evaluates tables from PDFs as its headline
+    benchmark, `table_evaluator.py:111-243`).
+
+    Per page: cluster blocks by top coordinate into candidate rows; a
+    maximal run of ≥ min_rows consecutive rows whose sorted left-edge
+    sets are identical and have ≥ min_cols columns is a table. Those
+    blocks become one unit-cell grid (row 0 = column headers, like the
+    synthetic HTML corpus) and leave the text flow. Single-column
+    paragraph stacks never match (one left edge < min_cols)."""
+    grids: list[dict] = []
+    keep: list[LayoutBlock] = []
+    by_page: dict[int, list[LayoutBlock]] = {}
+    for b in blocks:
+        by_page.setdefault(b.page_no, []).append(b)
+    for page_no in sorted(by_page):
+        pblocks = by_page[page_no]
+        rows_by_t: dict[float, list[LayoutBlock]] = {}
+        for b in pblocks:
+            rows_by_t.setdefault(round(b.t, 1), []).append(b)
+        ts = sorted(rows_by_t)
+        sig = {t: tuple(sorted(round(b.l, 1) for b in rows_by_t[t])) for t in ts}
+        used: set[float] = set()
+        i = 0
+        while i < len(ts):
+            j = i
+            xs = sig[ts[i]]
+            if len(xs) >= min_cols and len(set(xs)) == len(xs):
+                while j + 1 < len(ts) and sig[ts[j + 1]] == xs:
+                    j += 1
+            if j - i + 1 >= min_rows:
+                row_ts = ts[i : j + 1]
+                used.update(row_ts)
+                cells = []
+                for r, t in enumerate(row_ts):
+                    for c, blk in enumerate(sorted(rows_by_t[t], key=lambda b: b.l)):
+                        cells.append(
+                            {
+                                "text": blk.text,
+                                "row_span": 1,
+                                "col_span": 1,
+                                "start_row_offset_idx": r,
+                                "end_row_offset_idx": r + 1,
+                                "start_col_offset_idx": c,
+                                "end_col_offset_idx": c + 1,
+                                "col_header": r == 0,
+                                "row_header": False,
+                            }
+                        )
+                grids.append(
+                    {"num_rows": len(row_ts), "num_cols": len(xs), "cells": cells}
+                )
+                i = j + 1
+            else:
+                i += 1
+        for t in ts:
+            if t not in used:
+                keep.extend(rows_by_t[t])
+    return keep, grids
+
+
 def parse_pdf(data: bytes) -> tuple[list[tuple[int, float, float]], list[LayoutBlock]]:
     """Real-PDF bytes → (pages=[(page_no,w,h)], layout blocks)."""
     if b"/Encrypt" in data[:2048] or b"/Encrypt" in data[-2048:]:

@@ -70,8 +70,36 @@ def write_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
     return bytes(out)
 
 
-def simple_pdf(paragraph_pages: list[list[str]], compress: bool = False) -> bytes:
-    """[[page1 paragraphs], [page2 …]] → PDF bytes."""
-    return write_pdf(
-        [paragraphs_to_stream(p) for p in paragraph_pages], compress=compress
-    )
+def table_to_stream(
+    rows: list[list[str]], y0: int, x0: int = 72, col_w: int = 110, row_h: int = 20
+) -> bytes:
+    """Unit-cell table lattice → one BT/ET op PER CELL on a rigid
+    (x0 + c·col_w, y0 − r·row_h) grid — the alignment signature
+    pdf_real.recover_table_blocks detects."""
+    parts = []
+    for r, cells in enumerate(rows):
+        for c, text in enumerate(cells):
+            parts.append(
+                f"BT /F1 10 Tf {x0 + c * col_w} {y0 - r * row_h} Td "
+                f"({_escape(text)}) Tj ET"
+            )
+    return "\n".join(parts).encode("latin-1", errors="replace")
+
+
+def simple_pdf(
+    paragraph_pages: list[list[str]],
+    compress: bool = False,
+    table_pages: list[list[list[str]] | None] | None = None,
+) -> bytes:
+    """[[page1 paragraphs], [page2 …]] → PDF bytes. ``table_pages``
+    optionally appends one unit-cell table (list of rows of cell
+    strings) below each page's paragraphs."""
+    streams = []
+    for i, paras in enumerate(paragraph_pages):
+        cs = paragraphs_to_stream(paras)
+        tbl = table_pages[i] if table_pages else None
+        if tbl:
+            y0 = 720 - 40 * len(paras) - 40
+            cs = cs + b"\n" + table_to_stream(tbl, y0)
+        streams.append(cs)
+    return write_pdf(streams, compress=compress)

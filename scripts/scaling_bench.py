@@ -62,44 +62,54 @@ pages = spark.read.parquet(pages_dir)
 # imports) and compiles codegen, so the timed run measures steady state
 extract_stage(pages.limit(cores * 64).repartition(cores)).write.format("noop").mode("overwrite").save()
 
-def best_of(n, fn):
-    best = None
-    for _ in range(n):
-        t0 = time.monotonic()
-        out = fn()
-        dt = time.monotonic() - t0
-        best = (dt, out) if best is None or dt < best[0] else best
-    return best
-
-wall_extract, _ = best_of(
-    2, lambda: extract_stage(pages).write.format("noop").mode("overwrite").save()
-)
+def run_extract():
+    extract_stage(pages).write.format("noop").mode("overwrite").save()
+    return None
 
 # digest-below-the-shuffle: at warehouse scale you never shuffle full
 # documents to check byte equality — both sides reduce to (url, md5)
 # JVM-side BEFORE the exchange, so the join moves ~80 B/row instead of
-# the multi-KB page text (the full-text shuffle collapsed to 0.489
-# efficiency at 8->32 in round 1; md5 equality == byte equality here)
-# the GT side is IO-light (one digest per row): coalesce its scan to
-# `cores` partitions so it doesn't pay the kernel side's fine-grained
-# task sizing (512k maxPartitionBytes → hundreds of trivial GT tasks)
-wall_join, res = best_of(
-    2,
-    lambda: (extract_text_stage(pages)
-             .select("url", F.md5("extracted_text").alias("ex_md5"))
-             .join(pages.select("url", F.md5("text").alias("gt_md5")).coalesce(cores), "url")
-             .agg(F.count("*").alias("docs"),
-                  F.sum(F.when(F.col("ex_md5") == F.col("gt_md5"), 1).otherwise(0)).alias("identical"))
-             .collect()[0]),
-)
+# the multi-KB page text. The GT side is IO-light (one digest per
+# row): coalesce its scan to `cores` partitions so it doesn't pay the
+# kernel side's fine-grained task sizing, and hint shuffle_hash (slim
+# fixed-width rows: hash build beats two sort passes).
+def run_join():
+    return (extract_text_stage(pages)
+            .select("url", F.md5("extracted_text").alias("ex_md5"))
+            .join(pages.select("url", F.md5("text").alias("gt_md5"))
+                  .coalesce(cores).hint("shuffle_hash"), "url")
+            .agg(F.count("*").alias("docs"),
+                 F.sum(F.when(F.col("ex_md5") == F.col("gt_md5"), 1).otherwise(0)).alias("identical"))
+            .collect()[0])
 
 # fused shape: GT rides through the kernel — zero-shuffle byte check
-wall_fused, res_fused = best_of(
-    2,
-    lambda: (extract_match_stage(pages)
-             .agg(F.count("*").alias("docs"), F.sum("is_match").alias("identical"))
-             .collect()[0]),
-)
+def run_fused():
+    return (extract_match_stage(pages)
+            .agg(F.count("*").alias("docs"), F.sum("is_match").alias("identical"))
+            .collect()[0])
+
+# the host's all-core frequency drifts over consecutive saturating
+# runs (measured: extract-only walls 6.1s -> 8.4s -> 10.6s back to
+# back), so shapes are timed in ALTERNATING order with a cooldown —
+# a fixed shape order would systematically bias whichever shape runs
+# hottest (round 1 charged that drift to the join).
+REPS = 3
+walls = {"extract": [], "join": [], "fused": []}
+outs = {}
+for _ in range(REPS):
+    for name, fn in (("extract", run_extract), ("join", run_join), ("fused", run_fused)):
+        time.sleep(5)
+        t0 = time.monotonic()
+        out = fn()
+        walls[name].append(time.monotonic() - t0)
+        if out is not None:
+            outs[name] = out
+
+wall_extract = min(walls["extract"])
+wall_join = min(walls["join"])
+wall_fused = min(walls["fused"])
+res = outs["join"]
+res_fused = outs["fused"]
 
 # invariance hash OUTSIDE the timed window (serial reducer tail)
 h = (extract_stage(pages)
@@ -151,10 +161,15 @@ def raw_control(levels: list[int]) -> dict[int, float]:
     for n in levels:
         with mp.Pool(n) as pool:
             pool.map(_mp_work, [(rows, 1)] * n)  # warm
-            t0 = time.monotonic()
-            pool.map(_mp_work, [(rows, 2)] * n)
-            dt = time.monotonic() - t0
-            out[n] = round(n * 2 * len(rows) / dt, 0)
+            time.sleep(5)  # cooldown parity with the Spark children
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                pool.map(_mp_work, [(rows, 2)] * n)
+                dt = time.monotonic() - t0
+                best = dt if best is None or dt < best else best
+                time.sleep(5)
+            out[n] = round(n * 2 * len(rows) / best, 0)
     return out
 
 
@@ -217,6 +232,16 @@ The raw-Python control runs the identical kernel via multiprocessing
 with no Spark: it is this host's own scaling ceiling (all-core turbo/
 memory-bandwidth falloff when 32/32 cores are busy). Spark efficiency
 should be read against that ceiling.
+
+Methodology: the join shape digests both sides to (url, md5) BEFORE
+the exchange (never shuffle full documents to check byte equality),
+coalesces the IO-light GT scan to `cores` partitions, and hints
+shuffle_hash (slim fixed-width rows: hash build beats two sort
+passes). Shapes are timed in alternating order, best-of-3 with
+cooldowns, because the host's all-core frequency drifts over
+consecutive saturating runs (measured walls 6.1s→8.4s→10.6s for the
+same job back-to-back) — a fixed order charges that drift to
+whichever shape runs last.
 
 - Identical outputs across all four parallelism levels:
   {'YES' if len(hashes) == 1 else 'NO'} (sorted corpus hash {next(iter(hashes))[:12]}…)

@@ -113,3 +113,26 @@ def test_degradation_paths():
     # corrupt Flate stream degrades to empty text, not a crash
     pdf = make_pdf([SIMPLE_CS], compress=True).replace(b"stream\nx", b"stream\nZZ", 1)
     assert extract_text(pdf) == ""
+
+
+def test_table_lattice_recovery():
+    """Alignment-based table recovery (reference evaluates tables from
+    PDFs, table_evaluator.py:111-243): per-cell text ops on a rigid
+    grid come back as a unit-cell grid and leave the text flow."""
+    from docling_eval_spark.extraction.pdf_write import simple_pdf
+
+    paras = ["first paragraph of body text", "second paragraph of body text"]
+    tbl = [["h0", "h1", "h2"], ["a0", "a1", "a2"], ["b0", "b1", "b2"]]
+    pdf = simple_pdf([paras], table_pages=[tbl])
+    doc = extract_document(pdf)
+    assert doc["status"] == "SUCCESS"
+    assert doc["text"] == "\n\n".join(paras)  # cells excluded from text
+    assert len(doc["tables"]) == 1
+    g = doc["tables"][0]
+    assert (g["num_rows"], g["num_cols"]) == (3, 3)
+    cells = {(c["start_row_offset_idx"], c["start_col_offset_idx"]): c for c in g["cells"]}
+    assert cells[(0, 0)]["text"] == "h0" and cells[(0, 0)]["col_header"]
+    assert cells[(2, 2)]["text"] == "b2" and not cells[(2, 2)]["col_header"]
+    # paragraph-only PDFs must never false-positive into tables
+    doc2 = extract_document(simple_pdf([paras + ["third one here"]]))
+    assert doc2["tables"] == [] and doc2["status"] == "SUCCESS"
