@@ -1458,6 +1458,100 @@ SELECT label, CAST(thr_pct AS BIGINT) AS thr_pct, round(ap, 6) AS ap FROM ap
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 §A1.1.1) per doc —
+    pure codegen column algebra; DuckDB recomputes every rule."""
+    from docling_eval_spark.operators.quality_rules import gopher_flags
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    g = gopher_flags(d)
+    return g.select(
+        "doc_id",
+        F.col("g_n_words").cast("bigint").alias("n_words"),
+        F.col("g_mean_word_len").alias("mean_word_len"),
+        F.col("g_symbol_ratio").alias("symbol_ratio"),
+        F.col("g_alpha_ratio").alias("alpha_ratio"),
+        F.col("g_stopword_hits").cast("bigint").alias("stopword_hits"),
+        "passes_gopher",
+    )
+
+
+_SQL_GOPHER = r"""
+WITH tk AS (
+  SELECT doc_id, text AS t,
+         list_filter(string_split_regex(trim(text), '[ 	
+]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    round(CASE WHEN len(toks) > 0 THEN
+      list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+      ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(toks) > 0 THEN
+      (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.|…'))) * 1.0 / len(toks)
+      ELSE 0.0 END, 6) AS symbol_ratio,
+    round(CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> regexp_matches(x, '[A-Za-zÀ-ÿ]'))) * 1.0 / len(toks)
+      ELSE 0.0 END, 6) AS alpha_ratio,
+    CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits,
+    round(CASE WHEN len(string_split(t, chr(10))) > 0 THEN
+      len(list_filter(string_split(t, chr(10)),
+          x -> regexp_matches(trim(x), '^([-*•]|[0-9]+[.)])'))) * 1.0
+      / len(string_split(t, chr(10))) ELSE 0.0 END, 6) AS bullet_ratio,
+    round(CASE WHEN len(string_split(t, chr(10))) > 0 THEN
+      len(list_filter(string_split(t, chr(10)),
+          x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) * 1.0
+      / len(string_split(t, chr(10))) ELSE 0.0 END, 6) AS ellipsis_ratio
+  FROM tk
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stopword_hits,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+   AND stopword_hits >= 2
+   AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3) AS passes_gopher
+FROM m
+"""
+
+
+def _q_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-bigram mass (Gopher §A1.1.2 repetition signal):
+    one explode + one map-side-combining hash agg."""
+    from docling_eval_spark.operators.quality_rules import top_bigram_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    r = top_bigram_fraction(d, "doc_id")
+    return r.select(
+        "id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("top_count").cast("bigint").alias("top_count"),
+        "top_fraction",
+    )
+
+
+_SQL_REPETITION = r"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '[ 	
+]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT id, toks[i] || '␟' || toks[i + 1] AS bg
+  FROM tk, unnest(range(1, len(toks))) AS u(i)
+),
+c AS (SELECT id, bg, count(*) AS c FROM bg GROUP BY id, bg)
+SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_count,
+       round(max(c) * 1.0 / sum(c), 6) AS top_fraction
+FROM c GROUP BY id
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
@@ -1657,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_map": _with_pkg(_q_corpus_map),
         "layout_class_ap": _with_pkg(_q_layout_class_ap),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
+        "gopher_quality": _with_pkg(_q_gopher_quality),
+        "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
     }
 
 
@@ -1698,4 +1794,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_map": _sql_corpus_map(),
         "layout_class_ap": _sql_layout_class_ap(),
         "teds_known_distance": _SQL_TEDS_KNOWN,
+        "gopher_quality": _SQL_GOPHER,
+        "repetition_bigrams": _SQL_REPETITION,
     }

@@ -1,0 +1,123 @@
+"""Gopher-style document quality rules and repetition signals.
+
+The published Gopher quality-filter rules (Rae et al. 2021, "Scaling
+Language Models: Methods, Analysis & Insights from Training Gopher",
+§A1.1.1 — public paper) as pure column algebra, plus the classic
+repetition signal (most-frequent n-gram mass). A 100-TB corpus sweep
+needs these as narrow codegen maps — no Python, no shuffle except the
+one hash aggregation inside top-bigram counting.
+
+Every rule is expressible in ANSI SQL, so the driver's DuckDB gate
+checks the flags value-exactly (`__spark_entry__._SQL_GOPHER`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from docling_eval_spark.operators.text_analysis import tokens_col
+
+# Gopher §A1.1.1 thresholds (public)
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MIN_ALPHA_WORD_RATIO = 0.8
+REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+MIN_STOPWORD_HITS = 2
+MAX_BULLET_LINE_RATIO = 0.9
+MAX_ELLIPSIS_LINE_RATIO = 0.3
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule columns + the combined ``passes_gopher``
+    flag. One narrow projection; every expression is whole-stage
+    codegen (tokens array is built once per row)."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_words = F.size(toks)
+    # mean word length over the token characters only
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = F.when(n_words > 0, word_chars / n_words).otherwise(0.0)
+    # symbols: '#' and the '...' / '…' ellipses, per Gopher
+    n_symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.|…")
+    )
+    sym_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(0.0)
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-zÀ-ÿ]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(0.0)
+    low_toks = F.transform(toks, F.lower)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(low_toks),
+            F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS]),
+        )
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike("^([-*•]|[0-9]+[.)])"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike("(\\.\\.\\.|…)$"))
+    )
+    return df.select(
+        "*",
+        n_words.alias("g_n_words"),
+        F.round(mean_wl, 6).alias("g_mean_word_len"),
+        F.round(sym_ratio, 6).alias("g_symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("g_alpha_ratio"),
+        stop_hits.cast("int").alias("g_stopword_hits"),
+        F.round(
+            F.when(n_lines > 0, bullet_lines / n_lines).otherwise(0.0), 6
+        ).alias("g_bullet_ratio"),
+        F.round(
+            F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(0.0), 6
+        ).alias("g_ellipsis_ratio"),
+    ).withColumn(
+        "passes_gopher",
+        (F.col("g_n_words") >= MIN_WORDS)
+        & (F.col("g_n_words") <= MAX_WORDS)
+        & (F.col("g_mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("g_mean_word_len") <= MAX_MEAN_WORD_LEN)
+        & (F.col("g_symbol_ratio") <= MAX_SYMBOL_WORD_RATIO)
+        & (F.col("g_alpha_ratio") >= MIN_ALPHA_WORD_RATIO)
+        & (F.col("g_stopword_hits") >= MIN_STOPWORD_HITS)
+        & (F.col("g_bullet_ratio") <= MAX_BULLET_LINE_RATIO)
+        & (F.col("g_ellipsis_ratio") <= MAX_ELLIPSIS_LINE_RATIO),
+    )
+
+
+def top_bigram_fraction(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bigrams, top_count, top_fraction): mass of the single
+    most frequent token bigram — the classic repetition filter signal
+    (Gopher §A1.1.2 'duplicate n-grams'). One explode + one hash
+    aggregation keyed by (id, bigram) with map-side combine, then a
+    per-id max — no per-document state, scales with the corpus."""
+    toks = tokens_col(F.col(text_col))
+    bigrams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws("␟", a, b),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("id", "bg").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_count")
+    )
+    return per_doc.select(
+        "id",
+        "n_bigrams",
+        "top_count",
+        F.round(F.col("top_count") / F.col("n_bigrams"), 6).alias("top_fraction"),
+    )

@@ -215,3 +215,34 @@ def test_multimodal_plumbing(spark):
     by_url = {r["url"]: r["count"] for r in frames}
     assert by_url["u2"] == 2  # 10000 bytes / 4096 → 2 frames
     assert decode_image_meta(png)["height"] == 480
+
+
+def test_gopher_rules(spark):
+    from docling_eval_spark.operators.quality_rules import gopher_flags
+
+    good = "the data set will be of good size and that we have built with care " + \
+        "word " * 40  # >50 words, stopwords present, alpha-heavy
+    short = "too short"
+    symbolic = ("the be to of and that have with " + "### ... " * 30)
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbolic)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_flags(df).collect()}
+    assert rows[0]["passes_gopher"]
+    assert not rows[1]["passes_gopher"]  # < 50 words
+    assert not rows[2]["passes_gopher"]  # symbol ratio > 0.1
+    assert rows[2]["g_symbol_ratio"] > 0.1
+    assert rows[0]["g_stopword_hits"] >= 2
+
+
+def test_top_bigram_fraction(spark):
+    from docling_eval_spark.operators.quality_rules import top_bigram_fraction
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "x y z w")], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in top_bigram_fraction(df, "doc_id").collect()}
+    # "a b a b a b": bigrams [ab, ba, ab, ba, ab] → top 'a b' 3/5
+    assert got[0]["n_bigrams"] == 5 and got[0]["top_count"] == 3
+    assert got[0]["top_fraction"] == 0.6
+    assert got[1]["top_count"] == 1 and got[1]["n_bigrams"] == 3
