@@ -238,3 +238,16 @@ def bucketed_by_url(df: DataFrame, num_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
     )
+
+
+def single_prov_items(items_col, provs_field: str = "provs"):
+    """P5 multi-provenance filter: keep only items with exactly one
+    provenance entry. The reference SKIPS multi-prov elements in the
+    reading-order path (`base_readingorder_evaluator.py:312-316`) and
+    ASSERTS single-prov in the bbox-text path
+    (`bbox_text_evaluator.py:175`). Our own kernel emits one charspan
+    per item, so this is identity on kernel output — the filter exists
+    for externally-ingested documents (JSON GT / CVAT) whose items may
+    carry several provenance spans. Pure HOF, no UDF."""
+    col = F.col(items_col) if isinstance(items_col, str) else items_col
+    return F.filter(col, lambda it: F.size(it[provs_field]) == 1)

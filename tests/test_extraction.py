@@ -154,3 +154,47 @@ def test_salted_repartition_evens_skew(spark):
     a = sorted(r["text_md5"] for r in extract_stage(balanced).select("text_md5").collect())
     b = sorted(r["text_md5"] for r in extract_stage(pages).select("text_md5").collect())
     assert a == b
+
+
+def test_single_prov_filter_and_json_gt(spark, tmp_path):
+    """P5 multi-prov filter + S3 JSON GT source."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.extraction.stage import single_prov_items
+    from docling_eval_spark.sources.json_gt import join_gt, read_gt_json
+
+    df = spark.createDataFrame(
+        [
+            (
+                "u1",
+                [
+                    {"label": "text", "provs": [[0, 5]]},
+                    {"label": "text", "provs": [[0, 5], [6, 9]]},  # multi → dropped
+                ],
+            )
+        ],
+        "url string, items array<struct<label:string, provs:array<array<int>>>>",
+    )
+    out = df.select(F.size(single_prov_items("items")).alias("n")).collect()[0]
+    assert out["n"] == 1
+
+    # JSON-lines GT with one corrupt record → failure row, not task failure
+    p = tmp_path / "gt.jsonl"
+    p.write_text(
+        _json.dumps({"url": "u1", "gt_text": "hello", "spans": [{"label": "t", "start": 0, "end": 5}]})
+        + "\n{not json}\n"
+        + _json.dumps({"url": "u2", "gt_text": "world", "spans": []})
+        + "\n"
+    )
+    gt = read_gt_json(spark, str(p))
+    rows = {r["gt_status"]: r for r in gt.collect()}
+    assert gt.count() == 3
+    assert rows["FAILURE"]["error"].startswith("{not json")
+    assert gt.filter("gt_status = 'SUCCESS'").count() == 2
+
+    docs = spark.createDataFrame([("u1", "x"), ("u3", "y")], "url string, extracted_text string")
+    joined = join_gt(docs, gt)
+    got = {r["url"]: r["gt_text"] for r in joined.collect()}
+    assert got == {"u1": "hello", "u3": None}
