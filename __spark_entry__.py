@@ -1480,7 +1480,8 @@ _SQL_GOPHER = r"""
 WITH tk AS (
   SELECT doc_id, text AS t,
          list_filter(string_split_regex(trim(text), '[ 	
-]+'),
+
+]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),
@@ -1537,7 +1538,8 @@ _SQL_REPETITION = r"""
 WITH tk AS (
   SELECT doc_id AS id,
          list_filter(string_split_regex(trim(text), '[ 	
-]+'),
+
+]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),
@@ -1549,6 +1551,80 @@ c AS (SELECT id, bg, count(*) AS c FROM bg GROUP BY id, bg)
 SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_count,
        round(max(c) * 1.0 / sum(c), 6) AS top_fraction
 FROM c GROUP BY id
+"""
+
+
+def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (hyperplane-LSH bucketed
+    self-join + exact cosine verify). Input doubles each vector with a
+    ×2-scaled twin (cosine exactly 1.0, bucket-identical by sign
+    invariance) so the pair set is non-trivial; the oracle recomputes
+    buckets and cosines with the same plane literals."""
+    from docling_eval_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = e.unionByName(
+        e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    return embedding_near_dup_pairs(dup, threshold=0.999).select(
+        "id_l", "id_r", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _sql_near_dup_pairs() -> str:
+    """DuckDB twin: same seed-7 hyperplanes as literals, same left-fold
+    float arithmetic (both engines fold the dot products in array
+    order, so signs/buckets/cosines are bit-identical)."""
+    from docling_eval_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 12, seed=7)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"j -> v[j] * ({arr})[j])), (a, x) -> a + x) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dup AS (
+  SELECT id, v FROM base
+  UNION ALL
+  SELECT id + 100000 AS id, list_transform(v, x -> x * 2.0) AS v FROM base
+),
+b AS (
+  SELECT id, v, ({bucket}) AS bucket FROM dup
+),
+sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+pairs AS (
+  SELECT DISTINCT l.id AS id_l, r.id AS id_r, l.v AS vl, r.v AS vr
+  FROM b l
+  JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+  JOIN sizes s ON s.bucket = l.bucket
+  WHERE s.n <= 1000
+),
+cos AS (
+  SELECT id_l, id_r,
+    list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> vl[i] * vr[i])),
+                (a, x) -> a + x) AS dot,
+    sqrt(list_reduce(list_prepend(0.0, list_transform(vl, x -> x * x)), (a, x) -> a + x)) AS na,
+    sqrt(list_reduce(list_prepend(0.0, list_transform(vr, x -> x * x)), (a, x) -> a + x)) AS nb
+  FROM pairs
+)
+SELECT DISTINCT id_l, id_r,
+       round(dot / (na * nb), 6) AS cosine
+FROM cos
+WHERE na > 0 AND nb > 0 AND dot / (na * nb) >= 0.999
 """
 
 
@@ -1753,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
         "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
+        "near_dup_pairs": _with_pkg(_q_near_dup_pairs),
     }
 
 
@@ -1796,4 +1873,5 @@ def oracle_sql() -> dict[str, str]:
         "teds_known_distance": _SQL_TEDS_KNOWN,
         "gopher_quality": _SQL_GOPHER,
         "repetition_bigrams": _SQL_REPETITION,
+        "near_dup_pairs": _sql_near_dup_pairs(),
     }

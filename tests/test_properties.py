@@ -144,3 +144,39 @@ def test_teds_clamp_hand_case():
     g2 = dict(num_rows=2, num_cols=1, cells=[_cell(r, 0, "") for r in range(2)])
     assert teds_score(g1, g2) == 0.0
     assert teds_score(g2, g1) == 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(_grid_strategy())
+def test_cell_grammar_roundtrip(grid):
+    """PDF cell grammar inverts: grid → grammar text → parse → TEDS 1.0
+    (grammar represents datagen-shaped grids: anchor cells + spans)."""
+    from docling_eval_spark.extraction.tables import parse_cell_grammar
+
+    rows: dict[int, list] = {}
+    for c in sorted(
+        grid["cells"],
+        key=lambda c: (c["start_row_offset_idx"], c["start_col_offset_idx"]),
+    ):
+        rs, cs = c["row_span"], c["col_span"]
+        txt = c["text"] or "x"  # grammar cells need non-empty text
+        cell = f"{rs}x{cs}>{txt}" if (rs, cs) != (1, 1) else txt
+        rows.setdefault(c["start_row_offset_idx"], []).append(cell)
+    grammar = "\n".join(
+        " | ".join(rows.get(r, [])) for r in range(grid["num_rows"])
+    )
+    g2 = parse_cell_grammar(grammar)
+    grid2 = {
+        "num_rows": grid["num_rows"],
+        "num_cols": grid["num_cols"],
+        "cells": [
+            {**c, "text": c["text"] or "x"} for c in grid["cells"]
+        ],
+    }
+    parsed = {
+        "num_rows": g2.num_rows,
+        "num_cols": g2.num_cols,
+        "cells": [vars(c) for c in g2.cells],
+    }
+    assert teds_score(grid2, parsed) == 1.0
+    assert is_complex_grid(parsed) == is_complex_grid(grid2)
