@@ -97,25 +97,42 @@ def top_bigram_fraction(
 ) -> DataFrame:
     """(id, n_bigrams, top_count, top_fraction): mass of the single
     most frequent token bigram — the classic repetition filter signal
-    (Gopher §A1.1.2 'duplicate n-grams'). One explode + one hash
-    aggregation keyed by (id, bigram) with map-side combine, then a
-    per-id max — no per-document state, scales with the corpus."""
+    (Gopher §A1.1.2 'duplicate n-grams').
+
+    ZERO shuffles: a document's tokens already ride in its row (they
+    came out of one text cell), so the bigram multiset is a bounded
+    in-row array — sort it and take the longest equal run with one SQL
+    ``aggregate`` fold. The first cut of this operator exploded
+    bigrams through two hash aggregations; the narrow form computes
+    identical values with no exchange at all."""
     toks = tokens_col(F.col(text_col))
-    bigrams = df.select(
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws("␟", a, b),
+    )
+    runs = F.aggregate(
+        F.sort_array(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    out = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.zip_with(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.concat_ws("␟", a, b),
-            )
-        ).alias("bg"),
-    )
-    counts = bigrams.groupBy("id", "bg").agg(F.count("*").alias("c"))
-    per_doc = counts.groupBy("id").agg(
-        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_count")
-    )
-    return per_doc.select(
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        runs["best"].alias("top_count"),
+    ).filter(F.col("n_bigrams") > 0)
+    return out.select(
         "id",
         "n_bigrams",
         "top_count",
