@@ -6,13 +6,14 @@ crop at `utils.py:406-436`). At web scale the engine treats media as
 ``binary`` columns with a typed metadata struct, processed by
 Arrow-batched kernels over ``mapInPandas``.
 
-The actual codecs (PIL/ffmpeg) are NOT in this container, so the
-decode step is a clearly-marked STUB: ``decode_image_meta`` parses
-real PNG/JPEG headers (pure bytes — genuinely implemented), while
-pixel decode / resize / frame-sample produce deterministic fakes
-derived from the byte content, behind ``fake=True`` markers. The
-Spark-side contracts — schemas, batch iteration, partitioning — are
-real and tested; swapping in PIL later changes only the kernel body.
+PNG payloads get a REAL pixel path: ``operators.png_codec`` is a
+pure-Python+numpy PNG encoder/decoder (zlib + the five spec scanline
+filters), so decode → numpy → resize → feature-extract genuinely runs
+on pixels. JPEG/GIF/video codecs are NOT in this container, so those
+payloads degrade to the clearly-marked deterministic fakes behind
+``fake=True`` markers; ``decode_image_meta`` still parses their real
+headers. The Spark-side contracts — schemas, batch iteration,
+partitioning — are identical on both paths.
 """
 
 from __future__ import annotations
@@ -111,6 +112,21 @@ def fake_image_features(data: bytes, dim: int = _FEAT_DIM) -> list[float]:
     return [x / norm for x in raw]
 
 
+def image_features(data: bytes) -> list[float]:
+    """REAL pixel features for decodable PNGs (per-channel mean/std +
+    luma histogram, same 16-dim shape as the fake); other formats fall
+    back to the hash fake."""
+    try:
+        from docling_eval_spark.operators.png_codec import (
+            image_stats_features,
+            png_decode,
+        )
+
+        return [float(x) for x in image_stats_features(png_decode(data))]
+    except Exception:
+        return fake_image_features(data)
+
+
 def image_features_stage(
     df: DataFrame, binary_col: str = "media", out_col: str = "features"
 ) -> DataFrame:
@@ -123,7 +139,7 @@ def image_features_stage(
         for pdf in batches:
             out = pdf[fields].copy()
             out[out_col] = [
-                fake_image_features(b if b is not None else b"")
+                image_features(b if b is not None else b"")
                 for b in pdf[binary_col]
             ]
             yield out
@@ -163,3 +179,64 @@ def frame_sample_stage(
             )
 
     return src.mapInPandas(kernel, schema=out_schema)
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("fake", T.BooleanType()),
+    ]
+)
+
+
+def thumbnail_stage(
+    df: DataFrame,
+    binary_col: str = "media",
+    max_side: int = 64,
+    out_col: str = "thumbnail",
+) -> DataFrame:
+    """Decode → nearest-neighbor downscale → re-encode PNG (real pixel
+    crop/scale, SURVEY K11; reference crops page renders in
+    `benchmarks/utils.py:406-436`). Non-PNG payloads come back as
+    fake=True rows carrying a 1x1 gray PNG so downstream schema/flow
+    is identical."""
+    import numpy as np
+
+    from docling_eval_spark.operators.png_codec import (
+        png_decode,
+        png_encode,
+        resize_nearest,
+    )
+
+    fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, THUMBNAIL_SCHEMA)]
+    )
+
+    def one(b: bytes) -> tuple:
+        try:
+            arr = png_decode(b)
+            h, w = arr.shape[:2]
+            scale = max(h, w) / max_side
+            if scale > 1:
+                arr = resize_nearest(
+                    arr, max(1, int(w / scale)), max(1, int(h / scale))
+                )
+            return (
+                png_encode(arr),
+                int(arr.shape[1]),
+                int(arr.shape[0]),
+                False,
+            )
+        except Exception:
+            return (png_encode(np.full((1, 1), 128, dtype=np.uint8)), 1, 1, True)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[fields].copy()
+            out[out_col] = [one(b if b is not None else b"") for b in pdf[binary_col]]
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -246,3 +246,34 @@ def test_top_bigram_fraction(spark):
     assert got[0]["n_bigrams"] == 5 and got[0]["top_count"] == 3
     assert got[0]["top_fraction"] == 0.6
     assert got[1]["top_count"] == 1 and got[1]["n_bigrams"] == 3
+
+
+def test_png_real_pixel_path(spark):
+    """K11: real PNG decode/resize/features through the Spark stages."""
+    import numpy as np
+
+    from docling_eval_spark.operators.multimodal import thumbnail_stage
+    from docling_eval_spark.operators.png_codec import (
+        image_stats_features,
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (96, 128, 3), dtype=np.uint8)
+    png = png_encode(img, filter_type=4)  # exercises Paeth unfiltering
+    df = spark.createDataFrame(
+        [("u1", bytearray(png)), ("u2", bytearray(b"not an image"))],
+        "url string, media binary",
+    )
+    rows = {r["url"]: r for r in thumbnail_stage(df, max_side=32).collect()}
+    t1 = rows["u1"]["thumbnail"]
+    assert not t1["fake"] and t1["thumb_w"] == 32 and t1["thumb_h"] == 24
+    thumb = png_decode(bytes(t1["thumb"]))
+    assert thumb.shape == (24, 32, 3)
+    assert rows["u2"]["thumbnail"]["fake"]
+    # real features == codec-path features, and they reflect pixels
+    feats = image_features_stage(df).collect()
+    by_url = {r["url"]: r["features"] for r in feats}
+    expect = image_stats_features(img)
+    assert np.allclose(by_url["u1"], expect, atol=1e-6)
