@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash",
     "cosine_topk",
+    "near_dup_pairs",
+    "gopher_quality",
+    "repetition_bigrams",
     "corpus_map",
     "teds_known_distance",
 ]
