@@ -1628,6 +1628,141 @@ WHERE na > 0 AND nb > 0 AND dot / (na * nb) >= 0.999
 """
 
 
+_URL_EXPR_DOC = """synthesized crawl-style URLs from events: mixed-case
+scheme/host, sometimes a default :443 port, unsorted query params, a
+fragment — everything canonicalization must fix."""
+
+
+def _synth_url_col():
+    e = F.col("event_id")
+    return F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".Example.com"),
+        F.when(e % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/P/"),
+        e.cast("string"),
+        F.when(e % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.when(e % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+_SQL_SYNTH_URL = (
+    "'HTTPS://Host' || CAST(user_id % 20 AS VARCHAR) || '.Example.com'"
+    " || CASE WHEN event_id % 3 = 0 THEN ':443' ELSE '' END"
+    " || '/P/' || CAST(event_id AS VARCHAR)"
+    " || CASE WHEN event_id % 2 = 0 THEN '?b=2&a=1' ELSE '' END"
+    " || CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl-dedup key normalization)."""
+    from docling_eval_spark.operators.web_ops import canonical_url_col, host_col
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    url = _synth_url_col()
+    return ev.select(
+        "event_id",
+        url.alias("raw_url"),
+        canonical_url_col(url).alias("canon"),
+        host_col(url).alias("host"),
+    )
+
+
+_SQL_CANON_URLS = f"""
+WITH u AS (
+  SELECT event_id, {_SQL_SYNTH_URL} AS raw_url
+  FROM events WHERE event_id < 1000
+),
+n AS (
+  SELECT event_id, raw_url, regexp_replace(raw_url, '#.*$', '', 'g') AS nf FROM u
+),
+p AS (
+  SELECT event_id, raw_url, nf,
+    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS hostport,
+    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1) AS rawpath,
+    regexp_extract(nf, '\\?(.*)$', 1) AS query
+  FROM n
+)
+SELECT event_id, raw_url,
+  scheme || '://' ||
+  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+       ELSE hostport END ||
+  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+  CASE WHEN array_to_string(list_sort(list_filter(string_split(query, '&'), x -> x <> '')), '&') <> ''
+       THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'), x -> x <> '')), '&')
+       ELSE '' END AS canon,
+  lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?]+)', 1)) AS host
+FROM p
+"""
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host rollup over synthesized URLs (one hash agg; map-side
+    combine absorbs the skewed-host distribution)."""
+    from docling_eval_spark.operators.web_ops import host_stats
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(_synth_url_col().alias("url"), F.col("props").alias("text"))
+    return host_stats(df)
+
+
+_SQL_HOST_STATS = f"""
+WITH u AS (SELECT {_SQL_SYNTH_URL} AS url, props AS text FROM events)
+SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?]+)', 1)) AS host,
+       count(*) AS docs,
+       round(avg(length(text)), 6) AS mean_chars
+FROM u GROUP BY host
+"""
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (C4 §2.2 style): documents re-chunked
+    into fixed 40-char lines; the table is unioned with an exact copy
+    so every copied line must dedup away (first-occurrence wins)."""
+    from docling_eval_spark.operators.web_ops import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    n_chunks = F.ceil(F.length("text") / 40.0).cast("int")
+    chunked = dup.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda i: F.substring(F.col("text"), i * 40 + 1, 40),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(chunked, "doc_id").select("id", "text")
+
+
+_SQL_LINE_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS id, text FROM documents
+),
+lines AS (
+  SELECT id, u.i AS line_no, substring(text, u.i * 40 + 1, 40) AS line
+  FROM d, unnest(range(0, greatest(CAST(ceil(length(text) / 40.0) AS INT), 1))) AS u(i)
+  WHERE trim(substring(text, u.i * 40 + 1, 40)) <> ''
+),
+kept AS (
+  SELECT id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY id, line_no) AS rn
+  FROM lines
+)
+SELECT id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept WHERE rn = 1 GROUP BY id
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
@@ -1830,6 +1965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _with_pkg(_q_gopher_quality),
         "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
         "near_dup_pairs": _with_pkg(_q_near_dup_pairs),
+        "canonical_urls": _with_pkg(_q_canonical_urls),
+        "host_stats": _with_pkg(_q_host_stats),
+        "line_dedup": _with_pkg(_q_line_dedup),
     }
 
 
@@ -1874,4 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _SQL_GOPHER,
         "repetition_bigrams": _SQL_REPETITION,
         "near_dup_pairs": _sql_near_dup_pairs(),
+        "canonical_urls": _SQL_CANON_URLS,
+        "host_stats": _SQL_HOST_STATS,
+        "line_dedup": _SQL_LINE_DEDUP,
     }

@@ -1,0 +1,115 @@
+"""Web-corpus operators: URL canonicalization, host rollups, and
+C4-style corpus-level line deduplication.
+
+All engine-portable (the DuckDB gate recomputes each value):
+
+- ``canonical_url_col`` — lowercase scheme+host, strip fragment,
+  drop default ports, sort query parameters (the classic crawl-dedup
+  key normalization). Pure regex/HOF codegen.
+- ``host_col`` / host rollups — per-host aggregations; the synthetic
+  corpus has a deliberately skewed host distribution, and a plain
+  hash aggregation (partial map-side combine) handles it — skew only
+  bites aggregations whose per-key STATE grows with rows (collect_*)
+  or joins, which is what `salted_repartition` exists for.
+- ``line_dedup`` — C4's line-level dedup (Raffel et al. 2020 §2.2
+  "we discarded all but one of any three-sentence span occurring more
+  than once"): here at line granularity — every line keeps only its
+  first occurrence corpus-wide (min doc_id, then min line_no), and
+  docs are reassembled from their surviving lines in order. One
+  explode + one window over the line hash + one re-aggregation:
+  shuffle is bounded by the line-hash key space.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def canonical_url_col(url: Column | str) -> Column:
+    """Canonical crawl key for a URL column."""
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)
+    )
+    # drop default ports
+    host = (
+        F.when((scheme == "http"), F.regexp_replace(hostport, r":80$", ""))
+        .when((scheme == "https"), F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+
+
+def host_col(url: Column | str) -> Column:
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?]+)", 1))
+
+
+def host_stats(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Per-host doc count + mean text length — one hash aggregation
+    with map-side combine (skewed hosts partial-aggregate before the
+    exchange, so the heavy key never concentrates raw rows)."""
+    return (
+        df.select(host_col(url_col).alias("host"), F.length(text_col).alias("n"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n"), 6).alias("mean_chars"),
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line dedup (C4-style): a line survives only in the
+    document where it first occurs (min id, then min line position);
+    returns (id, text) with each doc reassembled from its surviving
+    lines in original order. Docs whose every line was seen earlier
+    come back with empty text (caller filters).
+
+    Plan: explode lines with position → ONE window over the line key
+    (hash shuffle on the line content — bounded by distinct lines) →
+    filter rank 1 → re-aggregate per doc ordered by position."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("line_no", "line"),
+    ).filter(F.trim("line") != "")
+    w = Window.partitionBy("line").orderBy("id", "line_no")
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda x: x["line"],
+                ),
+                line_sep,
+            ).alias("text")
+        )
+    )

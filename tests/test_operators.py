@@ -277,3 +277,34 @@ def test_png_real_pixel_path(spark):
     by_url = {r["url"]: r["features"] for r in feats}
     expect = image_stats_features(img)
     assert np.allclose(by_url["u1"], expect, atol=1e-6)
+
+
+def test_canonical_url_and_host(spark):
+    from docling_eval_spark.operators.web_ops import canonical_url_col, host_col
+
+    rows = [
+        ("HTTPS://WWW.Example.COM:443/Path/A?b=2&a=1#frag",
+         "https://www.example.com/Path/A?a=1&b=2"),
+        ("http://Host.Net:80", "http://host.net/"),
+        ("http://host.net:8080/x", "http://host.net:8080/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["c"] for r in df.select(canonical_url_col("url").alias("c")).collect()]
+    assert got == [c for _, c in rows]
+    hosts = [r["h"] for r in df.select(host_col("url").alias("h")).collect()]
+    assert hosts == ["www.example.com", "host.net", "host.net"]
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from docling_eval_spark.operators.web_ops import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),        # beta seen in doc 1 → dropped here
+            (3, "alpha\nbeta"),        # fully duplicate → no surviving lines
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["text"] for r in line_dedup(df, "doc_id").collect()}
+    assert got == {1: "alpha\nbeta\ngamma", 2: "delta"}
