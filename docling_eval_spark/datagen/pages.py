@@ -277,14 +277,21 @@ def _gen_realpdf_page(rng: random.Random) -> tuple[bytes, str, list[dict]]:
         for _ in range(n_pages)
     ]
     tables: list[dict] = []
-    table_pages: list[list[list[str]] | None] = [None] * n_pages
+    table_pages: list[list[list[str | None]] | None] = [None] * n_pages
     if rng.random() < 0.5:
         nrows = rng.randint(2, 4)
         ncols = rng.randint(2, 3)
-        table_pages[0] = [
+        grid: list[list[str | None]] = [
             [f"t{r}c{c}" for c in range(ncols)] for r in range(nrows)
         ]
-        tables.append({"num_rows": nrows, "num_cols": ncols, "complex": False})
+        merged = False
+        if ncols >= 3 and rng.random() < 0.5:
+            # one colspan-2 cell in a body row; recovery infers the
+            # span from the missing lattice slot
+            grid[1][ncols - 1] = None
+            merged = True
+        tables.append({"num_rows": nrows, "num_cols": ncols, "complex": merged})
+        table_pages[0] = grid
     data = simple_pdf(pages, compress=rng.random() < 0.5, table_pages=table_pages)
     text = BLOCK_SEP.join(normalize_ws(p) for pg in pages for p in pg)
     return data, text, tables

@@ -261,11 +261,13 @@ def recover_table_blocks(
     benchmark, `table_evaluator.py:111-243`).
 
     Per page: cluster blocks by top coordinate into candidate rows; a
-    maximal run of ≥ min_rows consecutive rows whose sorted left-edge
-    sets are identical and have ≥ min_cols columns is a table. Those
-    blocks become one unit-cell grid (row 0 = column headers, like the
-    synthetic HTML corpus) and leave the text flow. Single-column
-    paragraph stacks never match (one left edge < min_cols)."""
+    maximal run of ≥ min_rows consecutive rows each holding ≥ min_cols
+    cells is a table; the column lattice is the union of the run's
+    left edges, and a row missing a lattice slot reads as the previous
+    cell's col_span (stream-mode span inference). Those blocks become
+    one grid (row 0 = column headers, like the synthetic HTML corpus)
+    and leave the text flow. Single-column paragraph stacks never
+    match (one cell per row < min_cols)."""
     grids: list[dict] = []
     keep: list[LayoutBlock] = []
     by_page: dict[int, list[LayoutBlock]] = {}
@@ -281,36 +283,51 @@ def recover_table_blocks(
         used: set[float] = set()
         i = 0
         while i < len(ts):
+            # a table run = maximal stretch of consecutive y-rows that
+            # each hold ≥ min_cols cells (single-block rows are body
+            # text, never table rows). The column lattice is the UNION
+            # of the run's x-starts; a row missing a lattice slot reads
+            # as the previous cell's col_span — the stream-mode
+            # recovery ambiguity (a truly empty cell and a span are
+            # indistinguishable without rules/images), same call
+            # Tabula's stream mode makes.
             j = i
-            xs = sig[ts[i]]
-            if len(xs) >= min_cols and len(set(xs)) == len(xs):
-                while j + 1 < len(ts) and sig[ts[j + 1]] == xs:
-                    j += 1
+            while j < len(ts) and len(sig[ts[j]]) >= min_cols:
+                j += 1
+            j -= 1
             if j - i + 1 >= min_rows:
                 row_ts = ts[i : j + 1]
                 used.update(row_ts)
+                cols = sorted({x for t in row_ts for x in sig[t]})
+                col_index = {x: k for k, x in enumerate(cols)}
+                n_cols = len(cols)
                 cells = []
                 for r, t in enumerate(row_ts):
-                    for c, blk in enumerate(sorted(rows_by_t[t], key=lambda b: b.l)):
+                    row_blocks = sorted(rows_by_t[t], key=lambda b: b.l)
+                    anchors = [col_index[round(b.l, 1)] for b in row_blocks]
+                    for k, blk in enumerate(row_blocks):
+                        c = anchors[k]
+                        nxt_c = anchors[k + 1] if k + 1 < len(anchors) else n_cols
+                        span = max(1, nxt_c - c)
                         cells.append(
                             {
                                 "text": blk.text,
                                 "row_span": 1,
-                                "col_span": 1,
+                                "col_span": span,
                                 "start_row_offset_idx": r,
                                 "end_row_offset_idx": r + 1,
                                 "start_col_offset_idx": c,
-                                "end_col_offset_idx": c + 1,
+                                "end_col_offset_idx": c + span,
                                 "col_header": r == 0,
                                 "row_header": False,
                             }
                         )
                 grids.append(
-                    {"num_rows": len(row_ts), "num_cols": len(xs), "cells": cells}
+                    {"num_rows": len(row_ts), "num_cols": n_cols, "cells": cells}
                 )
                 i = j + 1
             else:
-                i += 1
+                i = max(j + 1, i + 1)
         for t in ts:
             if t not in used:
                 keep.extend(rows_by_t[t])

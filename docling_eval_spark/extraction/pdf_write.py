@@ -71,14 +71,18 @@ def write_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
 
 
 def table_to_stream(
-    rows: list[list[str]], y0: int, x0: int = 72, col_w: int = 110, row_h: int = 20
+    rows: list[list[str | None]], y0: int, x0: int = 72, col_w: int = 110, row_h: int = 20
 ) -> bytes:
-    """Unit-cell table lattice → one BT/ET op PER CELL on a rigid
+    """Table lattice → one BT/ET op PER ANCHOR CELL on a rigid
     (x0 + c·col_w, y0 − r·row_h) grid — the alignment signature
-    pdf_real.recover_table_blocks detects."""
+    pdf_real.recover_table_blocks detects. ``None`` marks a lattice
+    position covered by the previous cell's col_span (no text op is
+    written there; recovery reads the gap back as the span)."""
     parts = []
     for r, cells in enumerate(rows):
         for c, text in enumerate(cells):
+            if text is None:
+                continue
             parts.append(
                 f"BT /F1 10 Tf {x0 + c * col_w} {y0 - r * row_h} Td "
                 f"({_escape(text)}) Tj ET"

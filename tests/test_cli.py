@@ -91,3 +91,36 @@ def test_perturbed_pipeline_metric_sensitivity(spark, tmp_path):
     per_image2, _ = pipelines.evaluate_layout(perturb_stage(ex, p=0.3))
     m2 = per_image2.agg(F.avg("map_75").alias("m")).collect()[0]["m"]
     assert m == m2  # seeded determinism
+
+
+def test_evaluate_runs_kernel_exactly_once(spark, tmp_path, monkeypatch):
+    """VERDICT-r1 #2 regression guard: evaluate() must execute the
+    per-row metric kernel ONCE (write per-row parquet, roll up from
+    the re-read file) — round 1 re-ran it per metric column (7x)."""
+    import pyspark.sql.functions as F
+
+    import docling_eval_spark.pipelines as P
+    from docling_eval_spark.datagen.pages import write_pages_parquet
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(spark, pages, 40, partitions=4)
+    P.create_dataset(spark, pages, str(tmp_path / "ds"), buckets=2)
+
+    acc = spark.sparkContext.accumulator(0)
+    orig = P.rows_markdown_text
+
+    def counting(ds):
+        df = orig(ds)
+
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(bump, df.schema)
+
+    monkeypatch.setattr(P, "rows_markdown_text", counting)
+    P.evaluate(spark, str(tmp_path / "ds"), "markdown_text", str(tmp_path / "ev"))
+    stats = spark.read.json(str(tmp_path / "ev/evaluation_markdown_text_stats"))
+    assert stats.count() >= 6  # one rollup row per metric
+    assert acc.value == 40, f"kernel processed {acc.value} rows for 40 docs"

@@ -136,3 +136,22 @@ def test_table_lattice_recovery():
     # paragraph-only PDFs must never false-positive into tables
     doc2 = extract_document(simple_pdf([paras + ["third one here"]]))
     assert doc2["tables"] == [] and doc2["status"] == "SUCCESS"
+
+
+def test_table_recovery_with_colspan():
+    """Stream-mode span inference: a missing lattice slot reads as the
+    previous cell's col_span."""
+    from docling_eval_spark.extraction.pdf_write import simple_pdf
+
+    paras = ["leading paragraph of ordinary body text"]
+    tbl = [["h0", "h1", "h2"], ["a0", "a1", None], ["b0", "b1", "b2"]]
+    doc = extract_document(simple_pdf([paras], table_pages=[tbl]))
+    assert doc["status"] == "SUCCESS" and len(doc["tables"]) == 1
+    g = doc["tables"][0]
+    assert (g["num_rows"], g["num_cols"]) == (3, 3)
+    cells = {(c["start_row_offset_idx"], c["start_col_offset_idx"]): c for c in g["cells"]}
+    assert cells[(1, 1)]["col_span"] == 2  # a1 spans the missing slot
+    assert cells[(0, 1)]["col_span"] == 1
+    from docling_eval_spark.evaluators.teds import is_complex_grid
+
+    assert is_complex_grid(g)
