@@ -468,3 +468,76 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("id_l", "id_r", "hamming")
         .distinct()
     )
+
+
+def minhash_incremental_pairs(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    bands: int = 6,
+    max_bucket: int = 1000,
+    threshold: float = 0.7,
+    num_perm: int = 30,
+) -> DataFrame:
+    """Incremental near-dup pairs: NEW documents against an existing
+    signature store (plus among themselves) — the shape a continuously
+    ingesting corpus needs: old×old pairs were already emitted by the
+    batch pass, so only (new × all) band collisions are joined. Verify
+    is the signature estimate (matching-minima fraction ≥ threshold;
+    with 30 perms σ≈0.08 at s=0.7 — the store keeps signatures, not
+    shingles, so the exact-Jaccard confirm belongs to the caller if it
+    retains text). Per-band buckets are capped on the ALL side like
+    minhash_lsh_pairs. Output: (id_l < id_r, est)."""
+
+    def banded(sig_df: DataFrame) -> DataFrame:
+        rows_per_band = F.floor(F.size("signature") / bands)
+        return sig_df.select(
+            "id",
+            "signature",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bidx: F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("signature"),
+                                (bidx * rows_per_band + 1).cast("int"),
+                                rows_per_band.cast("int"),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+    all_sigs = store_sigs.select("id", "signature").unionByName(
+        new_sigs.select("id", "signature")
+    )
+    b_all = banded(all_sigs)
+    sizes = (
+        b_all.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band", "band_hash")
+    )
+    b_new = banded(new_sigs).select(
+        "band", "band_hash", F.col("id").alias("nid"), F.col("signature").alias("nsig")
+    )
+    cand = (
+        b_new.join(b_all.join(sizes, ["band", "band_hash"]), ["band", "band_hash"])
+        .filter(F.col("nid") != F.col("id"))
+        .select(
+            F.least("nid", "id").alias("id_l"),
+            F.greatest("nid", "id").alias("id_r"),
+            F.col("nsig").alias("sig_l"),
+            F.col("signature").alias("sig_r"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_l", "sig_r", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(num_perm)
+    return (
+        cand.withColumn("est", est)
+        .filter(F.col("est") >= threshold)
+        .select("id_l", "id_r", F.round("est", 6).alias("est"))
+    )

@@ -11,6 +11,12 @@ bucket (the Iceberg-style partition of FIXTURES.md §1):
 - On restart, pending = all buckets ANTI-JOIN lineage[status=SUCCESS]
   — nothing recomputes, the exact analog of the Iceberg manifest
   anti-join described in SURVEY §2.10 / §4.2.
+- Every lineage row carries a monotonically increasing commit ``seq``
+  and its bucket's ``data_path``: the lineage table doubles as an
+  Iceberg-style MANIFEST. ``read_as_of(seq)`` reads exactly the bucket
+  files committed by then (latest commit per bucket) — a consistent
+  snapshot even while later buckets are mid-write, because readers
+  only open manifest-listed paths, never glob the output directory.
 
 Buckets are processed in groups per Spark job (one job per bucket
 would under-utilize the cluster; all buckets in one job would lose
@@ -34,7 +40,63 @@ LINEAGE_COLS = [
     "bytes_in",
     "wall_ms",
     "run_id",
+    "seq",
+    "data_path",
 ]
+
+_LINEAGE_SCHEMA = (
+    "bucket int, status string, doc_count long, ok_count long, "
+    "bytes_in long, wall_ms long, run_id string, seq long, data_path string"
+)
+
+
+def latest_snapshot(spark: SparkSession, lineage_dir: str) -> int:
+    """Highest committed seq (0 when no lineage exists)."""
+    lin = read_lineage(spark, lineage_dir)
+    if lin is None:
+        return 0
+    row = lin.agg(F.max("seq").alias("s")).collect()[0]
+    return int(row["s"] or 0)
+
+
+def manifest_as_of(
+    spark: SparkSession, lineage_dir: str, snapshot: int | None = None
+) -> DataFrame:
+    """Manifest view at a snapshot: one row per bucket = the LATEST
+    successful commit with seq ≤ snapshot."""
+    lin = read_lineage(spark, lineage_dir)
+    if lin is None:
+        raise FileNotFoundError(lineage_dir)
+    lin = lin.filter(F.col("status") == "SUCCESS")
+    if snapshot is not None:
+        lin = lin.filter(F.col("seq") <= snapshot)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.desc("seq"))
+    return (
+        lin.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def read_as_of(
+    spark: SparkSession,
+    out_dir: str,
+    lineage_dir: str,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Consistent snapshot read: union of exactly the bucket paths the
+    manifest lists at ``snapshot`` (None = latest). An in-flight writer
+    appending new buckets/commits is invisible until its lineage row
+    lands — the Iceberg read-isolation property."""
+    paths = [
+        f"{out_dir}/{r['data_path']}"
+        for r in manifest_as_of(spark, lineage_dir, snapshot).collect()
+    ]
+    if not paths:
+        raise ValueError(f"no committed buckets at snapshot {snapshot}")
+    return spark.read.parquet(*paths)
 
 
 def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
@@ -83,6 +145,7 @@ def run_resumable(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
     )
     todo = pending_buckets(spark, list(range(num_buckets)), lineage_dir)
+    seq = latest_snapshot(spark, lineage_dir)
     processed: list[int] = []
     for i in range(0, len(todo), buckets_per_job):
         group = todo[i : i + buckets_per_job]
@@ -111,6 +174,7 @@ def run_resumable(
                 else 0
             )
             wall_ms = int((time.monotonic() - t0) * 1000)
+            seq += 1
             lineage_row = spark.createDataFrame(
                 [
                     (
@@ -121,9 +185,11 @@ def run_resumable(
                         int(bytes_in or 0),
                         wall_ms,
                         run_id,
+                        seq,
+                        f"bucket={b}",
                     )
                 ],
-                schema="bucket int, status string, doc_count long, ok_count long, bytes_in long, wall_ms long, run_id string",
+                schema=_LINEAGE_SCHEMA,
             )
             lineage_row.write.mode("append").parquet(lineage_dir)
             processed.append(b)

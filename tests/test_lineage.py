@@ -60,3 +60,43 @@ def test_kill_and_resume(spark, tmp_path):
         run_resumable(spark, pages, extract_text_stage, out, lin, num_buckets=N_BUCKETS)
         == []
     )
+
+
+def test_snapshot_as_of_reads(spark, tmp_path):
+    """Iceberg-style manifest snapshots: read_as_of(seq) sees exactly
+    the buckets committed by that commit; later commits are invisible."""
+    import pytest
+
+    from docling_eval_spark.datagen.pages import write_pages_parquet
+    from docling_eval_spark.plans.lineage import (
+        latest_snapshot,
+        read_as_of,
+        run_resumable,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    write_pages_parquet(spark, pages_dir, 120, partitions=4)
+    pages = spark.read.parquet(pages_dir)
+
+    # first invocation dies at bucket 5 → partial manifest
+    with pytest.raises(RuntimeError):
+        run_resumable(
+            spark, pages, lambda d: d.select("url", "text"), out, lin,
+            num_buckets=8, run_id="r1", fail_on_bucket=5,
+        )
+    snap_partial = latest_snapshot(spark, lin)
+    assert 0 < snap_partial < 8
+    partial_docs = read_as_of(spark, out, lin).count()
+
+    # resume completes the rest
+    run_resumable(
+        spark, pages, lambda d: d.select("url", "text"), out, lin,
+        num_buckets=8, run_id="r2",
+    )
+    assert latest_snapshot(spark, lin) == 8
+    assert read_as_of(spark, out, lin).count() == 120
+    # time travel: the partial snapshot still reads the old view
+    assert read_as_of(spark, out, lin, snapshot=snap_partial).count() == partial_docs
+    assert partial_docs < 120

@@ -308,3 +308,28 @@ def test_line_dedup_first_occurrence_wins(spark):
     )
     got = {r["id"]: r["text"] for r in line_dedup(df, "doc_id").collect()}
     assert got == {1: "alpha\nbeta\ngamma", 2: "delta"}
+
+
+def test_minhash_incremental_pairs(spark, docs_df):
+    from docling_eval_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    store = minhash_signatures(docs_df, "doc_id")
+    new_docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 0/1
+            (11, "entirely fresh content with novel material inside"),
+            (12, "entirely fresh content with novel material inside"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    new_sigs = minhash_signatures(new_docs, "doc_id")
+    pairs = {
+        (r["id_l"], r["id_r"])
+        for r in minhash_incremental_pairs(new_sigs, store).collect()
+    }
+    assert (0, 10) in pairs and (1, 10) in pairs  # new vs store
+    assert (11, 12) in pairs                      # new vs new
+    assert (0, 1) not in pairs                    # old x old never re-emitted
