@@ -1479,9 +1479,7 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_GOPHER = r"""
 WITH tk AS (
   SELECT doc_id, text AS t,
-         list_filter(string_split_regex(trim(text), '[ 	
-
-]+'),
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),
@@ -1537,9 +1535,7 @@ def _q_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_REPETITION = r"""
 WITH tk AS (
   SELECT doc_id AS id,
-         list_filter(string_split_regex(trim(text), '[ 	
-
-]+'),
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),

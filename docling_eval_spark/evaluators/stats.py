@@ -142,9 +142,15 @@ def _compute_stats_counting(
     )
     g = g.withColumn("__sum", sum_v).withColumn("__sum2", sum_v2)
     mean = F.col("__sum") / F.col("total")
+    # clamp at 0: the uncentered formula can dip epsilon-negative under
+    # float rounding for constant groups, and sqrt(-eps) is NaN (which
+    # coalesce would NOT replace — NaN is not NULL)
     var = F.when(
         F.col("total") > 1,
-        (F.col("__sum2") - F.col("total") * mean * mean) / (F.col("total") - 1),
+        F.greatest(
+            (F.col("__sum2") - F.col("total") * mean * mean) / (F.col("total") - 1),
+            F.lit(0.0),
+        ),
     )
     hist_bin = lambda x: (  # noqa: E731  — np.histogram bin of a pair value
         F.when((x["v"] < 0) | (x["v"] > 1), F.lit(-1))

@@ -216,6 +216,33 @@ def minhash_signatures(
     )
 
 
+def _banded(sig_df: DataFrame, bands: int) -> DataFrame:
+    """(id, signature) → (id, signature, band, band_hash): the ONE
+    banding scheme shared by the batch and incremental LSH paths
+    (md5 of the band's comma-joined slice — also what the DuckDB
+    oracle reproduces)."""
+    rows_per_band = F.floor(F.size("signature") / bands)
+    return sig_df.select(
+        "id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("signature"),
+                            (bidx * rows_per_band + 1).cast("int"),
+                            rows_per_band.cast("int"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     sig_df: DataFrame,
     bands: int = 6,
@@ -234,25 +261,7 @@ def minhash_lsh_pairs(
     Wider bands (r=4, b=8) pulled in ~40% of merely-0.5-similar pairs,
     which exploded verification cost on template-correlated corpora.
     """
-    rows_per_band = F.floor(F.size("signature") / bands)
-    banded = sig_df.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            F.col("signature"),
-                            (bidx * rows_per_band + 1).cast("int"),
-                            rows_per_band.cast("int"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded(sig_df, bands).drop("signature")
     # ONE shuffle: gather each bucket's ids and expand combinations as
     # array algebra — a windowed-count + self-join shape would shuffle
     # three times and recompute the signature pipeline per branch
@@ -476,7 +485,6 @@ def minhash_incremental_pairs(
     bands: int = 6,
     max_bucket: int = 1000,
     threshold: float = 0.7,
-    num_perm: int = 30,
 ) -> DataFrame:
     """Incremental near-dup pairs: NEW documents against an existing
     signature store (plus among themselves) — the shape a continuously
@@ -486,40 +494,19 @@ def minhash_incremental_pairs(
     with 30 perms σ≈0.08 at s=0.7 — the store keeps signatures, not
     shingles, so the exact-Jaccard confirm belongs to the caller if it
     retains text). Per-band buckets are capped on the ALL side like
-    minhash_lsh_pairs. Output: (id_l < id_r, est)."""
-
-    def banded(sig_df: DataFrame) -> DataFrame:
-        rows_per_band = F.floor(F.size("signature") / bands)
-        return sig_df.select(
-            "id",
-            "signature",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda bidx: F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.slice(
-                                F.col("signature"),
-                                (bidx * rows_per_band + 1).cast("int"),
-                                rows_per_band.cast("int"),
-                            ),
-                        )
-                    ),
-                )
-            ).alias("band", "band_hash"),
-        )
+    minhash_lsh_pairs, whose banding scheme is shared (`_banded`).
+    Output: (id_l < id_r, est)."""
     all_sigs = store_sigs.select("id", "signature").unionByName(
         new_sigs.select("id", "signature")
     )
-    b_all = banded(all_sigs)
+    b_all = _banded(all_sigs, bands)
     sizes = (
         b_all.groupBy("band", "band_hash")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") <= max_bucket)
         .select("band", "band_hash")
     )
-    b_new = banded(new_sigs).select(
+    b_new = _banded(new_sigs, bands).select(
         "band", "band_hash", F.col("id").alias("nid"), F.col("signature").alias("nsig")
     )
     cand = (
@@ -533,9 +520,12 @@ def minhash_incremental_pairs(
         )
         .dropDuplicates(["id_l", "id_r"])
     )
+    # denominator = the actual signature length, not the num_perm
+    # parameter (a store built with a different perm count must not
+    # silently rescale the estimate)
     est = F.size(
         F.filter(F.zip_with("sig_l", "sig_r", lambda x, y: x == y), lambda v: v)
-    ) / F.lit(num_perm)
+    ) / F.size("sig_l")
     return (
         cand.withColumn("est", est)
         .filter(F.col("est") >= threshold)

@@ -84,7 +84,8 @@ def line_dedup(
     document where it first occurs (min id, then min line position);
     returns (id, text) with each doc reassembled from its surviving
     lines in original order. Docs whose every line was seen earlier
-    come back with empty text (caller filters).
+    are ABSENT from the output (no surviving line rows → no group);
+    left-join the original id spine if per-doc presence matters.
 
     Plan: explode lines with position → ONE window over the line key
     (hash shuffle on the line content — bounded by distinct lines) →

@@ -51,10 +51,14 @@ _LINEAGE_SCHEMA = (
 
 
 def latest_snapshot(spark: SparkSession, lineage_dir: str) -> int:
-    """Highest committed seq (0 when no lineage exists)."""
+    """Highest committed seq (0 when no lineage exists; lineage tables
+    written before the seq column existed count their SUCCESS rows so
+    resumption keeps working across the schema migration)."""
     lin = read_lineage(spark, lineage_dir)
     if lin is None:
         return 0
+    if "seq" not in lin.columns:
+        return lin.filter(F.col("status") == "SUCCESS").count()
     row = lin.agg(F.max("seq").alias("s")).collect()[0]
     return int(row["s"] or 0)
 

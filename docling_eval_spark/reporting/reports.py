@@ -134,21 +134,26 @@ def per_class_ap_report(ap_table: DataFrame, out_path: str) -> str:
     `docs/evaluations/DPBench/..._layout_mAP_0.5_0.95.txt`). Input is
     the (label, iou_thr, ap) table from evaluators.layout.corpus_ap_table;
     ≤ #classes × 10 rows, rendered driver-side."""
-    from docling_eval_spark.evaluators.layout import per_class_ap
-
-    rows = per_class_ap(ap_table).collect()
+    # ONE collect of the tiny (label, thr, ap) table; both the
+    # thresholds-mean and the AP@0.50 column derive driver-side (two
+    # collects would execute the whole corpus-AP pipeline twice)
+    rows = ap_table.collect()
+    by_label: dict[str, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    means = {
+        lbl: sum(r["ap"] for r in rs) / len(rs) for lbl, rs in by_label.items()
+    }
     ap50 = {
-        r["label"]: r["ap"]
-        for r in ap_table.filter(F.col("iou_thr") == 0.5).collect()
+        lbl: next((r["ap"] for r in rs if r["iou_thr"] == 0.5), 0.0)
+        for lbl, rs in by_label.items()
     }
     lines = [
         "| label | AP[0.50:0.95] | AP@0.50 |",
         "|---|---|---|",
     ]
-    for r in rows:
-        lines.append(
-            f"| {r['label']} | {r['ap']:.4f} | {ap50.get(r['label'], 0.0):.4f} |"
-        )
+    for lbl in sorted(means, key=lambda x: (-means[x], x)):
+        lines.append(f"| {lbl} | {means[lbl]:.4f} | {ap50[lbl]:.4f} |")
     text = "\n".join(lines)
     p = Path(out_path)
     p.parent.mkdir(parents=True, exist_ok=True)

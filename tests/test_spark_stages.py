@@ -60,6 +60,16 @@ def test_stats_scale_mode_matches_default(spark):
             assert scale[k]["hist"] == base[k]["hist"]
 
 
+def test_stats_scale_mode_constant_group_std_zero(spark):
+    """Regression: a constant-valued group's uncentered variance dips
+    epsilon-negative under float rounding → sqrt gave NaN (and coalesce
+    does not replace NaN). Must be exactly 0.0 like the default path."""
+    df = spark.createDataFrame([("g", 0.001)] * 5 + [("h", 0.3)] * 3, "g string, v double")
+    rows = {r["g"]: r for r in compute_stats(df, "v", ["g"], scale_mode=True).collect()}
+    assert rows["g"]["std"] == 0.0
+    assert rows["h"]["std"] == 0.0
+
+
 def test_histogram_table_cumsum(spark):
     df = spark.createDataFrame([(v / 10.0,) for v in range(10)], "v double")
     tbl = histogram_table(compute_stats(df, "v")).orderBy("bin").collect()
