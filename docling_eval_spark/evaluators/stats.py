@@ -142,14 +142,18 @@ def _compute_stats_counting(
     )
     g = g.withColumn("__sum", sum_v).withColumn("__sum2", sum_v2)
     mean = F.col("__sum") / F.col("total")
-    # clamp at 0: the uncentered formula can dip epsilon-negative under
-    # float rounding for constant groups, and sqrt(-eps) is NaN (which
-    # coalesce would NOT replace — NaN is not NULL)
+    # constant groups (one distinct value) are exactly 0 — the
+    # uncentered formula lands epsilon-off-zero either way: negative
+    # rounding would make sqrt NaN (and coalesce does NOT replace NaN),
+    # positive rounding would leak a ~1e-9 std; clamp the rest at 0
     var = F.when(
         F.col("total") > 1,
-        F.greatest(
-            (F.col("__sum2") - F.col("total") * mean * mean) / (F.col("total") - 1),
-            F.lit(0.0),
+        F.when(F.size(pairs) == 1, F.lit(0.0)).otherwise(
+            F.greatest(
+                (F.col("__sum2") - F.col("total") * mean * mean)
+                / (F.col("total") - 1),
+                F.lit(0.0),
+            )
         ),
     )
     hist_bin = lambda x: (  # noqa: E731  — np.histogram bin of a pair value
