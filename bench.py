@@ -62,6 +62,7 @@ def main() -> None:
     qs["extract_match_stats"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
@@ -70,6 +71,13 @@ def main() -> None:
         # and under-measures
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        # second run: plan-compile amortized — the steady-state cost a
+        # warehouse pays (cold-minus-warm ≈ Catalyst compile of the
+        # wide expression trees, a per-query constant, not a per-row
+        # cost; at this sf it dominates several queries)
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.monotonic() - t0, 3)
 
     extract_sec = timings["extract_match_stats"]
     total = round(sum(timings.values()), 3)
@@ -80,6 +88,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
                 "sf": sf,
                 "cpus": cpus,
                 "extraction_docs": n_docs,
