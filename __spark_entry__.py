@@ -1759,6 +1759,39 @@ FROM kept WHERE rn = 1 GROUP BY id
 """
 
 
+def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full winnowing fingerprints (Schleimer et al. 2003): distinct
+    per-window minima of the rolling k-gram hash sequence."""
+    from docling_eval_spark.operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, w=8
+    )
+
+
+_SQL_WINNOW = r"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+),
+hs AS (
+  SELECT id,
+    list_transform(
+      range(1, CASE WHEN length(t) >= 8 THEN length(t) - 6 ELSE 2 END),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(i, least(i + 7, length(t)) + 1),
+                              j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647)) AS h
+  FROM norm WHERE length(t) > 0
+)
+SELECT DISTINCT id,
+  unnest(list_transform(range(1, greatest(len(h) - 7, 1) + 1),
+                        i -> list_min(h[i : i + 7]))) AS fp
+FROM hs
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
@@ -1964,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _with_pkg(_q_canonical_urls),
         "host_stats": _with_pkg(_q_host_stats),
         "line_dedup": _with_pkg(_q_line_dedup),
+        "winnow_fps": _with_pkg(_q_winnow_fps),
     }
 
 
@@ -2011,4 +2045,5 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _SQL_CANON_URLS,
         "host_stats": _SQL_HOST_STATS,
         "line_dedup": _SQL_LINE_DEDUP,
+        "winnow_fps": _SQL_WINNOW,
     }

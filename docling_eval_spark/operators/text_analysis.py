@@ -202,3 +202,79 @@ def fingerprint_py(text: str, k: int = 8) -> int | None:
             acc = (acc * _FP_BASE + ord(ch)) % _FP_MOD
         best = acc if best is None else min(best, acc)
     return best
+
+
+def winnowed_fps_col(text: Column | str, k: int = 8, w: int = 8) -> Column:
+    """Full winnowing fingerprints (Schleimer et al. 2003, public): the
+    distinct per-window minima of the rolling k-gram hash sequence —
+    the document-fingerprint set used for near-dup/plagiarism detection
+    (``rolling_fingerprint_col`` is its global-min special case). Pure
+    SQL higher-order functions; the DuckDB oracle recomputes the exact
+    integer set. Texts shorter than k+w degrade gracefully (windows
+    clamp, like the paper's short-document case)."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm_expr = F.trim(F.regexp_replace(t, _WS, " "))
+
+    def over_norm(nrm: Column) -> Column:
+        n = F.length(nrm)
+        codes = F.transform(F.split(nrm, ""), lambda ch: F.ascii(ch).cast("long"))
+
+        def over_codes(cds: Column) -> Column:
+            idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+                F.sequence(F.lit(1), F.lit(1))
+            )
+            window_hash = lambda i: F.aggregate(  # noqa: E731
+                F.slice(cds, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
+            )
+            hs = F.transform(idxs, window_hash)
+
+            def over_hashes(h: Column) -> Column:
+                m = F.size(h)
+                wins = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+                return F.array_distinct(
+                    F.transform(wins, lambda i: F.array_min(F.slice(h, i, w)))
+                )
+
+            return let_col(hs, over_hashes)
+
+        return let_col(codes, over_codes)
+
+    return F.when(F.length(norm_expr) == 0, F.array().cast("array<long>")).otherwise(
+        let_col(norm_expr, over_norm)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 8, w: int = 8
+) -> DataFrame:
+    """(id, fp) — one row per distinct winnowed fingerprint."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnowed_fps_col(F.col(text_col), k, w)).alias("fp"),
+    )
+
+
+def winnow_py(text: str, k: int = 8, w: int = 8) -> set[int]:
+    """Oracle twin of winnowed_fps_col."""
+    import re as _re
+
+    norm = _re.sub(r"[ \t\n\r\f\v]+", " ", text).strip()
+    if not norm:
+        return set()
+    windows = (
+        [norm[i : i + k] for i in range(len(norm) - k + 1)]
+        if len(norm) >= k
+        else [norm]
+    )
+    hs = []
+    for sh in windows:
+        acc = 0
+        for ch in sh:
+            acc = (acc * _FP_BASE + ord(ch)) % _FP_MOD
+        hs.append(acc)
+    out = set()
+    for i in range(max(len(hs) - w + 1, 1)):
+        out.add(min(hs[i : i + w]))
+    return out

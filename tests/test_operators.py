@@ -333,3 +333,24 @@ def test_minhash_incremental_pairs(spark, docs_df):
     assert (0, 10) in pairs and (1, 10) in pairs  # new vs store
     assert (11, 12) in pairs                      # new vs new
     assert (0, 1) not in pairs                    # old x old never re-emitted
+
+
+def test_winnowing_matches_python_reference(spark, docs_df):
+    from docling_eval_spark.operators.text_analysis import (
+        winnow_fingerprints,
+        winnow_py,
+    )
+
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs_df, "doc_id").collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for doc_id, text in DOCS:
+        assert got[doc_id] == winnow_py(text), doc_id
+    # near-dup docs share most fingerprints; unrelated docs share few
+    j = lambda a, b: len(got[a] & got[b]) / len(got[a] | got[b])  # noqa: E731
+    assert j(0, 1) == 1.0
+    assert j(0, 2) > j(0, 3)
+    # short text (< k) path
+    short = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
+    rows = winnow_fingerprints(short, "doc_id").collect()
+    assert {r["fp"] for r in rows} == winnow_py("abc")
