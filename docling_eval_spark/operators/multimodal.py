@@ -6,14 +6,15 @@ crop at `utils.py:406-436`). At web scale the engine treats media as
 ``binary`` columns with a typed metadata struct, processed by
 Arrow-batched kernels over ``mapInPandas``.
 
-PNG payloads get a REAL pixel path: ``operators.png_codec`` is a
-pure-Python+numpy PNG encoder/decoder (zlib + the five spec scanline
-filters), so decode → numpy → resize → feature-extract genuinely runs
-on pixels. JPEG/GIF/video codecs are NOT in this container, so those
-payloads degrade to the clearly-marked deterministic fakes behind
-``fake=True`` markers; ``decode_image_meta`` still parses their real
-headers. The Spark-side contracts — schemas, batch iteration,
-partitioning — are identical on both paths.
+PNG and GIF payloads get a REAL pixel path: ``operators.png_codec``
+(zlib + the five spec scanline filters) and ``operators.gif_codec``
+(variable-width LZW) are pure-Python+numpy codecs, so decode → numpy
+→ resize → feature-extract genuinely runs on pixels. JPEG/video
+codecs are NOT in this container, so those payloads degrade to the
+clearly-marked deterministic fakes behind ``fake=True`` markers;
+``decode_image_meta`` still parses their real headers. The Spark-side
+contracts — schemas, batch iteration, partitioning — are identical on
+both paths.
 """
 
 from __future__ import annotations
@@ -112,17 +113,28 @@ def fake_image_features(data: bytes, dim: int = _FEAT_DIM) -> list[float]:
     return [x / norm for x in raw]
 
 
-def image_features(data: bytes) -> list[float]:
-    """REAL pixel features for decodable PNGs (per-channel mean/std +
-    luma histogram, same 16-dim shape as the fake); other formats fall
-    back to the hash fake."""
-    try:
-        from docling_eval_spark.operators.png_codec import (
-            image_stats_features,
-            png_decode,
-        )
+def decode_pixels(data: bytes):
+    """bytes → (H, W, C) uint8 for the formats with real codecs
+    (PNG, GIF); raises on anything else."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from docling_eval_spark.operators.png_codec import png_decode
 
-        return [float(x) for x in image_stats_features(png_decode(data))]
+        return png_decode(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from docling_eval_spark.operators.gif_codec import gif_decode
+
+        return gif_decode(data)
+    raise ValueError("no real codec for this payload")
+
+
+def image_features(data: bytes) -> list[float]:
+    """REAL pixel features for decodable payloads (per-channel mean/std
+    + luma histogram, same 16-dim shape as the fake); other formats
+    fall back to the hash fake."""
+    try:
+        from docling_eval_spark.operators.png_codec import image_stats_features
+
+        return [float(x) for x in image_stats_features(decode_pixels(data))]
     except Exception:
         return fake_image_features(data)
 
@@ -205,7 +217,6 @@ def thumbnail_stage(
     import numpy as np
 
     from docling_eval_spark.operators.png_codec import (
-        png_decode,
         png_encode,
         resize_nearest,
     )
@@ -217,7 +228,7 @@ def thumbnail_stage(
 
     def one(b: bytes) -> tuple:
         try:
-            arr = png_decode(b)
+            arr = decode_pixels(b)
             h, w = arr.shape[:2]
             scale = max(h, w) / max_side
             if scale > 1:

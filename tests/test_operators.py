@@ -354,3 +354,23 @@ def test_winnowing_matches_python_reference(spark, docs_df):
     short = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
     rows = winnow_fingerprints(short, "doc_id").collect()
     assert {r["fp"] for r in rows} == winnow_py("abc")
+
+
+def test_gif_real_pixel_path(spark):
+    """K11: GIF payloads decode through the real LZW codec in the
+    thumbnail stage (re-encoded as PNG)."""
+    import numpy as np
+
+    from docling_eval_spark.operators.gif_codec import gif_encode
+    from docling_eval_spark.operators.multimodal import thumbnail_stage
+    from docling_eval_spark.operators.png_codec import png_decode
+
+    rng = np.random.RandomState(7)
+    img = (rng.randint(0, 5, (40, 64, 3)) * 50).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("g1", bytearray(gif_encode(img)))], "url string, media binary"
+    )
+    row = thumbnail_stage(df, max_side=32).collect()[0]["thumbnail"]
+    assert not row["fake"]
+    assert (row["thumb_w"], row["thumb_h"]) == (32, 20)
+    assert png_decode(bytes(row["thumb"])).shape == (20, 32, 3)
