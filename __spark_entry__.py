@@ -1352,10 +1352,14 @@ def _corpus_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(e % 7 != 0, F.array(main)).otherwise(F.slice(F.array(main), 1, 0)),
         F.when(e % 11 == 0, F.array(fp)).otherwise(F.slice(F.array(fp), 1, 0)),
     )
+    # persisted: the frame feeds BOTH the detection stage and the
+    # per-class GT counts (un-persisted, the events scan + collect_list
+    # aggregation re-executed 3x — at warehouse scale this is the
+    # materialized-intermediate-table pattern, like minhash's persists)
     return ev.groupBy("user_id").agg(
         F.collect_list(gt_item).alias("gt_layout"),
         F.flatten(F.collect_list(pred_arr)).alias("pred_layout"),
-    )
+    ).persist()
 
 
 def _q_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
