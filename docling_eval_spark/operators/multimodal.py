@@ -6,11 +6,13 @@ crop at `utils.py:406-436`). At web scale the engine treats media as
 ``binary`` columns with a typed metadata struct, processed by
 Arrow-batched kernels over ``mapInPandas``.
 
-PNG and GIF payloads get a REAL pixel path: ``operators.png_codec``
-(zlib + the five spec scanline filters) and ``operators.gif_codec``
-(variable-width LZW) are pure-Python+numpy codecs, so decode → numpy
-→ resize → feature-extract genuinely runs on pixels. JPEG/video
-codecs are NOT in this container, so those payloads degrade to the
+PNG, GIF and baseline JPEG payloads get a REAL pixel path:
+``operators.png_codec`` (zlib + the five spec scanline filters),
+``operators.gif_codec`` (variable-width LZW) and
+``operators.jpeg_codec`` (baseline T.81: stream-embedded Huffman/
+quant tables, matrix IDCT, 4:4:4) are pure-Python+numpy codecs, so
+decode → numpy → resize → feature-extract genuinely runs on pixels.
+Progressive/subsampled JPEG and video still degrade to the
 clearly-marked deterministic fakes behind ``fake=True`` markers;
 ``decode_image_meta`` still parses their real headers. The Spark-side
 contracts — schemas, batch iteration, partitioning — are identical on
@@ -124,6 +126,10 @@ def decode_pixels(data: bytes):
         from docling_eval_spark.operators.gif_codec import gif_decode
 
         return gif_decode(data)
+    if data[:2] == b"\xff\xd8":
+        from docling_eval_spark.operators.jpeg_codec import jpeg_decode
+
+        return jpeg_decode(data)  # baseline only; else ValueError → fake
     raise ValueError("no real codec for this payload")
 
 

@@ -374,3 +374,27 @@ def test_gif_real_pixel_path(spark):
     assert not row["fake"]
     assert (row["thumb_w"], row["thumb_h"]) == (32, 20)
     assert png_decode(bytes(row["thumb"])).shape == (20, 32, 3)
+
+
+def test_jpeg_real_pixel_path(spark):
+    """K11: baseline JPEG decodes through the real codec (huffman +
+    IDCT) in the thumbnail stage; roundtrip error bounded by the flat
+    quantization table."""
+    import numpy as np
+
+    from docling_eval_spark.operators.jpeg_codec import jpeg_decode, jpeg_encode
+    from docling_eval_spark.operators.multimodal import thumbnail_stage
+    from docling_eval_spark.operators.png_codec import png_decode
+
+    x = np.linspace(0, 255, 64)
+    img = np.stack(
+        [np.tile(x, (48, 1)), np.tile(x[::-1], (48, 1)), np.full((48, 64), 99.0)],
+        axis=2,
+    ).astype(np.uint8)
+    jb = jpeg_encode(img)
+    err = np.abs(jpeg_decode(jb).astype(int) - img.astype(int))
+    assert err.max() <= 24 and err.mean() < 6
+    df = spark.createDataFrame([("j1", bytearray(jb))], "url string, media binary")
+    t = thumbnail_stage(df, max_side=32).collect()[0]["thumbnail"]
+    assert not t["fake"] and (t["thumb_w"], t["thumb_h"]) == (32, 24)
+    assert png_decode(bytes(t["thumb"])).shape == (24, 32, 3)
