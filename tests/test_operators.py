@@ -398,3 +398,32 @@ def test_jpeg_real_pixel_path(spark):
     t = thumbnail_stage(df, max_side=32).collect()[0]["thumbnail"]
     assert not t["fake"] and (t["thumb_w"], t["thumb_h"]) == (32, 24)
     assert png_decode(bytes(t["thumb"])).shape == (24, 32, 3)
+
+
+def test_web_ops_idempotent(spark):
+    """Canonicalization and line-dedup are idempotent — applying them
+    twice must be a no-op (the property a re-run pipeline relies on)."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.web_ops import canonical_url_col, line_dedup
+
+    urls = spark.createDataFrame(
+        [
+            ("HTTPS://A.B:443/p?z=1&a=2#f",),
+            ("http://x.y:80",),
+            ("http://x.y/path?b=2&a=1",),
+        ],
+        "url string",
+    )
+    once = urls.select(canonical_url_col("url").alias("u"))
+    twice = once.select(canonical_url_col("u").alias("u"))
+    assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "b\nd"), (3, "x\na")], "doc_id long, text string"
+    )
+    d1 = line_dedup(docs, "doc_id")
+    d2 = line_dedup(d1.withColumnRenamed("id", "doc_id"), "doc_id")
+    got1 = {r["id"]: r["text"] for r in d1.collect()}
+    got2 = {r["id"]: r["text"] for r in d2.collect()}
+    assert got1 == got2
