@@ -427,3 +427,33 @@ def test_web_ops_idempotent(spark):
     got1 = {r["id"]: r["text"] for r in d1.collect()}
     got2 = {r["id"]: r["text"] for r in d2.collect()}
     assert got1 == got2
+
+
+def test_wav_audio_features(spark):
+    """Audio modality: real PCM decode (RIFF/WAVE is stdlib-parsable)
+    through the Spark stage; non-audio payloads degrade to fakes."""
+    import numpy as np
+
+    from docling_eval_spark.operators.multimodal import (
+        audio_features_stage,
+        wav_decode,
+        wav_encode,
+    )
+
+    t = np.arange(16000) / 16000.0
+    tone = np.sin(2 * np.pi * 440 * t)  # 1s 440 Hz
+    wav = wav_encode(tone, rate=16000)
+    dec, rate = wav_decode(wav)
+    assert rate == 16000 and dec.shape == (16000, 1)
+    assert np.allclose(dec[:, 0], tone, atol=1e-3)
+
+    df = spark.createDataFrame(
+        [("a1", bytearray(wav)), ("a2", bytearray(b"not audio at all"))],
+        "url string, media binary",
+    )
+    rows = {r["url"]: r["audio"] for r in audio_features_stage(df).collect()}
+    a = rows["a1"]
+    assert not a["fake"] and a["sample_rate"] == 16000 and a["duration_sec"] == 1.0
+    assert abs(a["rms"] - 1 / 2**0.5) < 0.01  # sine RMS = 1/sqrt(2)
+    assert abs(a["zero_cross_rate"] - 2 * 440 / 16000) < 0.005
+    assert rows["a2"]["fake"]
