@@ -1796,6 +1796,85 @@ FROM hs
 """
 
 
+def _q_asof_latest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (time-series operator Spark lacks as a built-in; the
+    brief's canonical custom-operator example): every click event gets
+    the latest error event of the same user at-or-before its
+    timestamp. Oracle = DuckDB's native ASOF JOIN."""
+    from docling_eval_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    j = asof_join(clicks, errors, key="user_id", ts="ts", right_cols=["err_value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.round(F.coalesce("err_value_asof", F.lit(-1.0)), 6).alias("err_value"),
+        F.coalesce(
+            F.unix_millis(F.col("ts_asof").cast("timestamp")), F.lit(-1)
+        ).alias("asof_ts_ms"),
+    )
+
+
+_SQL_ASOF = """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+e AS (
+  SELECT user_id, ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       epoch_ms(c.ts) AS ts_ms,
+       round(coalesce(e.err_value, -1.0), 6) AS err_value,
+       coalesce(epoch_ms(e.ts), -1) AS asof_ts_ms
+FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator): lag + cumulative-sum windows, one shuffle."""
+    from docling_eval_spark.operators.temporal import sessionize_batch
+
+    s = sessionize_batch(_t(spark, sf_dir, "events"), gap_sec=1800)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.unix_millis(F.col("start_ts").cast("timestamp")).alias("start_ms"),
+        F.unix_millis(F.col("end_ts").cast("timestamp")).alias("end_ms"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
@@ -2002,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _with_pkg(_q_host_stats),
         "line_dedup": _with_pkg(_q_line_dedup),
         "winnow_fps": _with_pkg(_q_winnow_fps),
+        "asof_latest_error": _with_pkg(_q_asof_latest_error),
+        "sessionize": _with_pkg(_q_sessionize),
     }
 
 
@@ -2050,4 +2131,6 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": _SQL_HOST_STATS,
         "line_dedup": _SQL_LINE_DEDUP,
         "winnow_fps": _SQL_WINNOW,
+        "asof_latest_error": _SQL_ASOF,
+        "sessionize": _SQL_SESSIONIZE,
     }

@@ -457,3 +457,42 @@ def test_wav_audio_features(spark):
     assert abs(a["rms"] - 1 / 2**0.5) < 0.01  # sine RMS = 1/sqrt(2)
     assert abs(a["zero_cross_rate"] - 2 * 440 / 16000) < 0.005
     assert rows["a2"]["fake"]
+
+
+def test_asof_join_semantics(spark):
+    from docling_eval_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (1, 5.0, "c"), (2, 10.0, "d")],
+        "k long, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 15.0, 150.0), (2, 99.0, 990.0)],
+        "k long, ts double, v double",
+    )
+    got = {
+        r["tag"]: (r["v_asof"], r["ts_asof"])
+        for r in asof_join(left, right, key="k", ts="ts", right_cols=["v"]).collect()
+    }
+    assert got["a"] == (100.0, 10.0)   # tie at ts=10 matches
+    assert got["b"] == (150.0, 15.0)   # latest at-or-before 20
+    assert got["c"] == (None, None)    # nothing at-or-before 5
+    assert got["d"] == (None, None)    # right row is in the future
+
+
+def test_sessionize_batch_matches_stream_oracle(spark):
+    from docling_eval_spark.operators.temporal import sessionize_batch
+
+    rows = [
+        (1, 0.0), (1, 100.0), (1, 4000.0), (1, 4100.0), (2, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_sec"])
+        for r in sessionize_batch(df, gap_sec=1800).collect()
+    }
+    assert got[(1, 1)] == (2, 100.0)
+    assert got[(1, 2)] == (2, 100.0)
+    assert got[(2, 1)] == (1, 0.0)
