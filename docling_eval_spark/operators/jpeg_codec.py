@@ -37,7 +37,9 @@ _D = np.array(
 def _zigzag() -> list[tuple[int, int]]:
     order = sorted(
         ((r, c) for r in range(8) for c in range(8)),
-        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+        # T.81 order: odd diagonals walk down-left (row ascending),
+        # even diagonals walk up-right (column ascending)
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
     )
     return order
 

@@ -117,7 +117,7 @@ def fake_image_features(data: bytes, dim: int = _FEAT_DIM) -> list[float]:
 
 def decode_pixels(data: bytes):
     """bytes → (H, W, C) uint8 for the formats with real codecs
-    (PNG, GIF); raises on anything else."""
+    (PNG, GIF, baseline JPEG); raises on anything else."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         from docling_eval_spark.operators.png_codec import png_decode
 

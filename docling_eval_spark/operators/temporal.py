@@ -11,9 +11,11 @@
   deterministically via a sequence tiebreak.
 - ``sessionize_batch`` — gap-based sessions (new session when the gap
   since the previous event of the same key exceeds ``gap_sec``): the
-  classic lag + cumulative-sum window pair. This is the batch oracle
-  of streaming/stateful.sessionize_stream, exposed as an operator and
-  driver query of its own.
+  classic lag + cumulative-sum window pair, parameterized by
+  key/ts/gap. NOTE: streaming/stateful.py keeps its own small
+  sessionize_batch as the stream test's oracle (0-based session ids,
+  sum_value payload) — that one mirrors sessionize_stream's output
+  shape; this one is the general operator (1-based ids, duration).
 
 Scale: both are one hash-shuffle on the key; window state is a single
 running value (no growing buffers).
@@ -25,11 +27,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
-def _secs(col: Column) -> Column:
-    """Epoch seconds (double) of a TIMESTAMP or TIMESTAMP_NTZ column
-    (NTZ reads as UTC — sessions run with spark.sql.session.timeZone
-    UTC, matching the DuckDB oracles)."""
-    return col.cast("timestamp").cast("double")
+def _usec(col: Column) -> Column:
+    """Epoch MICROSECONDS (bigint) of a TIMESTAMP / TIMESTAMP_NTZ
+    column — integer arithmetic, so gap comparisons are exact and
+    bit-identical to the DuckDB oracle's epoch_us() (a double-seconds
+    cast rounds to non-microsecond doubles and can disagree at the
+    gap boundary). NTZ reads as UTC (session timeZone is UTC)."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def asof_join(
@@ -45,23 +49,38 @@ def asof_join(
         c for c in right.columns if c not in (key, ts)
     ]
     lcols = left.columns
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in right_cols], F.col(ts).alias("__ts")
+    )
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                [f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols]
+                + [f"__ts:{right.schema[ts].dataType.simpleString()}"]
+            )
+            + ">"
+        )
+        .alias("__r"),
     )
     r_tag = right.select(
         F.col(key),
         F.col(ts),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key, ts)],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in (key, ts)
+        ],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(ts).alias("__r_ts"),
-    ).select(*lcols, "__side", *[f"__r_{c}" for c in right_cols], "__r_ts")
+        payload.alias("__r"),
+    ).select(*lcols, "__side", "__r")
     unioned = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at the same ts (side 0 < 1) so
-    # ties match; carry the latest right payload forward
+    # ties match; the latest WHOLE right row is carried forward as one
+    # struct — never field-by-field
     w = (
         Window.partitionBy(key)
         .orderBy(ts, "__side")
@@ -70,13 +89,13 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        F.col("__r.__ts").alias(f"{ts}{suffix}"),
+    )
 
 
 def sessionize_batch(
@@ -88,9 +107,11 @@ def sessionize_batch(
     """(key, session_id, n_events, start_ts, end_ts, duration_sec):
     gap-based sessions via lag + cumulative sum — one shuffle."""
     w = Window.partitionBy(key).orderBy(ts)
-    gap = _secs(F.col(ts)) - F.lag(_secs(F.col(ts))).over(w)
+    gap = _usec(F.col(ts)) - F.lag(_usec(F.col(ts))).over(w)
     with_new = (
-        F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0).alias("__new")
+        F.when(gap.isNull() | (gap > gap_sec * 1_000_000), 1)
+        .otherwise(0)
+        .alias("__new")
     )
     sess = (
         events.select(key, ts, with_new)
@@ -109,7 +130,8 @@ def sessionize_batch(
             F.max(ts).alias("end_ts"),
         )
         .withColumn(
-            "duration_sec", _secs(F.col("end_ts")) - _secs(F.col("start_ts"))
+            "duration_sec",
+            (_usec(F.col("end_ts")) - _usec(F.col("start_ts"))) / 1e6,
         )
     )
     return sess

@@ -496,3 +496,27 @@ def test_sessionize_batch_matches_stream_oracle(spark):
     assert got[(1, 1)] == (2, 100.0)
     assert got[(1, 2)] == (2, 100.0)
     assert got[(2, 1)] == (1, 0.0)
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    """The matched right row is carried atomically: a NULL field in the
+    latest right row must come back NULL, never backfilled from an
+    older right row."""
+    from docling_eval_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 12.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 5.0, 5.0), (1, 10.0, None)], "k long, ts double, v double"
+    )
+    r = asof_join(left, right, key="k", ts="ts", right_cols=["v"]).collect()[0]
+    assert r["ts_asof"] == 10.0 and r["v_asof"] is None
+
+
+def test_jpeg_zigzag_is_spec_order():
+    from docling_eval_spark.operators.jpeg_codec import _ZZ
+
+    assert _ZZ[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert _ZZ[-3:] == [(6, 7), (7, 6), (7, 7)]
