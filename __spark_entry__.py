@@ -1310,7 +1310,31 @@ FROM pr
 """
 
 
+# One persisted layout frame per (session, sf_dir), shared by
+# corpus_map and layout_class_ap and across repeated invocations (the
+# bench runs every query twice for cold/warm): without this registry
+# each call re-persisted a fresh frame and cached partitions
+# accumulated in the long-lived driver. Bounded: one entry per sf_dir
+# actually queried (1-2 in practice). Value holds the session ref so a
+# recycled id() can never alias a dead session's entry.
+_CORPUS_LAYOUT_CACHE: dict = {}
+
+
 def _corpus_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _CORPUS_LAYOUT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    if cached is not None:
+        try:
+            cached[1].unpersist()
+        except Exception:
+            pass
+    df = _build_corpus_layout_df(spark, sf_dir)
+    _CORPUS_LAYOUT_CACHE[sf_dir] = (spark, df)
+    return df
+
+
+def _build_corpus_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-user layout images for the corpus-mAP queries:
     globally disjoint gt boxes (x = event_id*100), main pred shifted by
     dx = event_id %% 5 (IoU = (20-dx)/(20+dx) with its own gt, 0 with all
@@ -1838,6 +1862,79 @@ FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
 """
 
 
+def _q_asof_dup_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join tiebreak gate: the right side carries DUPLICATE
+    (user_id, ts) rows with different payloads, and asof_join must pick
+    the greatest payload struct (lexicographic over right_cols)
+    deterministically. Two duplicates per error event: code=1 keeps the
+    raw value, code=2 halves it — lexicographic order means code wins
+    first, so the code=2 row must be carried even though its err_value
+    is smaller. Oracle reduces the right side to the max-struct row per
+    (user_id, ts) explicitly, then runs DuckDB's native ASOF."""
+    from docling_eval_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    raw = ev.filter(
+        (F.col("event_type") == "error") & F.col("value").isNotNull()
+    ).select("user_id", "ts", "value")
+    dup = raw.select(
+        "user_id",
+        "ts",
+        F.lit(1).cast("bigint").alias("code"),
+        F.col("value").alias("err_value"),
+    ).unionByName(
+        raw.select(
+            "user_id",
+            "ts",
+            F.lit(2).cast("bigint").alias("code"),
+            (F.col("value") * F.lit(0.5)).alias("err_value"),
+        )
+    )
+    j = asof_join(
+        clicks, dup, key="user_id", ts="ts", right_cols=["code", "err_value"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.coalesce("code_asof", F.lit(-1).cast("bigint")).alias("code"),
+        F.round(F.coalesce("err_value_asof", F.lit(-1.0)), 6).alias("err_value"),
+        F.coalesce(
+            F.unix_millis(F.col("ts_asof").cast("timestamp")), F.lit(-1)
+        ).alias("asof_ts_ms"),
+    )
+
+
+_SQL_ASOF_DUP = """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+raw AS (
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'error' AND value IS NOT NULL
+),
+dup AS (
+  SELECT user_id, ts, CAST(1 AS BIGINT) AS code, value AS err_value FROM raw
+  UNION ALL
+  SELECT user_id, ts, CAST(2 AS BIGINT) AS code, value * 0.5 AS err_value FROM raw
+),
+rk AS (
+  SELECT user_id, ts, code, err_value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY code DESC, err_value DESC) AS rn
+  FROM dup
+),
+e AS (SELECT user_id, ts, code, err_value FROM rk WHERE rn = 1)
+SELECT c.event_id, c.user_id,
+       epoch_ms(c.ts) AS ts_ms,
+       coalesce(e.code, CAST(-1 AS BIGINT)) AS code,
+       round(coalesce(e.err_value, -1.0), 6) AS err_value,
+       coalesce(epoch_ms(e.ts), -1) AS asof_ts_ms
+FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the stateful streaming
     operator): lag + cumulative-sum windows, one shuffle."""
@@ -1892,9 +1989,12 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate runs the portable dual-polynomial token hash (DuckDB
+    recomputes it bit-for-bit); production default is xxhash64 —
+    bench.py times that path separately as simhash_prod."""
     from docling_eval_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"), "doc_id")
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", portable=True)
 
 
 # DuckDB twins of the portable-hash dedup family. The shingle/token
@@ -2082,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _with_pkg(_q_line_dedup),
         "winnow_fps": _with_pkg(_q_winnow_fps),
         "asof_latest_error": _with_pkg(_q_asof_latest_error),
+        "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
         "sessionize": _with_pkg(_q_sessionize),
     }
 
@@ -2132,5 +2233,6 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "winnow_fps": _SQL_WINNOW,
         "asof_latest_error": _SQL_ASOF,
+        "asof_dup_ties": _SQL_ASOF_DUP,
         "sessionize": _SQL_SESSIONIZE,
     }

@@ -392,21 +392,27 @@ def _token_pair_hash(tok: F.Column) -> F.Column:
     return let_col(hs, lambda v: v["h1"] + F.lit(1 << 31).cast("long") * v["h2"])
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """62-bit SimHash per document.
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
+) -> DataFrame:
+    """SimHash per document.
 
-    Token hash = h1 + 2^31·h2 with two independent polynomial hashes
-    mod 2^31−1 — JVM-side codegen AND bit-for-bit reproducible in the
-    DuckDB oracle (xxhash64 would be Spark-only). Bits 62-63 are always
-    0, so the value is a non-negative long. The per-bit majority vote
-    folds the hash array in a vectorized kernel (numpy bit unpacking),
-    Arrow-batched.
+    Token hash, production default (``portable=False``): ``xxhash64``
+    of the token — one JVM intrinsic per token, full 64 bits. The
+    ``portable=True`` path swaps in h1 + 2^31·h2 dual polynomial hashes
+    mod 2^31−1 (62 bits, always non-negative) that DuckDB can recompute
+    bit-for-bit — that's what the oracle gate runs; it costs ~2× the
+    xxhash64 path, so it is opt-in, not the default. Both paths share
+    the same normalization, bit-majority vote, and downstream blocking
+    semantics. The per-bit majority vote folds the hash array in a
+    vectorized kernel (numpy bit unpacking), Arrow-batched.
     """
+    token_hash = _token_pair_hash if portable else (lambda t: F.xxhash64(t))
     tok_hashes = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.transform(
             F.filter(F.split(_norm(text_col), " "), lambda x: x != ""),
-            _token_pair_hash,
+            token_hash,
         ).alias("hashes"),
     )
 
@@ -418,7 +424,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
                 if hs is None or len(hs) == 0:
                     out_sh.append(0)
                     continue
-                arr = np.asarray(hs, dtype=np.uint64)
+                # int64 → uint64 view: xxhash64 values are signed longs
+                arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 bits = (
                     (arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
                 ).astype(np.int64)

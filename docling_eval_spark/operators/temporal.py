@@ -7,8 +7,11 @@
   right row forward with ``last(..., ignorenulls=True)`` — ONE shuffle
   on the key, no range-explosion, no per-key quadratic work. Ties
   (right.ts == left.ts) match, like DuckDB/kdb asof semantics; among
-  equal right timestamps the largest sort-order row wins
-  deterministically via a sequence tiebreak.
+  DUPLICATE right rows at the same (key, ts) the greatest payload
+  struct (lexicographic over ``right_cols`` in the given order) wins —
+  the window orders by the payload itself, so the result is identical
+  across runs and partitionings. Requires the right payload columns to
+  be orderable types (no maps) — true for every table here.
 - ``sessionize_batch`` — gap-based sessions (new session when the gap
   since the previous event of the same key exceeds ``gap_sec``): the
   classic lag + cumulative-sum window pair, parameterized by
@@ -80,10 +83,15 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at the same ts (side 0 < 1) so
     # ties match; the latest WHOLE right row is carried forward as one
-    # struct — never field-by-field
+    # struct — never field-by-field. Ordering additionally by __r
+    # (struct comparison = lexicographic over right_cols) makes the
+    # winner among duplicate right (key, ts) rows deterministic: the
+    # greatest payload sorts last and last() carries it. Left rows all
+    # have __r NULL and __side 1, so their relative order at a tied ts
+    # is irrelevant (ignorenulls skips them).
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "__side")
+        .orderBy(ts, "__side", F.col("__r").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

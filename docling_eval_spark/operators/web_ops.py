@@ -16,14 +16,15 @@ All engine-portable (the DuckDB gate recomputes each value):
   than once"): here at line granularity — every line keeps only its
   first occurrence corpus-wide (min doc_id, then min line_no), and
   docs are reassembled from their surviving lines in order. One
-  explode + one window over the line hash + one re-aggregation:
-  shuffle is bounded by the line-hash key space.
+  explode + one min-struct hash aggregation over the line + one
+  re-aggregation: shuffle bounded by distinct lines, map-side combine
+  absorbs hot boilerplate lines.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 
 def canonical_url_col(url: Column | str) -> Column:
@@ -87,18 +88,26 @@ def line_dedup(
     are ABSENT from the output (no surviving line rows → no group);
     left-join the original id spine if per-doc presence matters.
 
-    Plan: explode lines with position → ONE window over the line key
-    (hash shuffle on the line content — bounded by distinct lines) →
-    filter rank 1 → re-aggregate per doc ordered by position."""
+    Plan: explode lines with position → min(struct(id, line_no)) HASH
+    aggregation per line → re-aggregate per doc ordered by position.
+    The min-struct agg (not a row_number window) is the skew defence:
+    a boilerplate line repeated millions of times — the exact C4 hot
+    case — partial-aggregates map-side to one row per task before the
+    exchange, so the hot key never concentrates raw rows for a per-key
+    sort. Shuffle is bounded by DISTINCT lines, with O(1) state per
+    key."""
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), line_sep)).alias("line_no", "line"),
     ).filter(F.trim("line") != "")
-    w = Window.partitionBy("line").orderBy("id", "line_no")
     kept = (
-        lines.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        lines.groupBy("line")
+        .agg(F.min(F.struct("id", "line_no")).alias("__first"))
+        .select(
+            F.col("__first.id").alias("id"),
+            F.col("__first.line_no").alias("line_no"),
+            "line",
+        )
     )
     return (
         kept.groupBy("id")

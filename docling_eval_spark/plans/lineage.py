@@ -72,6 +72,19 @@ def manifest_as_of(
     if lin is None:
         raise FileNotFoundError(lineage_dir)
     lin = lin.filter(F.col("status") == "SUCCESS")
+    if "seq" not in lin.columns:
+        # pre-migration lineage (no seq column): every SUCCESS row is
+        # its bucket's only commit — treat append order as seq 1..n per
+        # bucket is unknowable, so fall back to all SUCCESS rows with a
+        # synthetic seq (same migration contract as latest_snapshot).
+        lin = lin.withColumn("seq", F.lit(0).cast("long")).withColumn(
+            "data_path",
+            (
+                F.col("data_path")
+                if "data_path" in lin.columns
+                else F.concat(F.lit("bucket="), F.col("bucket"))
+            ),
+        )
     if snapshot is not None:
         lin = lin.filter(F.col("seq") <= snapshot)
     from pyspark.sql import Window
@@ -100,7 +113,10 @@ def read_as_of(
     ]
     if not paths:
         raise ValueError(f"no committed buckets at snapshot {snapshot}")
-    return spark.read.parquet(*paths)
+    # basePath keeps the bucket=N partition column in the snapshot
+    # schema — leaf-dir reads without it would silently drop the column
+    # vs a plain read of out_dir.
+    return spark.read.option("basePath", out_dir).parquet(*paths)
 
 
 def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame | None:

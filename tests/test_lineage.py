@@ -100,3 +100,29 @@ def test_snapshot_as_of_reads(spark, tmp_path):
     # time travel: the partial snapshot still reads the old view
     assert read_as_of(spark, out, lin, snapshot=snap_partial).count() == partial_docs
     assert partial_docs < 120
+    # basePath: the bucket partition column survives a manifest read
+    assert "bucket" in read_as_of(spark, out, lin).columns
+
+
+def test_manifest_pre_migration_lineage_without_seq(spark, tmp_path):
+    """A lineage table written before the seq/data_path columns existed
+    must still serve manifest reads (fall back to all SUCCESS rows)
+    instead of raising AnalysisException."""
+    from docling_eval_spark.plans.lineage import manifest_as_of, read_as_of
+
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    for b, n in ((0, 3), (1, 2)):
+        spark.range(n).selectExpr("id AS url", "'x' AS text").write.parquet(
+            f"{out}/bucket={b}"
+        )
+    old_rows = [(b, "SUCCESS", n, n, 0, 1, "legacy") for b, n in ((0, 3), (1, 2))]
+    spark.createDataFrame(
+        old_rows,
+        "bucket int, status string, doc_count long, ok_count long, "
+        "bytes_in long, wall_ms long, run_id string",
+    ).write.parquet(lin)
+    m = manifest_as_of(spark, lin)
+    assert sorted(r["bucket"] for r in m.collect()) == [0, 1]
+    got = read_as_of(spark, out, lin)
+    assert got.count() == 5 and "bucket" in got.columns

@@ -512,6 +512,42 @@ def test_asof_join_null_payload_not_stitched(spark):
     assert r["ts_asof"] == 10.0 and r["v_asof"] is None
 
 
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Duplicate right rows at the same (key, ts): the greatest payload
+    struct (lexicographic over right_cols) must win, identically across
+    partitionings."""
+    from docling_eval_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 30.0, "b"), (2, 10.0, "c")],
+        "k long, ts double, tag string",
+    )
+    # k=1 has THREE right rows at ts=10: (code, v) lexicographic max is
+    # (2, 1.0) — code dominates even though its v is smallest.
+    right_rows = [
+        (1, 10.0, 1, 100.0),
+        (1, 10.0, 2, 1.0),
+        (1, 10.0, 1, 999.0),
+        (1, 25.0, 1, 7.0),
+        (1, 25.0, 1, 9.0),
+        (2, 10.0, 5, 5.0),
+    ]
+    for nparts in (1, 64):
+        right = spark.createDataFrame(
+            right_rows, "k long, ts double, code long, v double"
+        ).repartition(nparts)
+        got = {
+            r["tag"]: (r["code_asof"], r["v_asof"])
+            for r in asof_join(
+                left.repartition(nparts), right, key="k", ts="ts",
+                right_cols=["code", "v"],
+            ).collect()
+        }
+        assert got["a"] == (2, 1.0), got
+        assert got["b"] == (1, 9.0), got   # dup at ts=25: max v wins
+        assert got["c"] == (5, 5.0), got
+
+
 def test_jpeg_zigzag_is_spec_order():
     from docling_eval_spark.operators.jpeg_codec import _ZZ
 
