@@ -7,15 +7,35 @@ Prints ONE JSON line:
 
 The headline number couples the two contract metrics: end-to-end
 extraction wall time (render → kernel → match check) and the
-relational/operator suite. Extraction docs/sec is reported as an
-extra key. Scaling-efficiency evidence (local[8] vs local[32]) is
-produced by scripts/scaling_bench.py into BENCH/BASELINE.md.
+relational/operator suite. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by scripts/scaling_bench.py into
+BENCH/BASELINE.md.
+
+Methodology (VERDICT r2 'What's wrong' #3 — this host's all-core
+frequency drifts across consecutive saturating runs, so single-shot
+fixed-order timings confound drift with regressions):
+
+- one untimed global warm-up spawns Python workers + JIT.
+- per query, ONE true-cold run (first execution in this JVM: includes
+  Catalyst analysis + codegen compile; by definition unrepeatable in
+  one process, kept for round-over-round continuity) ...
+- ... then WARM_PASSES full passes over the query list in ALTERNATING
+  order (forward / reverse / forward) with a cooldown between passes.
+  Per query we report the warm MEDIAN and the spread (max−min)/median.
+  The warm median in alternating order is the regression-detection
+  number: host drift hits early and late list positions symmetrically
+  across passes, so a >spread change between rounds is a plan change,
+  not drift.
+
+Every timed run forces materialization through the noop sink (count()
+lets Catalyst prune computed columns and under-measures).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -38,6 +58,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_pairs",
     "simhash",
+    "simhash_prod",
     "cosine_topk",
     "near_dup_pairs",
     "gopher_quality",
@@ -46,50 +67,77 @@ BENCH_QUERIES = [
     "teds_known_distance",
 ]
 
+WARM_PASSES = 3
+COOLDOWN_SEC = 3.0
+
+
+def _simhash_prod(spark, sf_dir):
+    """Production simhash path (default xxhash64 token hash) — the
+    contract query `simhash` runs portable=True for the DuckDB oracle;
+    this entry times what a real corpus run pays."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from docling_eval_spark.operators.dedup import simhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(d, "doc_id")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs["simhash_prod"] = _simhash_prod
 
-    timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     # untimed warm-up: spawn every Python worker (pandas + package
     # imports ~1-2 s each) and compile codegen so timings measure
     # steady-state, not first-job startup
-    qs["extract_match_stats"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    warm: dict[str, float] = {}
+    _force(qs["extract_match_stats"](spark, sf_dir))
+
+    cold: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {q: [] for q in BENCH_QUERIES}
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        # noop sink: forces EVERY output column to materialize —
-        # count()-style forcing lets Catalyst prune computed columns
-        # and under-measures
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        # second run: plan-compile amortized — the steady-state cost a
-        # warehouse pays (cold-minus-warm ≈ Catalyst compile of the
-        # wide expression trees, a per-query constant, not a per-row
-        # cost; at this sf it dominates several queries)
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.monotonic() - t0, 3)
+        _force(qs[name](spark, sf_dir))
+        cold[name] = round(time.monotonic() - t0, 3)
+    for p in range(WARM_PASSES):
+        time.sleep(COOLDOWN_SEC)
+        order = BENCH_QUERIES if p % 2 == 0 else list(reversed(BENCH_QUERIES))
+        for name in order:
+            t0 = time.monotonic()
+            _force(qs[name](spark, sf_dir))
+            warm_samples[name].append(time.monotonic() - t0)
 
-    extract_sec = timings["extract_match_stats"]
-    total = round(sum(timings.values()), 3)
+    warm_med = {
+        q: round(statistics.median(v), 3) for q, v in warm_samples.items()
+    }
+    spread_pct = {
+        q: round(100.0 * (max(v) - min(v)) / statistics.median(v), 1)
+        if statistics.median(v) > 0
+        else 0.0
+        for q, v in warm_samples.items()
+    }
+
+    extract_sec = cold["extract_match_stats"]
+    total = round(sum(cold.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline suite wall time (extraction + eval + operators)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
+                "queries": cold,
+                "queries_warm_med": warm_med,
+                "queries_spread_pct": spread_pct,
+                "value_warm_med": round(sum(warm_med.values()), 3),
+                "warm_passes": WARM_PASSES,
                 "sf": sf,
                 "cpus": cpus,
                 "extraction_docs": n_docs,

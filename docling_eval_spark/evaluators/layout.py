@@ -419,6 +419,14 @@ def corpus_map(
     averaged from the per-(label, thr) AP table (see corpus_ap_table
     for the sketch-vs-exact story)."""
     aps = corpus_ap_table(df, gt_col, pred_col, exact=exact)
+    return map_from_ap_table(aps)
+
+
+def map_from_ap_table(aps: DataFrame) -> DataFrame:
+    """(mAP, mAP@50, mAP@75) from an already-computed (label, iou_thr,
+    ap) table — lets evaluate() persist the tiny AP table once and
+    derive every downstream consumer (stats JSON, per-class report)
+    from the written rows instead of re-running the detection kernel."""
     return aps.agg(
         F.avg("ap").alias("map"),
         F.avg(F.when(F.col("iou_thr") == 0.5, F.col("ap"))).alias("map_50"),

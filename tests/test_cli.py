@@ -59,6 +59,40 @@ def test_three_phase_pipeline(spark, tmp_path):
     assert "<svg" in overlay and 'class="gt"' in overlay and 'class="pred"' in overlay
 
 
+def test_layout_visualize_reads_persisted_ap_table(spark, tmp_path, monkeypatch):
+    """VERDICT-r2 #1 regression guard: evaluate(layout) persists the
+    AP table; visualize(layout) reads the written rows and NEVER
+    re-runs the corpus detection kernel. per_class_ap.md must be
+    byte-identical to a report rendered straight from the written
+    table."""
+    from docling_eval_spark.reporting.reports import per_class_ap_report
+    import docling_eval_spark.evaluators.layout as L
+
+    dataset = str(tmp_path / "ds")
+    eval_dir = str(tmp_path / "ev")
+    reports = tmp_path / "rep"
+    pages = str(tmp_path / "pages")
+    from docling_eval_spark.datagen.pages import write_pages_parquet
+
+    write_pages_parquet(spark, pages, 60, partitions=4)
+    pipelines.create_dataset(spark, pages, dataset, buckets=None)
+    pipelines.evaluate(spark, dataset, "layout", eval_dir)
+    ap_path = tmp_path / "ev" / "evaluation_layout_ap_table"
+    assert ap_path.exists()
+
+    def boom(*a, **k):
+        raise AssertionError("detection kernel re-ran in visualize phase")
+
+    monkeypatch.setattr(L, "corpus_ap_table", boom)
+    monkeypatch.setattr(L, "corpus_detections_stage", boom)
+    pipelines.visualize(spark, dataset, eval_dir, "layout", str(reports))
+    got = (reports / "per_class_ap.md").read_text()
+    per_class_ap_report(
+        spark.read.parquet(str(ap_path)), str(tmp_path / "direct.md")
+    )
+    assert got == (tmp_path / "direct.md").read_text()
+
+
 def test_perturbed_pipeline_metric_sensitivity(spark, tmp_path):
     """K10 model slot: seeded noise → metrics drop monotonically with
     noise level, evaluators prefer pred_* columns."""
