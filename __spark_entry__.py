@@ -803,6 +803,168 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _emb_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus, queries) embedding frames shared by the ANN gates."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return e, q
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-3 with Hamming-1 multiprobe —
+    the scale path beside brute_force_topk. The oracle recomputes the
+    seed-7 sign buckets from plane literals, expands the same probe
+    set, and ranks candidates with the identical fold-order cosine."""
+    from docling_eval_spark.operators.similarity import lsh_bucketed_topk
+
+    e, q = _emb_tables(spark, sf_dir)
+    out = lsh_bucketed_topk(e, q, k=3, n_planes=8, seed=7)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def _bucket_sql_expr(col: str, planes) -> str:
+    """Sign-bucket SQL over a DuckDB list column with plane literals —
+    same left-fold dot product as similarity.bucket_col."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"j -> {col}[j] * ({arr})[j])), (a, x) -> a + x) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_DUCK_COSINE = (
+    "CASE WHEN sqrt(list_inner_product({l}, {l})) > 0"
+    " AND sqrt(list_inner_product({r}, {r})) > 0"
+    " THEN list_inner_product({l}, {r}) /"
+    " (sqrt(list_inner_product({l}, {l})) * sqrt(list_inner_product({r}, {r})))"
+    " ELSE 0.0 END"
+)
+
+
+def _sql_lsh_topk() -> str:
+    from docling_eval_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, seed=7)
+    cos = _DUCK_COSINE.format(l="cb.v", r="qb.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+cb AS (SELECT vec_id, v, ({_bucket_sql_expr("v", planes)}) AS bucket FROM e),
+qb0 AS (SELECT query_id, qv, ({_bucket_sql_expr("qv", planes)}) AS bucket FROM q),
+qb AS (
+  SELECT query_id, qv,
+         unnest(list_prepend(bucket,
+                list_transform(range(0, 8), i -> xor(bucket, 1 << i)))) AS bucket
+  FROM qb0
+),
+sims AS (
+  SELECT qb.query_id, cb.vec_id AS neighbor_id, {cos} AS cos
+  FROM cb JOIN qb USING (bucket)
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank,
+         cos
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3, n_probe=2, against FIXED deterministic centroids
+    (seed-11 gaussian matrix — the assign/search path is what this
+    gate verifies; k-means training quality is pytest-gated by recall
+    against brute force). The oracle recomputes the per-row nearest
+    centroid (cosine argmax, index tiebreak) and the probed top-2
+    lists relationally."""
+    from docling_eval_spark.operators.ivf import ivf_topk
+    from docling_eval_spark.operators.similarity import hyperplanes
+
+    e, q = _emb_tables(spark, sf_dir)
+    cents = hyperplanes(64, 8, seed=11)
+    out = ivf_topk(e, q, cents, k=3, n_probe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def _sql_ivf_topk() -> str:
+    from docling_eval_spark.operators.similarity import hyperplanes
+
+    cents = hyperplanes(64, 8, seed=11)
+    cent_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    cos_assign = _DUCK_COSINE.format(l="s.v", r="c.cv")
+    cos_final = _DUCK_COSINE.format(l="a.v", r="qa.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+cents AS (SELECT * FROM (VALUES {cent_rows}) AS t(cidx, cv)),
+csims AS (
+  SELECT s.vec_id, s.v, c.cidx, {cos_assign} AS sim
+  FROM e s CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, cidx AS centroid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY sim DESC, cidx ASC) AS rn
+    FROM csims
+  ) WHERE rn = 1
+),
+qsims AS (
+  SELECT s.query_id, s.qv AS v, c.cidx, {cos_assign.replace("s.v", "s.qv")} AS sim
+  FROM q s CROSS JOIN cents c
+),
+qassign AS (
+  SELECT query_id, v AS qv, cidx AS centroid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, cidx ASC) AS rn
+    FROM qsims
+  ) WHERE rn <= 2
+),
+sims AS (
+  SELECT qa.query_id, a.vec_id AS neighbor_id, {cos_final} AS cos
+  FROM assign a JOIN qassign qa USING (centroid)
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank,
+         cos
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _render_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.datagen.pages import render_documents_stage
     from docling_eval_spark.extraction.stage import extract_stage
@@ -1988,6 +2150,97 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental minhash dedup: NEW docs (ids +100000, same texts —
+    guaranteed est=1.0 self-collisions plus organic near-dups) against
+    the existing signature store. Only new×all band collisions join;
+    old×old pairs never re-emit — the continuously-ingesting-corpus
+    shape. Oracle recomputes signatures/bands and replicates the
+    new-side join + estimate threshold."""
+    from docling_eval_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    store = minhash_signatures(
+        d.select(F.col("doc_id").alias("id"), "text"), "id"
+    )
+    new = minhash_signatures(
+        d.select((F.col("doc_id") + 100000).alias("id"), "text"), "id"
+    )
+    return minhash_incremental_pairs(new, store, threshold=0.7).select(
+        "id_l", "id_r", "est"
+    )
+
+
+def _sql_minhash_incremental() -> str:
+    """Oracle for _q_minhash_incremental: same seed-1 coefficients and
+    md5 banding as _sql_minhash_pairs; candidate join restricted to
+    new-side (id >= 100000) rows vs all, estimate = matching minima /
+    30 >= 0.7."""
+    from docling_eval_spark.operators.dedup import _perm_coeffs
+
+    mins = ",\n      ".join(
+        f"coalesce(list_min(list_transform(sh, x -> ((x * {a}) % {_POLY_P} + {b}) % {_POLY_P})), {_POLY_P})"
+        for a, b in _perm_coeffs(30, seed=1)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+),
+dup AS (
+  SELECT id, t FROM norm UNION ALL SELECT id + 100000 AS id, t FROM norm
+),
+codes AS (
+  SELECT id,
+    CASE WHEN length(t) = 0 THEN CAST([] AS BIGINT[]) ELSE
+      list_distinct(list_transform(
+        range(1, CASE WHEN length(t) >= 5 THEN length(t) - 3 ELSE 2 END),
+        i -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(i, least(i + 4, length(t)) + 1),
+                                j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+               (acc, x) -> (acc * {_POLY_B1} + x) % {_POLY_P})))
+    END AS sh
+  FROM dup
+),
+sigs AS (
+  SELECT id, [
+      {mins}
+  ] AS sig
+  FROM codes
+),
+bands AS (
+  SELECT id, b.b AS band,
+         md5(array_to_string(list_slice(sig, b.b * 5 + 1, b.b * 5 + 5), ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 6)) AS b) b
+),
+bucket_sizes AS (
+  SELECT band, band_hash, count(*) AS n FROM bands GROUP BY band, band_hash
+),
+cand AS (
+  SELECT DISTINCT least(n.id, a.id) AS id_l, greatest(n.id, a.id) AS id_r
+  FROM bands n
+  JOIN bands a ON n.band = a.band AND n.band_hash = a.band_hash AND n.id <> a.id
+  JOIN bucket_sizes s ON s.band = n.band AND s.band_hash = n.band_hash
+  WHERE n.id >= 100000 AND s.n <= 1000
+),
+est AS (
+  SELECT c.id_l, c.id_r,
+         len(list_filter(range(1, 31), i -> sl.sig[i] = sr.sig[i])) / 30.0 AS est
+  FROM cand c
+  JOIN sigs sl ON sl.id = c.id_l
+  JOIN sigs sr ON sr.id = c.id_r
+)
+SELECT id_l, id_r, round(est, 6) AS est
+FROM est WHERE est >= 0.7
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate runs the portable dual-polynomial token hash (DuckDB
     recomputes it bit-for-bit); production default is xxhash64 —
@@ -2163,6 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _with_pkg(_q_ngram_jaccard),
         "fingerprint": _with_pkg(_q_fingerprint),
         "cosine_topk": _with_pkg(_q_cosine_topk),
+        "lsh_topk": _with_pkg(_q_lsh_topk),
+        "ivf_topk": _with_pkg(_q_ivf_topk),
+        "minhash_incremental": _with_pkg(_q_minhash_incremental),
         "point_in_box": _with_pkg(_q_point_in_box),
         "kv_link_metrics": _with_pkg(_q_kv_link_metrics),
         "extract_md5": _with_pkg(_q_extract_md5),
@@ -2214,6 +2470,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "fingerprint": _SQL_FINGERPRINT,
         "cosine_topk": _SQL_COSINE_TOPK,
+        "lsh_topk": _sql_lsh_topk(),
+        "ivf_topk": _sql_ivf_topk(),
+        "minhash_incremental": _sql_minhash_incremental(),
         "point_in_box": _SQL_POINT_IN_BOX,
         "kv_link_metrics": _SQL_KV_LINKS,
         "extract_md5": _SQL_EXTRACT_MD5,
