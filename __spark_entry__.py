@@ -1090,23 +1090,43 @@ FROM ranked WHERE rn = 1
 def _q_kv_link_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-value graph link agreement (FUNSD analog, SURVEY K3):
     GT links = consecutive events by time per user, predicted links =
-    consecutive by value; per-user link P/R/F1 via set joins."""
-    from docling_eval_spark.operators.kv_graph import kv_link_metrics
+    consecutive by value; per-user link P/R/F1.
+
+    Single-pass shape (VERDICT r2 next-round #9 — was an 11-shuffle
+    window/join cascade): ONE groupBy(user) collects the bounded
+    per-doc event list; both orderings, both link sets, and the
+    set-intersection metrics are per-row array algebra after that one
+    exchange. Users with <2 events produce no links on either side and
+    are dropped, matching the relational twin (lead() is NULL there)."""
+    from docling_eval_spark.operators.kv_graph import (
+        consecutive_links,
+        kv_link_metrics_arrays,
+    )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
-    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
-    gt = ev.select(
-        F.col("user_id").alias("key"),
-        F.col("event_id").alias("src"),
-        F.lead("event_id").over(wt).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    pred = ev.select(
-        F.col("user_id").alias("key"),
-        F.col("event_id").alias("src"),
-        F.lead("event_id").over(wv).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    return kv_link_metrics(gt, pred)
+    per_user = (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.collect_list(F.struct("ts", "value", "event_id")).alias("evs"))
+        .filter(F.size("evs") >= 2)
+    )
+
+    def ids_by(field: str):
+        return F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("evs"),
+                    lambda e: F.struct(e[field].alias("o"), e["event_id"].alias("id")),
+                )
+            ),
+            lambda x: x["id"],
+        )
+
+    links = per_user.select(
+        "key",
+        consecutive_links(ids_by("ts")).alias("gt_links"),
+        consecutive_links(ids_by("value")).alias("pred_links"),
+    )
+    return kv_link_metrics_arrays(links)
 
 
 _SQL_KV_LINKS = """

@@ -4,15 +4,19 @@ Baseline sequential JPEG (ITU-T T.81, public) decodes with stdlib +
 numpy: segment parsing, canonical Huffman tables read FROM THE STREAM
 (DHT), dequantization (DQT), inverse zigzag, 8×8 IDCT as two matrix
 multiplies, YCbCr→RGB. Supported: 8-bit baseline (SOF0), 1 or 3
-components with 1×1 sampling (no chroma subsampling), no restart
-markers — enough for the codec-complete multimodal path; anything
-else raises ValueError and the caller degrades to the fake path.
+components with sampling factors in {1, 2} — i.e. 4:4:4, 4:2:2 and
+the dominant wild format 4:2:0 (generic MCU-interleaved decode,
+nearest-neighbor chroma upsampling) — plus DRI/RSTn restart markers
+(byte-realign + DC-predictor reset every restart interval). Anything
+else (progressive SOF2, 16-bit tables, arithmetic coding) raises
+ValueError and the caller degrades to the honest fake path.
 
 The encoder exists for round-trip tests and thumbnail re-encoding: it
 writes flat quantization tables and deliberately simple fixed-length
 canonical Huffman tables (every table is embedded in the stream, so
 no Annex-K recall is needed; the output is spec-valid, just not
-size-optimal).
+size-optimal). ``subsample="420"`` emits 2×2-subsampled chroma;
+``restart_interval=n`` emits DRI + RSTn markers.
 """
 
 from __future__ import annotations
@@ -155,14 +159,40 @@ def _encode_block(
     return int(zz[0])
 
 
-def jpeg_encode(arr: np.ndarray) -> bytes:
+def jpeg_encode(
+    arr: np.ndarray, subsample: str = "444", restart_interval: int = 0
+) -> bytes:
     """(H, W) gray or (H, W, 3) RGB uint8 → baseline JPEG bytes
-    (flat q=16 tables, 4:4:4, simple embedded Huffman tables)."""
+    (flat q=16 tables, simple embedded Huffman tables).
+
+    ``subsample``: "444" (1×1 everywhere) or "420" (Y 2×2, chroma
+    2×2-averaged — the dominant wild format). ``restart_interval`` > 0
+    emits a DRI segment and an RSTn marker (byte-aligned, DC reset)
+    every n MCUs."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     a = np.asarray(arr, dtype=np.float64)
     gray = a.ndim == 2
-    planes = [a] if gray else list(np.moveaxis(_rgb_to_ycbcr(a), -1, 0))
     h, w = a.shape[:2]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    sub = subsample == "420" and not gray
+    # per-component (plane, hi, vi); 4:2:0 pads to 16, averages chroma
+    if gray:
+        comps_px = [(a, 1, 1)]
+    else:
+        y, cb, cr = np.moveaxis(_rgb_to_ycbcr(a), -1, 0)
+        if sub:
+            ph16, pw16 = -(-h // 16) * 16, -(-w // 16) * 16
+            cbp = np.pad(cb, ((0, ph16 - h), (0, pw16 - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph16 - h), (0, pw16 - w)), mode="edge")
+            ds = lambda p: p.reshape(  # noqa: E731 — 2×2 box average
+                p.shape[0] // 2, 2, p.shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+            comps_px = [(y, 2, 2), (ds(cbp), 1, 1), (ds(crp), 1, 1)]
+        else:
+            comps_px = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    hmax = max(c[1] for c in comps_px)
+    vmax = max(c[2] for c in comps_px)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     q = _Q_FLAT.reshape(8, 8)
 
     dc_bits, dc_syms, dc_codes = _canonical(_DC_SPEC)
@@ -171,14 +201,16 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     zz_q = bytes(int(_Q_FLAT[i]) for i in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q  # DQT id 0
-    ncomp = 1 if gray else 3
+    ncomp = len(comps_px)
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])
+    for cid, (_, hi, vi) in enumerate(comps_px, start=1):
+        sof += bytes([cid, (hi << 4) | vi, 0])
     out += b"\xff\xc0" + sof
     for cls, (bits, syms) in ((0, (dc_bits, dc_syms)), (1, (ac_bits, ac_syms))):
         body = bytes([cls << 4]) + bytes(bits) + bytes(syms)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])
@@ -187,15 +219,39 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
 
     bw = _BitWriter()
     preds = [0] * ncomp
-    padded = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0 for p in planes
-    ]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(ncomp):
-                block = padded[ci][by : by + 8, bx : bx + 8]
-                coefs = np.rint((_D @ block @ _D.T) / q).astype(np.int32)
-                preds[ci] = _encode_block(bw, coefs, preds[ci], dc_codes, ac_codes)
+    padded = []
+    for p, hi, vi in comps_px:
+        tph, tpw = mcuy * 8 * vi, mcux * 8 * hi
+        padded.append(
+            np.pad(
+                p,
+                ((0, tph - p.shape[0]), (0, tpw - p.shape[1])),
+                mode="edge",
+            )
+            - 128.0
+        )
+    mcu_n = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * ncomp
+            for ci, (_, hi, vi) in enumerate(comps_px):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        by = (my * vi + byi) * 8
+                        bx = (mx * hi + bxi) * 8
+                        block = padded[ci][by : by + 8, bx : bx + 8]
+                        coefs = np.rint((_D @ block @ _D.T) / q).astype(np.int32)
+                        preds[ci] = _encode_block(
+                            bw, coefs, preds[ci], dc_codes, ac_codes
+                        )
+            mcu_n += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -234,6 +290,18 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0  # discard padding bits
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("missing restart marker")
+
 
 def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, ln = 0, 0
@@ -257,8 +325,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comps: list[tuple[int, int]] = []  # (component id, quant id)
+    comps: list[tuple[int, int, int, int]] = []  # (comp id, quant id, hi, vi)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker")
@@ -285,9 +354,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("chroma subsampling unsupported")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError("sampling factors beyond 2x2 unsupported")
+                if nc == 1:
+                    # a single-component scan is non-interleaved: MCU =
+                    # one block regardless of declared factors (T.81
+                    # A.2.2) — normalize so the MCU walk is per-block
+                    hi = vi = 1
+                comps.append((cid, tq, hi, vi))
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -309,7 +386,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             ns = body[0]
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
-                ci = next(i for i, (c, _) in enumerate(comps) if c == cid)
+                ci = next(i for i, c in enumerate(comps) if c[0] == cid)
                 scan.append((ci, tids >> 4, tids & 0x0F))
             ent_start = pos
             # entropy data runs until the next real marker (EOI)
@@ -322,44 +399,79 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 j += 1
             ent = data[ent_start:j]
             pos = j
-            return _decode_scan(ent, h, w, comps, scan, qt, huff)
+            return _decode_scan(ent, h, w, comps, scan, qt, huff, restart_interval)
     raise ValueError("no scan in JPEG")
 
 
-def _decode_scan(ent, h, w, comps, scan, qt, huff) -> np.ndarray:
+def _decode_block(br, huff, dct, act, pred: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int32)
+    t = _decode_huff(br, huff[(0, dct)])
+    diff = _extend(br.bits(t), t) if t else 0
+    pred += diff
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        sym = _decode_huff(br, huff[(1, act)])
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i > 63:
+            raise ValueError("AC run overflow")
+        zz[i] = _extend(br.bits(size), size)
+        i += 1
+    return zz, pred
+
+
+def _decode_scan(ent, h, w, comps, scan, qt, huff, restart_interval=0) -> np.ndarray:
+    """Generic MCU-interleaved scan: each component contributes hi×vi
+    blocks per MCU; subsampled planes are decoded at their native
+    resolution and upsampled by pixel replication at the end. RSTn
+    markers (every restart_interval MCUs) byte-realign the reader and
+    reset every DC predictor (T.81 §B.2.1.2 / F.2.1.3.1)."""
     br = _BitReader(ent)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     ncomp = len(scan)
-    planes = [np.zeros((ph, pw)) for _ in range(ncomp)]
+    hmax = max(comps[ci][2] for ci, _, _ in scan)
+    vmax = max(comps[ci][3] for ci, _, _ in scan)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = []
+    for ci, _, _ in scan:
+        hi, vi = comps[ci][2], comps[ci][3]
+        planes.append(np.zeros((mcuy * 8 * vi, mcux * 8 * hi)))
     preds = [0] * ncomp
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.restart()
+                preds = [0] * ncomp
             for si, (ci, dct, act) in enumerate(scan):
-                zz = np.zeros(64, dtype=np.int32)
-                t = _decode_huff(br, huff[(0, dct)])
-                diff = _extend(br.bits(t), t) if t else 0
-                preds[si] += diff
-                zz[0] = preds[si]
-                i = 1
-                while i < 64:
-                    sym = _decode_huff(br, huff[(1, act)])
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run overflow")
-                    zz[i] = _extend(br.bits(size), size)
-                    i += 1
-                deq = zz * qt[comps[ci][1]]
-                block = np.zeros((8, 8))
-                for k, (r, c) in enumerate(_ZZ):
-                    block[r, c] = deq[k]
-                planes[si][by : by + 8, bx : bx + 8] = _D.T @ block @ _D + 128.0
-    planes = [p[:h, :w] for p in planes]
+                hi, vi = comps[ci][2], comps[ci][3]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        zz, preds[si] = _decode_block(br, huff, dct, act, preds[si])
+                        deq = zz * qt[comps[ci][1]]
+                        block = np.zeros((8, 8))
+                        for k, (r, c) in enumerate(_ZZ):
+                            block[r, c] = deq[k]
+                        by = (my * vi + byi) * 8
+                        bx = (mx * hi + bxi) * 8
+                        planes[si][by : by + 8, bx : bx + 8] = (
+                            _D.T @ block @ _D + 128.0
+                        )
+            mcu_n += 1
+    up = []
+    for si, (ci, _, _) in enumerate(scan):
+        hi, vi = comps[ci][2], comps[ci][3]
+        p = planes[si]
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        up.append(p[:h, :w])
     if ncomp == 1:
-        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return np.clip(up[0].round(), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(up, axis=-1))

@@ -400,6 +400,64 @@ def test_jpeg_real_pixel_path(spark):
     assert png_decode(bytes(t["thumb"])).shape == (24, 32, 3)
 
 
+def test_jpeg_420_and_restart_markers(spark):
+    """VERDICT-r2 next-round #5: the dominant wild format — 4:2:0
+    chroma subsampling — and DRI/RSTn restart markers decode through
+    the REAL pixel path (fake=False), luma preserved within the flat-q
+    bound; chroma within the 2×2-averaging bound on smooth gradients."""
+    import numpy as np
+
+    from docling_eval_spark.operators.jpeg_codec import jpeg_decode, jpeg_encode
+    from docling_eval_spark.operators.multimodal import thumbnail_stage
+
+    x = np.linspace(0, 255, 64)
+    img = np.stack(
+        [np.tile(x, (48, 1)), np.tile(x[::-1], (48, 1)), np.full((48, 64), 99.0)],
+        axis=2,
+    ).astype(np.uint8)
+
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    for kwargs in (
+        {"subsample": "420"},
+        {"restart_interval": 2},
+        {"subsample": "420", "restart_interval": 1},
+    ):
+        jb = jpeg_encode(img, **kwargs)
+        dec = jpeg_decode(jb)
+        assert dec.shape == img.shape
+        lerr = np.abs(luma(dec) - luma(img))
+        assert lerr.max() <= 30 and lerr.mean() < 8, kwargs
+        # luma histogram round-trips: 8-bin distributions stay close
+        hg = np.histogram(luma(img), bins=8, range=(0, 256))[0]
+        hd = np.histogram(luma(dec), bins=8, range=(0, 256))[0]
+        assert np.abs(hg - hd).sum() <= 0.1 * hg.sum(), kwargs
+        cerr = np.abs(dec.astype(int) - img.astype(int))
+        assert cerr.max() <= 40 and cerr.mean() < 8, kwargs
+
+    # the Spark thumbnail stage takes the real-pixel path on 4:2:0+RST
+    jb = jpeg_encode(img, subsample="420", restart_interval=2)
+    df = spark.createDataFrame([("j420", bytearray(jb))], "url string, media binary")
+    t = thumbnail_stage(df, max_side=32).collect()[0]["thumbnail"]
+    assert not t["fake"] and (t["thumb_w"], t["thumb_h"]) == (32, 24)
+
+    # restart stream is bit-identical to the no-restart stream when
+    # decoded: same image content, independent of interval choice
+    a = jpeg_decode(jpeg_encode(img, restart_interval=3))
+    b = jpeg_decode(jpeg_encode(img))
+    assert np.array_equal(a, b)
+
+    # progressive still degrades honestly
+    import pytest
+
+    prog = bytearray(jpeg_encode(img))
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(prog))
+
+
 def test_web_ops_idempotent(spark):
     """Canonicalization and line-dedup are idempotent — applying them
     twice must be a no-op (the property a re-run pipeline relies on)."""
