@@ -373,6 +373,7 @@ def visualize(
     if modality == "layout":
         from docling_eval_spark.reporting.reports import (
             per_class_ap_report,
+            save_inspection_html,
             save_overlay_html,
         )
 
@@ -402,3 +403,4 @@ def visualize(
         per_class_ap_report(ap_table, str(out / "per_class_ap.md"))
         ds = read_dataset(spark, dataset_dir)
         save_overlay_html(ds, str(out / "layout_overlay.html"))
+        save_inspection_html(ds, str(out / "inspection.html"))

@@ -252,6 +252,132 @@ def save_overlay_html(
     return len(rows)
 
 
+def render_page_image(
+    gt_boxes: list[dict],
+    pred_boxes: list[dict],
+    page_w: float,
+    page_h: float,
+    view_w: int = 400,
+) -> bytes:
+    """Rasterize one page's GT/pred layout geometry to REAL PNG bytes
+    (white page, alpha-blended blue GT fills with solid borders, red
+    2-px prediction borders) via the in-repo encoder — the rendered
+    page image the reference embeds in its inspection HTML
+    (`visualisation/visualisations.py:369-399`, which rasterizes via
+    PIL; here the page render is the MiniPDF geometry itself)."""
+    import numpy as np
+
+    from docling_eval_spark.operators.png_codec import png_encode
+
+    s = view_w / max(page_w, 1e-9)
+    h = max(int(round(page_h * s)), 1)
+    img = np.full((h, view_w, 3), 255, dtype=np.uint8)
+
+    def clip_box(b):
+        l = max(int(round(b["l"] * s)), 0)
+        t = max(int(round(b["t"] * s)), 0)
+        r = min(int(round(b["r"] * s)), view_w)
+        bt = min(int(round(b["b"] * s)), h)
+        return l, t, r, bt
+
+    blue = np.array([72, 120, 168], dtype=np.float64)
+    for b in gt_boxes:
+        l, t, r, bt = clip_box(b)
+        if r <= l or bt <= t:
+            continue
+        region = img[t:bt, l:r].astype(np.float64)
+        img[t:bt, l:r] = (0.82 * region + 0.18 * blue).astype(np.uint8)
+        img[t : min(t + 1, h), l:r] = blue
+        img[max(bt - 1, 0) : bt, l:r] = blue
+        img[t:bt, l : min(l + 1, view_w)] = blue
+        img[t:bt, max(r - 1, 0) : r] = blue
+    red = np.array([200, 50, 50], dtype=np.uint8)
+    for b in pred_boxes:
+        l, t, r, bt = clip_box(b)
+        if r <= l or bt <= t:
+            continue
+        img[t : min(t + 2, bt), l:r] = red
+        img[max(bt - 2, t) : bt, l:r] = red
+        img[t:bt, l : min(l + 2, r)] = red
+        img[t:bt, max(r - 2, l) : r] = red
+    return png_encode(img)
+
+
+def save_inspection_html(
+    ds: DataFrame,
+    out_path: str,
+    gt_col: str = "layout",
+    pred_col: str | None = None,
+    pages_col: str = "pages",
+    key_col: str = "url",
+    max_docs: int = 8,
+    view_w: int = 400,
+) -> int:
+    """Inspection HTML with EMBEDDED RENDERED PAGE IMAGES: one real
+    base64 PNG per page (rasterized geometry, GT blue / pred red),
+    like the reference's save_inspection_html
+    (`visualisation/visualisations.py:369-399`; base64 embedding as in
+    `benchmarks/utils.py:97-102`). Bounded driver-side sample — the
+    dataset scan stays distributed; only ≤max_docs rows are collected."""
+    import base64
+
+    pred_col = pred_col or ("pred_layout" if "pred_layout" in ds.columns else gt_col)
+    cols = [key_col, gt_col, pred_col]
+    has_pages = pages_col in ds.columns
+    if has_pages:
+        cols.append(pages_col)
+    rows = (
+        ds.filter(F.size(gt_col) > 0)
+        .select(*cols)
+        .orderBy(key_col)
+        .limit(max_docs)
+        .collect()
+    )
+    sections = []
+    for r in rows:
+        gt = [x.asDict() for x in (r[gt_col] or [])]
+        pred = [x.asDict() for x in (r[pred_col] or [])]
+        page_dims: dict[int, tuple[float, float]] = {}
+        if has_pages and r[pages_col]:
+            for p in r[pages_col]:
+                page_dims[p["page_no"]] = (float(p["width"]), float(p["height"]))
+        pages = sorted({b.get("page_no") or 1 for b in gt + pred} | set(page_dims))
+        imgs = []
+        for pg in pages:
+            gt_p = [b for b in gt if (b.get("page_no") or 1) == pg]
+            pr_p = [b for b in pred if (b.get("page_no") or 1) == pg]
+            if pg in page_dims:
+                pw, ph = page_dims[pg]
+            else:
+                ext = gt_p + pr_p
+                pw = max((b["r"] for b in ext), default=1.0) + 10
+                ph = max((b["b"] for b in ext), default=1.0) + 10
+            png = render_page_image(gt_p, pr_p, pw, ph, view_w=view_w)
+            b64 = base64.b64encode(png).decode("ascii")
+            imgs.append(
+                f'<figure><img src="data:image/png;base64,{b64}" '
+                f'width="{view_w}" alt="page {pg}"/>'
+                f"<figcaption>page {pg}</figcaption></figure>"
+            )
+        sections.append(
+            f"<h3>{_html.escape(str(r[key_col]))}</h3>"
+            f"<p>{len(gt)} GT boxes (blue fill), {len(pred)} predicted "
+            "(red border)</p>" + "".join(imgs)
+        )
+    doc = (
+        "<html><head><meta charset='utf-8'><style>"
+        "body{font-family:sans-serif}figure{display:inline-block;margin:4px}"
+        "img{border:1px solid #999}</style></head><body>"
+        "<h2>Inspection: rendered pages (ground truth vs prediction)</h2>"
+        + "".join(sections)
+        + "</body></html>"
+    )
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(doc)
+    return len(rows)
+
+
 def delta_row_col_report(teds_df: DataFrame) -> DataFrame:
     """Δrows/Δcols histogram (SURVEY A6, `table_evaluator.py:42-81`)."""
     return (

@@ -58,6 +58,20 @@ def test_three_phase_pipeline(spark, tmp_path):
     overlay = (reports / "layout_overlay.html").read_text()
     assert "<svg" in overlay and 'class="gt"' in overlay and 'class="pred"' in overlay
 
+    # inspection HTML embeds REAL rendered page images (VERDICT-r2
+    # next-round #6): decodable base64 PNG per sampled doc page
+    import base64
+
+    from docling_eval_spark.operators.png_codec import png_decode
+
+    inspection = (reports / "inspection.html").read_text()
+    assert '<img src="data:image/png;base64,' in inspection
+    b64 = inspection.split('<img src="data:image/png;base64,', 1)[1].split('"', 1)[0]
+    arr = png_decode(base64.b64decode(b64))
+    assert arr.ndim == 3 and arr.shape[1] == 400 and arr.shape[2] == 3
+    # the render is non-blank: GT fills darken some pixels
+    assert (arr < 250).any()
+
 
 def test_layout_visualize_reads_persisted_ap_table(spark, tmp_path, monkeypatch):
     """VERDICT-r2 #1 regression guard: evaluate(layout) persists the

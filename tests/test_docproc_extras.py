@@ -291,3 +291,47 @@ def test_cvat_xml_source(spark, tmp_path):
     )
     got = point_in_box_join(points, boxes).collect()
     assert got[0]["box_id"] == 0  # inside the table box
+
+
+def test_cvat_reading_order_walk(spark, tmp_path):
+    """VERDICT-r2 next-round #8: reference-shaped annotation (boxes +
+    reading_order polyline + merge polyline) yields the reference's
+    item order — min-area point→box mapping, already_added skip, merge
+    boxes folded into their primary item and never re-emitted
+    (`cvat_annotation/create.py:514-800` semantics)."""
+    from docling_eval_spark.sources.cvat_xml import (
+        parse_cvat_ground_truth,
+        read_cvat_ground_truth,
+    )
+
+    # 4 boxes; box 3 is a small box nested inside box 0 (min-area rule
+    # must pick box 3 for a point in the overlap). reading_order walks
+    # boxes 1 -> 3 -> 0 -> 2 and revisits 1 (skipped); merge folds box
+    # 2 into box 1, so 2 must NOT re-emit on its own.
+    xml = """<?xml version="1.0"?>
+<annotations>
+  <image id="0" name="p1.png" width="600" height="800">
+    <box label="text"    xtl="0"   ytl="0"   xbr="200" ybr="200"/>
+    <box label="title"   xtl="0"   ytl="300" xbr="200" ybr="400"/>
+    <box label="text"    xtl="300" ytl="300" xbr="500" ybr="400"/>
+    <box label="caption" xtl="50"  ytl="50"  xbr="100" ybr="100"/>
+    <polyline label="reading_order"
+              points="100,350;75,75;150,150;400,350;100,350"/>
+    <polyline label="merge" points="100,350;400,350"/>
+  </image>
+</annotations>"""
+    rows = parse_cvat_ground_truth(xml.encode(), file="f")
+    assert [r["box_id"] for r in rows] == [1, 3, 0]
+    assert [r["order_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["merged_box_ids"] == [1, 2]  # merge folded box 2 in
+    assert rows[0]["label"] == "title"
+    assert rows[1]["label"] == "caption"  # min-area beat the big box
+
+    # same result through the distributed source
+    (tmp_path / "gt.xml").write_text(xml)
+    df = read_cvat_ground_truth(spark, str(tmp_path / "*.xml"))
+    got = sorted(
+        (r["order_idx"], r["box_id"], list(r["merged_box_ids"]))
+        for r in df.collect()
+    )
+    assert got == [(0, 1, [1, 2]), (1, 3, [3]), (2, 0, [0])]
