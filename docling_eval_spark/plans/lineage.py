@@ -26,6 +26,7 @@ scans partition-prune on bucket.
 
 from __future__ import annotations
 
+import json as _json
 import time
 from collections.abc import Callable
 
@@ -42,11 +43,13 @@ LINEAGE_COLS = [
     "run_id",
     "seq",
     "data_path",
+    "metrics",
 ]
 
 _LINEAGE_SCHEMA = (
     "bucket int, status string, doc_count long, ok_count long, "
-    "bytes_in long, wall_ms long, run_id string, seq long, data_path string"
+    "bytes_in long, wall_ms long, run_id string, seq long, "
+    "data_path string, metrics string"
 )
 
 
@@ -152,6 +155,7 @@ def run_resumable(
     buckets_per_job: int = 4,
     run_id: str = "run",
     fail_on_bucket: int | None = None,
+    metric_cols: list[str] | None = None,
 ) -> list[int]:
     """Process url-hash buckets not yet marked SUCCESS; returns the
     bucket ids processed this invocation.
@@ -160,7 +164,14 @@ def run_resumable(
     must retain a ``url`` column (ok_count = SUCCESS-status rows when
     a status column exists, else all rows). ``fail_on_bucket`` is the
     failure-injection hook for the kill/restart test.
-    """
+
+    ``metric_cols``: numeric output columns whose per-bucket means are
+    rolled into the lineage row's ``metrics`` JSON (the north-rule's
+    "per-partition lineage + metrics" — a monitor can read per-bucket
+    quality straight off the manifest without touching the data
+    plane). Computed in the SAME aggregation pass as the counts over
+    the already-written bucket parquet, so it adds no extra scan of
+    the input."""
     bucketed = pages.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
     )
@@ -178,6 +189,7 @@ def run_resumable(
             out.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
             written = spark.read.parquet(f"{out_dir}/bucket={b}")
             has_status = "status" in written.columns
+            mcols = [c for c in (metric_cols or []) if c in written.columns]
             stats = written.agg(
                 F.count("*").alias("doc_count"),
                 (
@@ -185,7 +197,19 @@ def run_resumable(
                     if has_status
                     else F.count("*")
                 ).alias("ok_count"),
+                *[F.avg(c).alias(f"__m_{c}") for c in mcols],
             ).collect()[0]
+            metrics_json = _json.dumps(
+                {
+                    c: (
+                        round(float(stats[f"__m_{c}"]), 6)
+                        if stats[f"__m_{c}"] is not None
+                        else None
+                    )
+                    for c in mcols
+                },
+                sort_keys=True,
+            )
             bytes_in = (
                 sub.agg(
                     F.sum(F.length("html")).alias("b")
@@ -207,6 +231,7 @@ def run_resumable(
                         run_id,
                         seq,
                         f"bucket={b}",
+                        metrics_json,
                     )
                 ],
                 schema=_LINEAGE_SCHEMA,

@@ -104,6 +104,39 @@ def test_snapshot_as_of_reads(spark, tmp_path):
     assert "bucket" in read_as_of(spark, out, lin).columns
 
 
+def test_lineage_metric_rollups(spark, tmp_path):
+    """North-rule 'per-partition lineage + metrics': run_resumable
+    rolls per-bucket means of requested metric columns into the
+    lineage row's metrics JSON, readable straight off the manifest."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.datagen.pages import write_pages_parquet
+    from docling_eval_spark.plans.lineage import manifest_as_of, run_resumable
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages_parquet(spark, pages_dir, 80, partitions=4)
+    pages = spark.read.parquet(pages_dir)
+    run_resumable(
+        spark,
+        pages,
+        lambda d: d.select("url", F.length("text").alias("chars"),
+                           F.lit(1.0).alias("match")),
+        str(tmp_path / "out"),
+        str(tmp_path / "lin"),
+        num_buckets=4,
+        metric_cols=["match", "chars", "absent_col"],
+    )
+    rows = manifest_as_of(spark, str(tmp_path / "lin")).collect()
+    assert len(rows) == 4
+    for r in rows:
+        m = json.loads(r["metrics"])
+        assert m["match"] == 1.0
+        assert m["chars"] > 0
+        assert "absent_col" not in m  # missing columns skipped, not null
+
+
 def test_manifest_pre_migration_lineage_without_seq(spark, tmp_path):
     """A lineage table written before the seq/data_path columns existed
     must still serve manifest reads (fall back to all SUCCESS rows)
