@@ -75,8 +75,6 @@ def _simhash_prod(spark, sf_dir):
     """Production simhash path (default xxhash64 token hash) — the
     contract query `simhash` runs portable=True for the DuckDB oracle;
     this entry times what a real corpus run pays."""
-    import pyspark.sql.functions as F  # noqa: F401
-
     from docling_eval_spark.operators.dedup import simhash
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -93,7 +91,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     qs = dict(entrymod.queries())
-    qs["simhash_prod"] = _simhash_prod
+    # same package-shipping wrapper as every contract query: the
+    # mapInPandas kernel must not depend on another query having
+    # installed the package on the session first
+    qs["simhash_prod"] = entrymod._with_pkg(_simhash_prod)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     # untimed warm-up: spawn every Python worker (pandas + package

@@ -87,7 +87,10 @@ def assign_centroids(
                 continue
             mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mn @ cn.T
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            # stable sort: exact cosine ties (e.g. all-zero vectors →
+            # every sim 0.0) must break toward the LOWEST centroid
+            # index, the tiebreak the DuckDB oracle gate encodes
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             ids, vecs, cids = [], [], []
             for i in range(len(mat)):
                 for c in order[i]:

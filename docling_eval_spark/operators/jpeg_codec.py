@@ -384,6 +384,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 i += 17 + nsyms
         elif marker == 0xDA:
             ns = body[0]
+            if ns != len(comps):
+                # a scan covering a SUBSET of the SOF components is a
+                # non-interleaved multi-scan file; decoding only the
+                # first scan would return wrong pixels silently —
+                # degrade honestly instead (module contract)
+                raise ValueError("multi-scan (non-interleaved) JPEG unsupported")
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 ci = next(i for i, c in enumerate(comps) if c[0] == cid)

@@ -91,10 +91,12 @@ def kv_link_metrics_arrays(
     caller's per-doc aggregation is the only exchange. This is the
     single-pass twin of ``kv_link_metrics``, which keeps the fully
     relational shape for unbounded link sets."""
+    # NULL link arrays count as empty sets (F.size(NULL) is -1, which
+    # would otherwise emit corrupt negative counts)
     stage1 = df.select(
         key,
-        F.array_distinct(gt_links_col).alias("__g"),
-        F.array_distinct(pred_links_col).alias("__p"),
+        F.array_distinct(F.coalesce(F.col(gt_links_col), F.array())).alias("__g"),
+        F.array_distinct(F.coalesce(F.col(pred_links_col), F.array())).alias("__p"),
     )
     stage2 = stage1.select(
         key,

@@ -383,10 +383,15 @@ def visualize(
         # reference flow where visualize consumes the evaluation JSON,
         # never the dataset, cli/main.py:318-453). Older evaluation
         # dirs without the table fall back to recomputing it.
-        ap_table_path = Path(evaluation_dir) / f"evaluation_{modality}_ap_table"
-        if ap_table_path.exists():
-            ap_table = spark.read.parquet(str(ap_table_path))
-        else:
+        # probe via the Spark reader, not the driver's local
+        # filesystem: evaluation_dir may be a remote URI (hdfs/s3a)
+        # where Path.exists() is always False and would silently
+        # re-trigger the detection-kernel recompute
+        ap_table_path = f"{evaluation_dir}/evaluation_{modality}_ap_table"
+        try:
+            ap_table = spark.read.parquet(ap_table_path)
+            ap_table.schema  # force analysis so a missing path raises here
+        except Exception:
             from docling_eval_spark.evaluators.layout import corpus_ap_table
 
             ds_full = read_dataset(spark, dataset_dir)

@@ -76,16 +76,24 @@ def manifest_as_of(
         raise FileNotFoundError(lineage_dir)
     lin = lin.filter(F.col("status") == "SUCCESS")
     if "seq" not in lin.columns:
-        # pre-migration lineage (no seq column): every SUCCESS row is
-        # its bucket's only commit — treat append order as seq 1..n per
-        # bucket is unknowable, so fall back to all SUCCESS rows with a
-        # synthetic seq (same migration contract as latest_snapshot).
-        lin = lin.withColumn("seq", F.lit(0).cast("long")).withColumn(
+        # pre-migration lineage (no seq column anywhere): fall back to
+        # all SUCCESS rows with a synthetic seq (same migration
+        # contract as latest_snapshot).
+        lin = lin.withColumn("seq", F.lit(0).cast("long"))
+    else:
+        # MIXED-generation dirs (mergeSchema read): legacy rows carry
+        # NULL seq/data_path — treat them as seq 0 so a snapshot filter
+        # never silently drops a committed bucket
+        lin = lin.withColumn("seq", F.coalesce(F.col("seq"), F.lit(0).cast("long")))
+    if "data_path" not in lin.columns:
+        lin = lin.withColumn(
+            "data_path", F.concat(F.lit("bucket="), F.col("bucket"))
+        )
+    else:
+        lin = lin.withColumn(
             "data_path",
-            (
-                F.col("data_path")
-                if "data_path" in lin.columns
-                else F.concat(F.lit("bucket="), F.col("bucket"))
+            F.coalesce(
+                F.col("data_path"), F.concat(F.lit("bucket="), F.col("bucket"))
             ),
         )
     if snapshot is not None:
@@ -123,8 +131,12 @@ def read_as_of(
 
 
 def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+    """mergeSchema: a lineage dir can mix schema generations (rows
+    appended before/after the seq/data_path/metrics columns existed);
+    without it the reader picks one file's footer arbitrarily and
+    columns vanish nondeterministically."""
     try:
-        return spark.read.parquet(lineage_dir)
+        return spark.read.option("mergeSchema", "true").parquet(lineage_dir)
     except Exception:
         return None
 

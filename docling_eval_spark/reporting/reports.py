@@ -78,8 +78,23 @@ def write_metric_report(
 ) -> dict[str, Any]:
     """compute_stats → {name}.json + {name}.md + {name}.svg (the
     reference's evaluate/visualize sink pair, `cli/main.py:252-310` +
-    `70-112`)."""
-    row = compute_stats(df, value_col).collect()[0].asDict()
+    `70-112`). Stats run in scale_mode over 3-decimal-quantized values
+    (same contract as evaluate()'s rollups): the report path must not
+    buffer every per-doc value in one percentile() task at corpus
+    scale."""
+    quantized = df.select(F.round(F.col(value_col), 3).alias(value_col))
+    rows = compute_stats(quantized, value_col, scale_mode=True).collect()
+    if rows:
+        row = rows[0].asDict()
+    else:  # counting path emits no row for an all-null/empty input
+        row = {
+            "total": 0,
+            "mean": -1.0,
+            "median": -1.0,
+            "std": -1.0,
+            "hist": [0] * N_BINS,
+            "bins": [b / N_BINS for b in range(N_BINS + 1)],
+        }
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     (out / f"{metric_name}.json").write_text(json.dumps(row, default=list))

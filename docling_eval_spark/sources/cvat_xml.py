@@ -121,7 +121,13 @@ def parse_cvat_ground_truth(data: bytes, file: str = "") -> list[dict]:
       ``already_added`` guard);
     - polylines labeled ``merge`` whose FIRST boxid is the current box
       append their remaining boxes to the current item (one logical
-      item spanning several rectangles) and mark them added.
+      item spanning several rectangles) and mark them added. A tail
+      box that was ALREADY emitted (visited earlier in reading order)
+      is not folded again, and repeated polyline points never
+      duplicate an id inside ``merged_box_ids`` — a box belongs to
+      exactly one GT item. (The reference's get_next_provs folds
+      uncritically, `create.py:375-424`, which can double-count a box
+      under adversarial annotations; this is a deliberate tightening.)
 
     Output rows: (file, image_name, order_idx, box_id, label,
     l, t, r, b, merged_box_ids). Images without a reading_order
@@ -175,6 +181,8 @@ def parse_cvat_ground_truth(data: bytes, file: str = "") -> list[dict]:
             for m in merges:
                 if len(m) > 1 and m[0] == boxid:
                     for b2 in m[1:]:
+                        if b2 in already or b2 in merged:
+                            continue
                         already.add(b2)
                         merged.append(b2)
             b = boxes[boxid]

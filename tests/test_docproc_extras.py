@@ -335,3 +335,29 @@ def test_cvat_reading_order_walk(spark, tmp_path):
         for r in df.collect()
     )
     assert got == [(0, 1, [1, 2]), (1, 3, [3]), (2, 0, [0])]
+
+
+def test_cvat_merge_never_double_counts():
+    """A box belongs to exactly ONE GT item: a merge tail already
+    emitted earlier in reading order is not folded again, and repeated
+    polyline points don't duplicate ids inside merged_box_ids."""
+    from docling_eval_spark.sources.cvat_xml import parse_cvat_ground_truth
+
+    # reading order visits box1 (0-indexed: second box) THEN box0;
+    # merge [0, 1] would fold box1 into box0 — but box1 already stands
+    # alone, so it must not be folded. The merge polyline also has two
+    # points inside box0 (duplicate head id).
+    xml = """<?xml version="1.0"?>
+<annotations>
+  <image id="0" name="p1.png" width="600" height="800">
+    <box label="a" xtl="0"   ytl="0"   xbr="100" ybr="100"/>
+    <box label="b" xtl="200" ytl="0"   xbr="300" ybr="100"/>
+    <polyline label="reading_order" points="250,50;50,50"/>
+    <polyline label="merge" points="50,50;60,60;250,50"/>
+  </image>
+</annotations>"""
+    rows = parse_cvat_ground_truth(xml.encode())
+    assert [(r["box_id"], r["merged_box_ids"]) for r in rows] == [
+        (1, [1]),
+        (0, [0]),
+    ]

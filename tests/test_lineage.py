@@ -137,6 +137,47 @@ def test_lineage_metric_rollups(spark, tmp_path):
         assert "absent_col" not in m  # missing columns skipped, not null
 
 
+def test_lineage_mixed_schema_generations(spark, tmp_path):
+    """A lineage dir mixing pre-migration rows (no seq/data_path/
+    metrics) with new-schema appends must serve the manifest with
+    EVERY committed bucket: mergeSchema read + NULL-seq coalesce, no
+    bucket silently dropped and no '{out}/None' paths."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.datagen.pages import write_pages_parquet
+    from docling_eval_spark.plans.lineage import (
+        manifest_as_of,
+        read_as_of,
+        run_resumable,
+    )
+
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lin")
+    # legacy generation: bucket 0 committed by a pre-seq writer
+    spark.range(3).selectExpr(
+        "CAST(id AS STRING) AS url", "'x' AS text"
+    ).write.parquet(f"{out}/bucket=0")
+    spark.createDataFrame(
+        [(0, "SUCCESS", 3, 3, 0, 1, "legacy")],
+        "bucket int, status string, doc_count long, ok_count long, "
+        "bytes_in long, wall_ms long, run_id string",
+    ).write.parquet(lin)
+    # new generation appends buckets 1..3 via run_resumable
+    pages_dir = str(tmp_path / "pages")
+    write_pages_parquet(spark, pages_dir, 40, partitions=2)
+    pages = spark.read.parquet(pages_dir).withColumn(
+        "url", F.concat(F.lit("u"), F.col("url"))
+    )
+    run_resumable(
+        spark, pages, lambda d: d.select("url", "text"), out, lin, num_buckets=4
+    )
+    m = {r["bucket"]: r for r in manifest_as_of(spark, lin).collect()}
+    assert set(m) == {0, 1, 2, 3}
+    assert m[0]["data_path"] == "bucket=0"  # legacy NULL coalesced
+    snap = read_as_of(spark, out, lin)
+    assert snap.filter(F.col("bucket") == 0).count() == 3
+
+
 def test_manifest_pre_migration_lineage_without_seq(spark, tmp_path):
     """A lineage table written before the seq/data_path columns existed
     must still serve manifest reads (fall back to all SUCCESS rows)

@@ -458,6 +458,61 @@ def test_jpeg_420_and_restart_markers(spark):
         jpeg_decode(bytes(prog))
 
 
+def test_jpeg_multi_scan_degrades_honestly(spark):
+    """A baseline multi-scan (non-interleaved) JPEG must raise, never
+    silently return one plane as wrong pixels."""
+    import numpy as np
+    import pytest
+
+    from docling_eval_spark.operators.jpeg_codec import jpeg_decode, jpeg_encode
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    data = bytearray(jpeg_encode(img))
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    # replace the 3-component SOS with a 1-component one (Y only):
+    # spec-legal shape for a non-interleaved first scan
+    one_comp_sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    data = data[:i] + one_comp_sos + data[i + 2 + 12 :]
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(data))
+
+
+def test_kv_link_metrics_arrays_null_is_empty_set(spark):
+    """NULL link arrays are empty sets, never size -1 corrupt rows."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.kv_graph import kv_link_metrics_arrays
+
+    df = spark.createDataFrame(
+        [("d1",)], "key string"
+    ).select(
+        "key",
+        F.expr("array(struct(1L as src, 2L as dst))").alias("gt_links"),
+        F.lit(None)
+        .cast("array<struct<src:bigint,dst:bigint>>")
+        .alias("pred_links"),
+    )
+    r = kv_link_metrics_arrays(df).collect()[0]
+    assert (r["n_gt"], r["n_pred"], r["n_inter"]) == (1, 0, 0)
+    assert r["precision"] == 0.0 and r["recall"] == 0.0 and r["f1"] == 0.0
+
+
+def test_ivf_assign_tie_breaks_to_lowest_centroid(spark):
+    """Exact cosine ties (all-zero vector → every sim 0.0) must assign
+    to the LOWEST centroid index — the tiebreak the oracle encodes."""
+    import numpy as np
+
+    from docling_eval_spark.operators.ivf import assign_centroids
+
+    cents = np.ones((4, 8))
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    got = assign_centroids(df, cents).collect()
+    assert got[0]["centroid"] == 0
+
+
 def test_web_ops_idempotent(spark):
     """Canonicalization and line-dedup are idempotent — applying them
     twice must be a no-op (the property a re-run pipeline relies on)."""
