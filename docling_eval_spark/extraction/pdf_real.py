@@ -261,13 +261,27 @@ def recover_table_blocks(
     benchmark, `table_evaluator.py:111-243`).
 
     Per page: cluster blocks by top coordinate into candidate rows; a
-    maximal run of ≥ min_rows consecutive rows each holding ≥ min_cols
-    cells is a table; the column lattice is the union of the run's
-    left edges, and a row missing a lattice slot reads as the previous
-    cell's col_span (stream-mode span inference). Those blocks become
-    one grid (row 0 = column headers, like the synthetic HTML corpus)
-    and leave the text flow. Single-column paragraph stacks never
-    match (one cell per row < min_cols)."""
+    maximal run of >= min_rows STRONG rows (>= min_cols cells each) is
+    a table; the column lattice is the union of the strong rows' left
+    edges.
+
+    Span inference (stream-mode, the same calls Tabula/Camelot make):
+    - COL spans: a strong row missing a lattice slot reads as the
+      previous cell's col_span (empty cell and span are
+      indistinguishable without rules/images);
+    - ROW spans: a WEAK interior row (fewer than min_cols blocks,
+      strictly between strong rows) whose every block (a) anchors to
+      the lattice and (b) sits in a column EMPTY in an adjacent strong
+      row is a vertically-centered merged cell: it spans the maximal
+      run of adjacent strong rows with no block in its column. A
+      spanned slot also blocks horizontal col_span absorption across
+      it. Weak rows failing (a) or (b) — ordinary body text, even when
+      left-aligned with column 0 — terminate the run, preserving the
+      pre-row-span behavior.
+
+    Recovered blocks become one grid (row 0 = column headers, like the
+    synthetic HTML corpus) and leave the text flow. Single-column
+    paragraph stacks never match (one cell per row < min_cols)."""
     grids: list[dict] = []
     keep: list[LayoutBlock] = []
     by_page: dict[int, list[LayoutBlock]] = {}
@@ -281,53 +295,152 @@ def recover_table_blocks(
         ts = sorted(rows_by_t)
         sig = {t: tuple(sorted(round(b.l, 1) for b in rows_by_t[t])) for t in ts}
         used: set[float] = set()
+
+        def emit_run(strong_ts: list[float], floater_ts: list[float]) -> None:
+            cols = sorted({x for t in strong_ts for x in sig[t]})
+            col_index = {x: k for k, x in enumerate(cols)}
+            n_cols = len(cols)
+            n_rows = len(strong_ts)
+            anchors_by_row = [{col_index[x] for x in sig[t]} for t in strong_ts]
+            used.update(strong_ts)
+            used.update(floater_ts)
+            covered: list[set[int]] = [set() for _ in range(n_rows)]
+            cells: list[dict] = []
+            for t_w in sorted(floater_ts):
+                p = sum(1 for t in strong_ts if t < t_w) - 1  # row above
+                for blk in sorted(rows_by_t[t_w], key=lambda b: b.l):
+                    c = col_index[round(blk.l, 1)]
+
+                    def empty(q: int) -> bool:
+                        return (
+                            0 <= q < n_rows
+                            and c not in anchors_by_row[q]
+                            and c not in covered[q]
+                        )
+
+                    if empty(p) and empty(p + 1):
+                        lo, hi = p, p + 1
+                    elif empty(p + 1):
+                        lo = hi = p + 1
+                    elif empty(p):
+                        lo = hi = p
+                    else:  # no empty slot — degenerate, single row
+                        lo = hi = min(max(p + 1, 0), n_rows - 1)
+                    while lo - 1 >= 0 and empty(lo - 1):
+                        lo -= 1
+                    while hi + 1 < n_rows and empty(hi + 1):
+                        hi += 1
+                    for q in range(lo, hi + 1):
+                        covered[q].add(c)
+                    cells.append(
+                        {
+                            "text": blk.text,
+                            "row_span": hi - lo + 1,
+                            "col_span": 1,
+                            "start_row_offset_idx": lo,
+                            "end_row_offset_idx": hi + 1,
+                            "start_col_offset_idx": c,
+                            "end_col_offset_idx": c + 1,
+                            "col_header": False,
+                            "row_header": False,
+                        }
+                    )
+            for r, t in enumerate(strong_ts):
+                row_blocks = sorted(rows_by_t[t], key=lambda b: b.l)
+                anchors = [col_index[round(b.l, 1)] for b in row_blocks]
+                for k, blk in enumerate(row_blocks):
+                    c = anchors[k]
+                    nxt_c = anchors[k + 1] if k + 1 < len(anchors) else n_cols
+                    # a row-span cell occupying a slot bounds the
+                    # horizontal absorption
+                    blocked = [o for o in covered[r] if c < o < nxt_c]
+                    stop = min(blocked) if blocked else nxt_c
+                    span = max(1, stop - c)
+                    cells.append(
+                        {
+                            "text": blk.text,
+                            "row_span": 1,
+                            "col_span": span,
+                            "start_row_offset_idx": r,
+                            "end_row_offset_idx": r + 1,
+                            "start_col_offset_idx": c,
+                            "end_col_offset_idx": c + span,
+                            "col_header": r == 0,
+                            "row_header": False,
+                        }
+                    )
+            grids.append({"num_rows": n_rows, "num_cols": n_cols, "cells": cells})
+
+        def floater_qualifies(
+            t_w: float, strong_ts: list[float]
+        ) -> bool:
+            """Every block anchors to the strong lattice AND its
+            column is empty in an adjacent strong row (what makes a
+            merged cell a merged cell — body paragraphs left-aligned
+            with column 0 fail this)."""
+            lefts = {x for t in strong_ts for x in sig[t]}
+            col_index = {x: k for k, x in enumerate(sorted(lefts))}
+            anchors = {
+                t: {col_index[x] for x in sig[t]} for t in strong_ts
+            }
+            p = sum(1 for t in strong_ts if t < t_w) - 1
+            if not (0 <= p < len(strong_ts) - 1):
+                return False  # not interior
+            for blk in rows_by_t[t_w]:
+                x = round(blk.l, 1)
+                if x not in col_index:
+                    return False
+                c = col_index[x]
+                above = c not in anchors[strong_ts[p]]
+                below = c not in anchors[strong_ts[p + 1]]
+                if not (above or below):
+                    return False
+            return True
+
         i = 0
         while i < len(ts):
-            # a table run = maximal stretch of consecutive y-rows that
-            # each hold ≥ min_cols cells (single-block rows are body
-            # text, never table rows). The column lattice is the UNION
-            # of the run's x-starts; a row missing a lattice slot reads
-            # as the previous cell's col_span — the stream-mode
-            # recovery ambiguity (a truly empty cell and a span are
-            # indistinguishable without rules/images), same call
-            # Tabula's stream mode makes.
-            j = i
-            while j < len(ts) and len(sig[ts[j]]) >= min_cols:
-                j += 1
-            j -= 1
-            if j - i + 1 >= min_rows:
-                row_ts = ts[i : j + 1]
-                used.update(row_ts)
-                cols = sorted({x for t in row_ts for x in sig[t]})
-                col_index = {x: k for k, x in enumerate(cols)}
-                n_cols = len(cols)
-                cells = []
-                for r, t in enumerate(row_ts):
-                    row_blocks = sorted(rows_by_t[t], key=lambda b: b.l)
-                    anchors = [col_index[round(b.l, 1)] for b in row_blocks]
-                    for k, blk in enumerate(row_blocks):
-                        c = anchors[k]
-                        nxt_c = anchors[k + 1] if k + 1 < len(anchors) else n_cols
-                        span = max(1, nxt_c - c)
-                        cells.append(
-                            {
-                                "text": blk.text,
-                                "row_span": 1,
-                                "col_span": span,
-                                "start_row_offset_idx": r,
-                                "end_row_offset_idx": r + 1,
-                                "start_col_offset_idx": c,
-                                "end_col_offset_idx": c + span,
-                                "col_header": r == 0,
-                                "row_header": False,
-                            }
-                        )
-                grids.append(
-                    {"num_rows": len(row_ts), "num_cols": n_cols, "cells": cells}
-                )
-                i = j + 1
+            if len(sig[ts[i]]) < min_cols:
+                i += 1
+                continue
+            # optimistic collection: strong rows extend the run; weak
+            # rows are held pending until a later strong row proves
+            # them interior, then validated as floaters
+            strong_ts = [ts[i]]
+            pending: list[float] = []
+            weak_ts: list[float] = []
+            j = i + 1
+            broke_at = None
+            while j < len(ts):
+                t = ts[j]
+                if len(sig[t]) >= min_cols:
+                    strong_ts.append(t)
+                    weak_ts.extend(pending)
+                    pending = []
+                    j += 1
+                elif not pending:
+                    pending.append(t)
+                    j += 1
+                else:  # two consecutive weak rows: end of table region
+                    break
+            # validate interior weak rows against the FULL lattice;
+            # the first failure truncates the run just before it
+            valid_floaters: list[float] = []
+            for t_w in weak_ts:
+                if floater_qualifies(t_w, strong_ts):
+                    valid_floaters.append(t_w)
+                else:
+                    strong_ts = [t for t in strong_ts if t < t_w]
+                    valid_floaters = [t for t in valid_floaters if t < t_w]
+                    broke_at = t_w
+                    break
+            if len(strong_ts) >= min_rows:
+                emit_run(strong_ts, valid_floaters)
+            if broke_at is not None:
+                i = ts.index(broke_at) + 1
             else:
-                i = max(j + 1, i + 1)
+                last = max(strong_ts + valid_floaters) if strong_ts else ts[i]
+                nxt = ts.index(last) + 1
+                i = max(nxt, i + 1)
         for t in ts:
             if t not in used:
                 keep.extend(rows_by_t[t])

@@ -71,20 +71,34 @@ def write_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
 
 
 def table_to_stream(
-    rows: list[list[str | None]], y0: int, x0: int = 72, col_w: int = 110, row_h: int = 20
+    rows: list[list[str | tuple[str, int] | None]],
+    y0: int,
+    x0: int = 72,
+    col_w: int = 110,
+    row_h: int = 20,
 ) -> bytes:
     """Table lattice → one BT/ET op PER ANCHOR CELL on a rigid
     (x0 + c·col_w, y0 − r·row_h) grid — the alignment signature
     pdf_real.recover_table_blocks detects. ``None`` marks a lattice
-    position covered by the previous cell's col_span (no text op is
-    written there; recovery reads the gap back as the span)."""
+    position covered by another cell's span (no text op is written
+    there; recovery reads the gap back as the span). A ``(text, k)``
+    tuple is a ROW-SPAN cell: its text op is written vertically
+    CENTERED over k row bands (the way a merged cell's single text
+    line sits in a real PDF); the covered positions in the following
+    rows must be ``None``."""
     parts = []
     for r, cells in enumerate(rows):
-        for c, text in enumerate(cells):
-            if text is None:
+        for c, cell in enumerate(cells):
+            if cell is None:
                 continue
+            if isinstance(cell, tuple):
+                text, k = cell
+                y = y0 - r * row_h - (k - 1) * row_h / 2.0
+            else:
+                text, y = cell, y0 - r * row_h
+            ys = f"{y:g}"
             parts.append(
-                f"BT /F1 10 Tf {x0 + c * col_w} {y0 - r * row_h} Td "
+                f"BT /F1 10 Tf {x0 + c * col_w} {ys} Td "
                 f"({_escape(text)}) Tj ET"
             )
     return "\n".join(parts).encode("latin-1", errors="replace")

@@ -155,3 +155,51 @@ def test_table_recovery_with_colspan():
     from docling_eval_spark.evaluators.teds import is_complex_grid
 
     assert is_complex_grid(g)
+
+
+def test_table_recovery_with_rowspan():
+    """Stream-mode ROW-span recovery: a cell whose text sits
+    vertically centered between two grid rows, with its column empty
+    in both, reads back as a row_span=2 merged cell — and the gap it
+    covers is NOT absorbed into a neighbor's col_span."""
+    from docling_eval_spark.extraction.pdf_write import simple_pdf
+    from docling_eval_spark.evaluators.teds import is_complex_grid
+
+    paras = ["leading paragraph of ordinary body text"]
+    # column 2 of rows 1-2 is one merged cell ("m") centered between
+    # the two row bands
+    tbl = [
+        ["h0", "h1", "h2"],
+        ["a0", "a1", ("m", 2)],
+        ["b0", "b1", None],
+        ["c0", "c1", "c2"],
+    ]
+    doc = extract_document(simple_pdf([paras], table_pages=[tbl]))
+    assert doc["status"] == "SUCCESS" and len(doc["tables"]) == 1
+    assert doc["text"] == paras[0]  # merged cell never leaks into text
+    g = doc["tables"][0]
+    assert (g["num_rows"], g["num_cols"]) == (4, 3)
+    cells = {
+        (c["start_row_offset_idx"], c["start_col_offset_idx"]): c
+        for c in g["cells"]
+    }
+    m = cells[(1, 2)]
+    assert m["text"] == "m" and m["row_span"] == 2
+    assert m["end_row_offset_idx"] == 3 and m["col_span"] == 1
+    # the spanned slot blocks horizontal absorption: a1/b1 stay span 1
+    assert cells[(1, 1)]["col_span"] == 1
+    assert cells[(2, 1)]["col_span"] == 1
+    assert cells[(3, 2)]["text"] == "c2" and cells[(3, 2)]["row_span"] == 1
+    assert is_complex_grid(g)
+
+    # a weak row that is ordinary body text (left-aligned with column
+    # 0, column occupied above and below) must still BREAK the run,
+    # never be absorbed as a merged cell
+    tbl2 = [["h0", "h1"], ["a0", "a1"]]
+    paras2 = ["x" * 3]  # short para, lands at column-0 x
+    pdf2 = simple_pdf([paras2], table_pages=[tbl2])
+    doc2 = extract_document(pdf2)
+    assert doc2["status"] == "SUCCESS"
+    assert doc2["text"] == paras2[0]
+    assert len(doc2["tables"]) == 1
+    assert doc2["tables"][0]["num_rows"] == 2
