@@ -7,9 +7,12 @@ multiplies, YCbCr→RGB. Supported: 8-bit baseline (SOF0), 1 or 3
 components with sampling factors in {1, 2} — i.e. 4:4:4, 4:2:2 and
 the dominant wild format 4:2:0 (generic MCU-interleaved decode,
 nearest-neighbor chroma upsampling) — plus DRI/RSTn restart markers
-(byte-realign + DC-predictor reset every restart interval). Anything
-else (progressive SOF2, 16-bit tables, arithmetic coding) raises
-ValueError and the caller degrades to the honest fake path.
+(byte-realign + DC-predictor reset every restart interval) AND
+progressive SOF2 (T.81 annex G: spectral selection + successive
+approximation, DC and AC scans, EOB runs, refinement correction
+bits). Anything else (lossless/arithmetic coding, 16-bit tables,
+baseline multi-scan) raises ValueError and the caller degrades to the
+honest fake path.
 
 The encoder exists for round-trip tests and thumbnail re-encoding: it
 writes flat quantization tables and deliberately simple fixed-length
@@ -258,6 +261,144 @@ def jpeg_encode(
     return bytes(out)
 
 
+def jpeg_encode_progressive(
+    arr: np.ndarray, restart_interval: int = 0
+) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 → PROGRESSIVE (SOF2) JPEG
+    bytes, 1×1 sampling, flat q=16 tables. Scan script exercises both
+    progressive dimensions: DC successive approximation (first pass at
+    Al=1, then a 1-bit refinement) and AC spectral selection (bands
+    1-5 then 6-63 per component, EOB-run coded). Used as the fixture
+    generator for the progressive decode path."""
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    planes = [a] if gray else list(np.moveaxis(_rgb_to_ycbcr(a), -1, 0))
+    ncomp = len(planes)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    q = _Q_FLAT.reshape(8, 8)
+    nby, nbx = ph // 8, pw // 8
+    # all coefficients up front (zigzag order)
+    coefs = np.zeros((ncomp, nby, nbx, 64), dtype=np.int32)
+    for ci, p in enumerate(planes):
+        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        for by in range(nby):
+            for bx in range(nbx):
+                blockc = np.rint(
+                    (_D @ pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _D.T) / q
+                ).astype(np.int32)
+                coefs[ci, by, bx] = [blockc[r, c] for r, c in _ZZ]
+
+    dc_bits, dc_syms, dc_codes = _canonical(_DC_SPEC)
+    ac_bits, ac_syms, ac_codes = _canonical(_AC_SPEC)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(x) for x in _Q_FLAT
+    )
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc2" + sof
+    for cls, (bits, syms) in ((0, (dc_bits, dc_syms)), (1, (ac_bits, ac_syms))):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        b = struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            b += bytes([cid, 0x00])
+        return b"\xff\xda" + b + bytes([ss, se, (ah << 4) | al])
+
+    # ---- scan 1: DC first pass, interleaved, Al=1
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    n = 0
+    rst = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and n and n % restart_interval == 0:
+                bw.flush()
+                out += bw.out + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                v = int(coefs[ci, by, bx, 0]) >> 1
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _category(diff)
+                code, ln = dc_codes[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            n += 1
+    bw.flush()
+    out += bw.out
+    # ---- scan 2: DC refinement, Ah=1 Al=0 (one bit per block).
+    # DRI applies to EVERY scan after it (T.81 B.2.4.4), so restart
+    # markers must be emitted here and in the AC scans too.
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    n = 0
+    rst = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and n and n % restart_interval == 0:
+                bw.flush()
+                out += bw.out + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+            for ci in range(ncomp):
+                bw.write(int(coefs[ci, by, bx, 0]) & 1, 1)
+            n += 1
+    bw.flush()
+    out += bw.out
+    # ---- AC spectral-selection scans per component (Al=0)
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([ci + 1], ss, se, 0, 0)
+            bw = _BitWriter()
+            n = 0
+            rst = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and n and n % restart_interval == 0:
+                        bw.flush()
+                        out += bw.out + bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        bw = _BitWriter()
+                    n += 1
+                    band = coefs[ci, by, bx]
+                    run = 0
+                    emitted = False
+                    for k in range(ss, se + 1):
+                        v = int(band[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            c, l = ac_codes[0xF0]
+                            bw.write(c, l)
+                            run -= 16
+                        s = _category(v)
+                        c, l = ac_codes[(run << 4) | s]
+                        bw.write(c, l)
+                        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                        emitted = True
+                    if run > 0 or not emitted:
+                        c, l = ac_codes[0x00]  # EOB covering this block
+                        bw.write(c, l)
+            bw.flush()
+            out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ decoder
 
 
@@ -318,7 +459,10 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W) or (H, W, 3) uint8."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → (H, W) or
+    (H, W, 3) uint8. Progressive support covers spectral selection AND
+    successive approximation, DC and AC scans, interleaved DC,
+    non-interleaved AC, and restart markers (T.81 annex G.2)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -328,12 +472,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (comp id, quant id, hi, vi)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
     restart_interval = 0
-    while pos + 4 <= len(data):
+    progressive = False
+    prog_coefs: list[np.ndarray] | None = None  # per comp, zigzag order
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
+            if progressive and prog_coefs is not None:
+                return _reconstruct_progressive(h, w, comps, qt, prog_coefs)
             break
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + seglen]
@@ -348,9 +496,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     np.int32
                 )
                 i += 65
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline SOF0 is supported")
-        elif marker == 0xC0:
+        elif marker in (0xC1, 0xC3):
+            raise ValueError("only baseline SOF0 / progressive SOF2 supported")
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -384,18 +533,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 i += 17 + nsyms
         elif marker == 0xDA:
             ns = body[0]
-            if ns != len(comps):
-                # a scan covering a SUBSET of the SOF components is a
-                # non-interleaved multi-scan file; decoding only the
-                # first scan would return wrong pixels silently —
-                # degrade honestly instead (module contract)
+            if not progressive and ns != len(comps):
+                # a baseline scan covering a SUBSET of the SOF
+                # components is a non-interleaved multi-scan file;
+                # decoding only the first scan would return wrong
+                # pixels silently — degrade honestly instead
                 raise ValueError("multi-scan (non-interleaved) JPEG unsupported")
+            scan = []
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 ci = next(i for i, c in enumerate(comps) if c[0] == cid)
                 scan.append((ci, tids >> 4, tids & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ent_start = pos
-            # entropy data runs until the next real marker (EOI)
+            # entropy data runs until the next real marker
             j = ent_start
             while j + 1 < len(data):
                 if data[j] == 0xFF and data[j + 1] not in (0x00,) and not (
@@ -405,8 +556,216 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 j += 1
             ent = data[ent_start:j]
             pos = j
-            return _decode_scan(ent, h, w, comps, scan, qt, huff, restart_interval)
+            if not progressive:
+                return _decode_scan(ent, h, w, comps, scan, qt, huff, restart_interval)
+            if prog_coefs is None:
+                prog_coefs = _prog_alloc(h, w, comps)
+            _progressive_scan(
+                ent, h, w, comps, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                qt, huff, restart_interval, prog_coefs,
+            )
     raise ValueError("no scan in JPEG")
+
+
+def _prog_geometry(h: int, w: int, comps):
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _prog_alloc(h: int, w: int, comps) -> list[np.ndarray]:
+    """Per-component coefficient store, ZIGZAG order, sized to the
+    MCU-padded block grid (interleaved DC scans cover the padding)."""
+    hmax, vmax, mcux, mcuy = _prog_geometry(h, w, comps)
+    return [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+        for (_, _, hi, vi) in comps
+    ]
+
+
+def _comp_block_dims(h: int, w: int, comps, ci: int) -> tuple[int, int]:
+    """Non-interleaved data-unit grid of one component (T.81 A.2.2:
+    ceil of the scaled dimensions, NOT padded to the MCU grid)."""
+    hmax, vmax, _, _ = _prog_geometry(h, w, comps)
+    _, _, hi, vi = comps[ci]
+    cw = -(-w * hi // hmax)
+    ch = -(-h * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)  # (rows, cols)
+
+
+def _progressive_scan(
+    ent, h, w, comps, scan, ss, se, ah, al, qt, huff, restart_interval, coefs
+) -> None:
+    """One progressive scan (T.81 G.2): DC scans may interleave all
+    components; AC scans cover exactly one. ``ah == 0`` is a first
+    pass (spectral band at approximation level ``al``); ``ah > 0`` is
+    a refinement appending one magnitude bit per coefficient."""
+    br = _BitReader(ent)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        _dc_scan(br, h, w, comps, scan, ah, al, huff, restart_interval, coefs)
+    else:
+        if len(scan) != 1:
+            raise ValueError("AC progressive scan must be non-interleaved")
+        ci, _, act = scan[0]
+        _ac_scan(
+            br, h, w, comps, ci, huff[(1, act)], ss, se, ah, al,
+            restart_interval, coefs[ci],
+        )
+
+
+def _dc_scan(br, h, w, comps, scan, ah, al, huff, restart_interval, coefs):
+    preds = [0] * len(scan)
+    hmax, vmax, mcux, mcuy = _prog_geometry(h, w, comps)
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+    else:
+        ci = scan[0][0]
+        bh, bw = _comp_block_dims(h, w, comps, ci)
+        units = [(by, bx) for by in range(bh) for bx in range(bw)]
+    n = 0
+    for uy, ux in units:
+        if restart_interval and n and n % restart_interval == 0:
+            br.restart()
+            preds = [0] * len(scan)
+        for si, (ci, dct, _) in enumerate(scan):
+            _, _, hi, vi = comps[ci]
+            blocks = (
+                [
+                    (uy * vi + byi, ux * hi + bxi)
+                    for byi in range(vi)
+                    for bxi in range(hi)
+                ]
+                if interleaved
+                else [(uy, ux)]
+            )
+            for by, bx in blocks:
+                if ah == 0:
+                    t = _decode_huff(br, huff[(0, dct)])
+                    diff = _extend(br.bits(t), t) if t else 0
+                    preds[si] += diff
+                    coefs[ci][by, bx, 0] = preds[si] << al
+                else:
+                    if br.bit():
+                        coefs[ci][by, bx, 0] |= 1 << al
+        n += 1
+
+
+def _ac_scan(br, h, w, comps, ci, act, ss, se, ah, al, restart_interval, coef):
+    bh, bw = _comp_block_dims(h, w, comps, ci)
+    eobrun = 0
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and n and n % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            n += 1
+            blk = coef[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, blk, act, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, blk, act, ss, se, al, eobrun)
+
+
+def _ac_first_block(br, blk, act, ss, se, al, eobrun) -> int:
+    """First AC pass (T.81 G.1.2.2): band coefficients at level al,
+    EOB-run coded."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _decode_huff(br, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC band overflow")
+        blk[k] = _extend(br.bits(s), s) * (1 << al)
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, blk, act, ss, se, al, eobrun) -> int:
+    """AC refinement pass (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient, new ±(1<<al) coefficients run-coded
+    over zero-history positions (jdphuff-equivalent control flow,
+    reimplemented from the spec)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _decode_huff(br, act)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                    k += 1
+            if k <= se:
+                if val:
+                    blk[k] = val
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and br.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(h, w, comps, qt, coefs) -> np.ndarray:
+    hmax, vmax, mcux, mcuy = _prog_geometry(h, w, comps)
+    planes = []
+    for ci, (_, tq, hi, vi) in enumerate(comps):
+        nby, nbx = coefs[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8))
+        q = qt[tq]
+        for by in range(nby):
+            for bx in range(nbx):
+                deq = coefs[ci][by, bx] * q
+                block = np.zeros((8, 8))
+                for k, (r, c) in enumerate(_ZZ):
+                    block[r, c] = deq[k]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _D.T @ block @ _D + 128.0
+                )
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
 def _decode_block(br, huff, dct, act, pred: int) -> tuple[np.ndarray, int]:

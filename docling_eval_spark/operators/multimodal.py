@@ -129,7 +129,7 @@ def decode_pixels(data: bytes):
     if data[:2] == b"\xff\xd8":
         from docling_eval_spark.operators.jpeg_codec import jpeg_decode
 
-        return jpeg_decode(data)  # baseline only; else ValueError → fake
+        return jpeg_decode(data)  # baseline+progressive; else ValueError → fake
     raise ValueError("no real codec for this payload")
 
 

@@ -478,6 +478,133 @@ def test_jpeg_multi_scan_degrades_honestly(spark):
         jpeg_decode(bytes(data))
 
 
+def test_jpeg_progressive_decodes_identically(spark):
+    """Progressive (SOF2) decode: spectral selection + DC successive
+    approximation reconstruct EXACTLY the same coefficients as the
+    baseline encoding, so the decoded pixels must be bit-identical to
+    the baseline decode. Restart markers reset DC predictors across
+    scans."""
+    import numpy as np
+
+    from docling_eval_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+    from docling_eval_spark.operators.multimodal import thumbnail_stage
+
+    x = np.linspace(0, 255, 64)
+    img = np.stack(
+        [np.tile(x, (48, 1)), np.tile(x[::-1], (48, 1)), np.full((48, 64), 99.0)],
+        axis=2,
+    ).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(img))
+    prog = jpeg_decode(jpeg_encode_progressive(img))
+    assert np.array_equal(base, prog)
+    prog_rst = jpeg_decode(jpeg_encode_progressive(img, restart_interval=3))
+    assert np.array_equal(base, prog_rst)
+    # grayscale path too
+    g = img[..., 0]
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(g)), jpeg_decode(jpeg_encode_progressive(g))
+    )
+    # the Spark thumbnail stage takes the real-pixel path on SOF2 now
+    jb = jpeg_encode_progressive(img)
+    df = spark.createDataFrame([("jp", bytearray(jb))], "url string, media binary")
+    t = thumbnail_stage(df, max_side=32).collect()[0]["thumbnail"]
+    assert not t["fake"]
+
+
+def test_jpeg_progressive_ac_refinement_exact():
+    """AC successive-approximation refinement (T.81 G.1.2.3): a
+    hand-assembled two-pass AC stream (first pass at Al=1, refinement
+    at Ah=1/Al=0 with correction bits, a newly-visible coefficient,
+    and an EOB-run correction tail) must reconstruct the exact target
+    coefficients."""
+    import numpy as np
+
+    from docling_eval_spark.operators.jpeg_codec import (
+        _AC_SPEC,
+        _D,
+        _DC_SPEC,
+        _Q_FLAT,
+        _ZZ,
+        _BitWriter,
+        _canonical,
+        jpeg_decode,
+    )
+    import struct
+
+    dc_bits, dc_syms, dc_codes = _canonical(_DC_SPEC)
+    ac_bits, ac_syms, ac_codes = _canonical(_AC_SPEC)
+
+    # target zigzag coefficients: dc=4, k1=5, k2=1 (invisible at Al=1),
+    # k3=-3; everything else 0
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(v) for v in _Q_FLAT
+    )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    for cls, (bits, syms) in ((0, (dc_bits, dc_syms)), (1, (ac_bits, ac_syms))):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(ss, se, ah, al):
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, ss, se, (ah << 4) | al])
+        )
+
+    # scan 1: DC first, Al=0, value 4 (category 3, bits '100')
+    out += sos(0, 0, 0, 0)
+    bw = _BitWriter()
+    c, ln = dc_codes[3]
+    bw.write(c, ln)
+    bw.write(4, 3)
+    bw.flush()
+    out += bw.out
+    # scan 2: AC first pass Al=1 over 1..63: values v>>1 -> k1: 2, k3: -1
+    out += sos(1, 63, 0, 1)
+    bw = _BitWriter()
+    c, ln = ac_codes[0x02]  # run 0, size 2
+    bw.write(c, ln)
+    bw.write(2, 2)  # +2
+    c, ln = ac_codes[0x11]  # run 1 (skip k2), size 1
+    bw.write(c, ln)
+    bw.write(0, 1)  # -1 encodes as 0
+    c, ln = ac_codes[0x00]  # EOB
+    bw.write(c, ln)
+    bw.flush()
+    out += bw.out
+    # scan 3: AC refinement Ah=1, Al=0:
+    #   sym(r=0,s=1) + sign(+) -> new coefficient at first zero-history
+    #   slot (k2); correction bit for k1 (5 & 1 = 1) rides before the
+    #   placement; EOB then carries k3's correction bit (|−3| & 1 = 1)
+    out += sos(1, 63, 1, 0)
+    bw = _BitWriter()
+    c, ln = ac_codes[0x01]
+    bw.write(c, ln)
+    bw.write(1, 1)  # sign: positive
+    bw.write(1, 1)  # correction bit for k1: 4 -> 5
+    c, ln = ac_codes[0x00]  # EOB (eobrun = 1)
+    bw.write(c, ln)
+    bw.write(1, 1)  # correction bit for k3: -2 -> -3
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+
+    got = jpeg_decode(bytes(out)).astype(np.float64)
+    # expected: IDCT of dequantized target coefficients
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[2], zz[3] = 4, 5, 1, -3
+    block = np.zeros((8, 8))
+    for k, (r, cc) in enumerate(_ZZ):
+        block[r, cc] = zz[k] * 16
+    want = np.clip((_D.T @ block @ _D + 128.0).round(), 0, 255)
+    assert np.array_equal(got, want)
+
+
 def test_kv_link_metrics_arrays_null_is_empty_set(spark):
     """NULL link arrays are empty sets, never size -1 corrupt rows."""
     import pyspark.sql.functions as F
