@@ -141,7 +141,10 @@ def _compute_stats_counting(
         pairs, F.lit(0.0), lambda a, x: a + x["v"] * x["v"] * x["c"]
     )
     g = g.withColumn("__sum", sum_v).withColumn("__sum2", sum_v2)
-    mean = F.col("__sum") / F.col("total")
+    # guarded division: an UNGROUPED aggregation over empty/all-null
+    # input yields one row with total=0, and ANSI mode turns a bare
+    # __sum/total into a DIVIDE_BY_ZERO task failure
+    mean = F.when(F.col("total") > 0, F.col("__sum") / F.col("total"))
     # constant groups (one distinct value) are exactly 0 — the
     # uncentered formula lands epsilon-off-zero either way: negative
     # rounding would make sqrt NaN (and coalesce does NOT replace NaN),

@@ -318,17 +318,20 @@ def recover_table_blocks(
                             and c not in covered[q]
                         )
 
-                    if empty(p) and empty(p + 1):
-                        lo, hi = p, p + 1
-                    elif empty(p + 1):
-                        lo = hi = p + 1
-                    elif empty(p):
-                        lo = hi = p
-                    else:  # no empty slot — degenerate, single row
-                        lo = hi = min(max(p + 1, 0), n_rows - 1)
-                    while lo - 1 >= 0 and empty(lo - 1):
+                    if not (empty(p) and empty(p + 1)):
+                        # a vertically-centered merged cell needs BOTH
+                        # adjacent slots free; anything else is not a
+                        # row span — demote to body text rather than
+                        # emit an overlapping cell
+                        keep.append(blk)
+                        continue
+                    lo, hi = p, p + 1
+                    # SYMMETRIC growth only: a centered text line
+                    # implies equal extent above and below — one-sided
+                    # expansion would swallow every empty slot in the
+                    # column (e.g. an unrelated gap rows away)
+                    while lo - 1 >= 0 and empty(lo - 1) and hi + 1 < n_rows and empty(hi + 1):
                         lo -= 1
-                    while hi + 1 < n_rows and empty(hi + 1):
                         hi += 1
                     for q in range(lo, hi + 1):
                         covered[q].add(c)
@@ -430,7 +433,15 @@ def recover_table_blocks(
                     valid_floaters.append(t_w)
                 else:
                     strong_ts = [t for t in strong_ts if t < t_w]
-                    valid_floaters = [t for t in valid_floaters if t < t_w]
+                    # truncation changes the lattice: floaters that
+                    # qualified only via truncated-away rows (their
+                    # column may not even exist any more) must
+                    # re-qualify against the surviving run
+                    valid_floaters = [
+                        t
+                        for t in valid_floaters
+                        if t < t_w and floater_qualifies(t, strong_ts)
+                    ]
                     broke_at = t_w
                     break
             if len(strong_ts) >= min_rows:

@@ -93,6 +93,15 @@ def table_to_stream(
                 continue
             if isinstance(cell, tuple):
                 text, k = cell
+                if k % 2 != 0 and k != 1:
+                    # an odd-span cell's center lands exactly ON a row
+                    # band, so the fixture would silently cluster into
+                    # that row instead of presenting as a merged cell —
+                    # refuse rather than write a wrong ground truth
+                    raise ValueError(
+                        "odd row spans > 1 are not representable as "
+                        "vertically-centered fixtures"
+                    )
                 y = y0 - r * row_h - (k - 1) * row_h / 2.0
             else:
                 text, y = cell, y0 - r * row_h

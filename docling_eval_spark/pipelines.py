@@ -388,10 +388,17 @@ def visualize(
         # where Path.exists() is always False and would silently
         # re-trigger the detection-kernel recompute
         ap_table_path = f"{evaluation_dir}/evaluation_{modality}_ap_table"
+        from pyspark.errors import AnalysisException
+
         try:
             ap_table = spark.read.parquet(ap_table_path)
-            ap_table.schema  # force analysis so a missing path raises here
-        except Exception:
+        except AnalysisException as exc:
+            # only a MISSING table (older evaluation dir) may fall back
+            # to recomputing; any other read failure (corrupt footer,
+            # auth, permissions) must surface, not silently re-run the
+            # detection kernel
+            if "PATH_NOT_FOUND" not in str(exc) and "does not exist" not in str(exc):
+                raise
             from docling_eval_spark.evaluators.layout import corpus_ap_table
 
             ds_full = read_dataset(spark, dataset_dir)

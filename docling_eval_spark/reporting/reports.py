@@ -83,18 +83,9 @@ def write_metric_report(
     buffer every per-doc value in one percentile() task at corpus
     scale."""
     quantized = df.select(F.round(F.col(value_col), 3).alias(value_col))
-    rows = compute_stats(quantized, value_col, scale_mode=True).collect()
-    if rows:
-        row = rows[0].asDict()
-    else:  # counting path emits no row for an all-null/empty input
-        row = {
-            "total": 0,
-            "mean": -1.0,
-            "median": -1.0,
-            "std": -1.0,
-            "hist": [0] * N_BINS,
-            "bins": [b / N_BINS for b in range(N_BINS + 1)],
-        }
+    # ungrouped global aggregation: always exactly one row (total=0
+    # with -1 sentinels for empty input)
+    row = compute_stats(quantized, value_col, scale_mode=True).collect()[0].asDict()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     (out / f"{metric_name}.json").write_text(json.dumps(row, default=list))

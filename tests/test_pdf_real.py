@@ -203,3 +203,73 @@ def test_table_recovery_with_rowspan():
     assert doc2["text"] == paras2[0]
     assert len(doc2["tables"]) == 1
     assert doc2["tables"][0]["num_rows"] == 2
+
+
+def test_rowspan_cells_never_overlap():
+    """Review repro: two merged cells in the same column must not
+    expand into each other — growth is symmetric around the text's
+    vertical center, and a floater with no free adjacent slot demotes
+    to body text instead of overlapping."""
+    from docling_eval_spark.extraction.pdf_write import simple_pdf
+
+    paras = ["leading paragraph of ordinary body text"]
+    # column 2: merged over rows 1-2 AND merged over rows 3-4
+    tbl = [
+        ["h0", "h1", "h2"],
+        ["a0", "a1", ("mA", 2)],
+        ["b0", "b1", None],
+        ["c0", "c1", ("mB", 2)],
+        ["d0", "d1", None],
+        ["e0", "e1", "e2"],
+    ]
+    doc = extract_document(simple_pdf([paras], table_pages=[tbl]))
+    assert doc["status"] == "SUCCESS" and len(doc["tables"]) == 1
+    g = doc["tables"][0]
+    assert (g["num_rows"], g["num_cols"]) == (6, 3)
+    spans = {
+        c["text"]: (
+            c["start_row_offset_idx"],
+            c["end_row_offset_idx"],
+            c["start_col_offset_idx"],
+        )
+        for c in g["cells"]
+    }
+    assert spans["mA"] == (1, 3, 2)
+    assert spans["mB"] == (3, 5, 2)
+    # no slot is claimed twice
+    occupied = set()
+    for c in g["cells"]:
+        for r in range(c["start_row_offset_idx"], c["end_row_offset_idx"]):
+            for cc in range(c["start_col_offset_idx"], c["end_col_offset_idx"]):
+                assert (r, cc) not in occupied, (r, cc)
+                occupied.add((r, cc))
+
+
+def test_rowspan_truncated_run_floater_requalifies():
+    """Review repro: a floater anchored only to a column introduced by
+    strong rows AFTER a run-breaking body-text row must not crash
+    (KeyError) nor attach to the truncated run — the document stays
+    SUCCESS and the body text survives."""
+    from docling_eval_spark.extraction.pdf_write import (
+        paragraphs_to_stream,
+        table_to_stream,
+        write_pdf,
+    )
+
+    # strong rows {x0, x0+110} at y=600, 580; a floater at x0+220
+    # centered between them; a body-text row at 560 breaking the run;
+    # a later strong row {x0, x0+110, x0+220} at 540 that alone
+    # introduces the floater's column.
+    cs = (
+        paragraphs_to_stream(["leading paragraph of ordinary body text"])
+        + b"\n"
+        + table_to_stream([["p0", "p1"], ["q0", "q1"]], 600)
+        + b"\n"
+        + table_to_stream([[None, None, ("fx", 2)]], 600)
+        + b"\n"
+        + b"BT /F1 10 Tf 72 560 Td (body text row here) Tj ET\n"
+        + table_to_stream([["r0", "r1", "r2"]], 540)
+    )
+    doc = extract_document(write_pdf([cs]))
+    assert doc["status"] == "SUCCESS"
+    assert "body text row here" in doc["text"]

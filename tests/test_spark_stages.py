@@ -60,6 +60,19 @@ def test_stats_scale_mode_matches_default(spark):
             assert scale[k]["hist"] == base[k]["hist"]
 
 
+def test_stats_scale_mode_empty_input_sentinels(spark):
+    """Ungrouped counting stats over EMPTY input must return the one
+    sentinel row (-1 stats, zero hist), not an ANSI DIVIDE_BY_ZERO
+    task failure (mean was an unguarded __sum/total)."""
+    from docling_eval_spark.evaluators.stats import compute_stats
+
+    df = spark.createDataFrame([], "v double")
+    r = compute_stats(df, "v", scale_mode=True).collect()[0]
+    assert r["total"] == 0
+    assert r["mean"] == -1.0 and r["median"] == -1.0 and r["std"] == -1.0
+    assert list(r["hist"]) == [0] * 20
+
+
 def test_stats_scale_mode_constant_group_std_zero(spark):
     """Regression: a constant-valued group's uncentered variance dips
     epsilon-negative under float rounding → sqrt gave NaN (and coalesce
