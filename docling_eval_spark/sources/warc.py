@@ -1,0 +1,381 @@
+"""WARC source/sink (ISO 28500, WARC/1.0 and WARC/1.1).
+
+The north-star input is a Common-Crawl-style corpus; on disk Common
+Crawl ships WARC files — a sequence of records, each ``WARC/1.x`` +
+headers + CRLF CRLF + Content-Length block + CRLF CRLF — packaged as
+``.warc.gz`` with ONE GZIP MEMBER PER RECORD so readers can skip
+records without decompressing the whole file. This module parses that
+format from scratch (stdlib ``zlib`` only) and lands records in the
+canonical pages schema (``url, warc_ts, html, text, lang``) that every
+downstream stage (extraction kernel, dedup, quality) already consumes.
+
+Scale notes (100 TB):
+
+- gzip members are NOT splittable mid-stream, so parallelism is per
+  FILE: ``binaryFile`` hands each file whole to one task and the Arrow
+  kernel parses it. Common Crawl ships ~1 GiB files, so a 100 TB crawl
+  is ~100k files = ~100k tasks — ample for 1000 executors. For the
+  rare oversized file, ``repartition`` after read only moves the
+  parsed rows, never re-reads.
+- ``binaryFile`` supports predicate pushdown on path/length only;
+  everything row-level happens after parse, so put cheap filters
+  (status, lang) directly after :func:`read_warc` — they run in the
+  same stage as the parse, before any shuffle.
+- HTTP payload split, chunked transfer-encoding decode, and gzip /
+  deflate Content-Encoding decode all happen inside the same
+  ``mapInPandas`` batch kernel — zero per-row Python UDFs.
+- Malformed records become ``warc_status='FAILURE'`` rows, never task
+  failures — same convention as ``json_gt`` (S3) and the extraction
+  kernel (P9). One corrupt record aborts only the remainder of its
+  gzip member, not the file: subsequent members resync at the next
+  member boundary.
+
+The reference repo ingests via HF datasets parquet (``utils.py``); the
+WARC layer replaces that for the web-corpus north rule. Format per the
+public ISO 28500 / IIPC WARC 1.1 spec and RFC 7230 §4.1 (chunked).
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+WARC_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("warc_path", T.StringType()),
+        T.StructField("record_no", T.IntegerType()),
+        T.StructField("warc_status", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------- parse
+
+def split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenated-member gzip stream one member at a
+    time (``decompressobj.unused_data`` marks the member boundary).
+    A corrupt member yields what decompressed so far, then resyncs at
+    the next gzip magic if one exists."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            chunk = d.decompress(data[pos:])
+            yield chunk
+        except zlib.error:
+            # salvage: emit nothing for this member, resync below
+            chunk = b""
+        if d.unused_data:
+            consumed = n - pos - len(d.unused_data)
+            pos += max(consumed, 1)
+        else:
+            nxt = data.find(_GZIP_MAGIC, pos + 2)
+            if not d.eof and nxt != -1:
+                pos = nxt
+                continue
+            break
+
+
+def _parse_headers(blob: bytes) -> dict:
+    """Header lines ``Name: value`` (case-insensitive names, WARC and
+    HTTP share the grammar); obs-fold continuations are appended."""
+    headers: dict[str, str] = {}
+    last = None
+    for line in blob.split(_CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            continue
+        last = name.strip().decode("latin-1").lower()
+        headers[last] = value.strip().decode("latin-1")
+    return headers
+
+
+def parse_warc_records(data: bytes) -> Iterator[dict]:
+    """Yield ``{type, headers, block, error}`` dicts from raw (already
+    uncompressed) WARC bytes; parsing stops at the first malformed
+    record, which is itself surfaced as an ``error`` entry."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record padding CRLFs
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            yield {"error": "bad magic at offset %d" % pos}
+            return
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end == -1:
+            yield {"error": "unterminated header block"}
+            return
+        head = data[pos:head_end]
+        version_line, _, header_blob = head.partition(_CRLF)
+        headers = _parse_headers(header_blob)
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            yield {"error": "missing/invalid Content-Length"}
+            return
+        block_start = head_end + 4
+        block = data[block_start : block_start + length]
+        if len(block) < length:
+            yield {"error": "truncated block (%d < %d)" % (len(block), length)}
+            return
+        yield {
+            "version": version_line.decode("latin-1"),
+            "type": headers.get("warc-type", ""),
+            "headers": headers,
+            "block": block,
+            "error": None,
+        }
+        pos = block_start + length
+        # record terminator: CRLF CRLF (absorbed by the padding skip)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 7230 §4.1 chunked transfer decoding; returns the raw body
+    unchanged if the chunk grammar doesn't hold (conservative)."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol == -1:
+            return body
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return body
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)
+        chunk = body[pos : pos + size]
+        if len(chunk) < size:
+            return body
+        out.append(chunk)
+        pos += size + 2  # chunk data CRLF
+
+
+def parse_http_payload(block: bytes) -> bytes:
+    """Split an ``application/http`` response block into headers+body
+    and undo transfer/content codings. Non-HTTP blocks pass through."""
+    if not block.startswith(b"HTTP/"):
+        return block
+    sep = block.find(_CRLF + _CRLF)
+    if sep == -1:
+        return block
+    headers = _parse_headers(block[:sep].partition(_CRLF)[2])
+    body = block[sep + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip", "deflate"):
+        try:
+            body = zlib.decompressobj(
+                16 + zlib.MAX_WBITS if enc != "deflate" else zlib.MAX_WBITS
+            ).decompress(body)
+        except zlib.error:
+            try:  # raw deflate (no zlib wrapper) — seen in the wild
+                body = zlib.decompressobj(-zlib.MAX_WBITS).decompress(body)
+            except zlib.error:
+                pass  # keep the coded bytes; extraction will fail the row
+    return body
+
+
+def _parse_warc_date(value: str):
+    """WARC-Date: ISO 8601 UTC, optional fractional seconds (1.1)."""
+    v = value.strip()
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(v, fmt).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+    return None
+
+
+def warc_file_to_pages(data: bytes, path: str = "") -> list[dict]:
+    """Parse one WARC file (gzip-member or plain) into pages-schema
+    rows. ``response`` records produce SUCCESS/FAILURE rows; warcinfo /
+    request / metadata records are skipped (they carry no payload the
+    pipeline evaluates)."""
+    if data[:2] == _GZIP_MAGIC:
+        records = (
+            rec
+            for member in split_gzip_members(data)
+            for rec in parse_warc_records(member)
+        )
+    else:
+        records = parse_warc_records(data)
+    rows: list[dict] = []
+    rec_no = 0
+    for rec in records:
+        rec_no += 1
+        if rec.get("error"):
+            rows.append(
+                {
+                    "url": None,
+                    "warc_ts": None,
+                    "html": None,
+                    "text": None,
+                    "lang": None,
+                    "warc_path": path,
+                    "record_no": rec_no,
+                    "warc_status": "FAILURE",
+                    "error": rec["error"],
+                }
+            )
+            continue
+        if rec["type"].lower() != "response":
+            continue
+        h = rec["headers"]
+        url = h.get("warc-target-uri")
+        ts = _parse_warc_date(h.get("warc-date", ""))
+        payload = parse_http_payload(rec["block"])
+        ok = url is not None
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": payload if ok else None,
+                "text": None,
+                "lang": None,
+                "warc_path": path,
+                "record_no": rec_no,
+                "warc_status": "SUCCESS" if ok else "FAILURE",
+                "error": "" if ok else "response record without WARC-Target-URI",
+            }
+        )
+    return rows
+
+
+# ---------------------------------------------------------------- source
+
+def read_warc(spark: SparkSession, glob: str) -> DataFrame:
+    """``.warc`` / ``.warc.gz`` files → pages rows (+ provenance and
+    status columns). One task per file (see module scale notes)."""
+    raw = spark.read.format("binaryFile").load(glob).select("path", "content")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(warc_file_to_pages(bytes(content), str(path)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(kernel, schema=WARC_PAGES_SCHEMA)
+
+
+def warc_to_pages(df: DataFrame) -> DataFrame:
+    """Project successful WARC rows onto the canonical PAGES_SCHEMA."""
+    return df.filter(F.col("warc_status") == "SUCCESS").select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+
+
+# ---------------------------------------------------------------- sink
+
+def _gzip_member(data: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(data) + c.flush()
+
+
+def warc_record_bytes(
+    warc_type: str,
+    block: bytes,
+    headers: dict[str, str] | None = None,
+    version: str = "WARC/1.0",
+) -> bytes:
+    head = [f"{version}\r\n".encode()]
+    base = {"WARC-Type": warc_type, "Content-Length": str(len(block))}
+    base.update(headers or {})
+    for k, v in base.items():
+        head.append(f"{k}: {v}\r\n".encode())
+    head.append(_CRLF)
+    return b"".join(head) + block + _CRLF + _CRLF
+
+
+def encode_warc(
+    pages: list[dict],
+    gzip_members: bool = True,
+    http_wrap: bool = True,
+    chunked: bool = False,
+) -> bytes:
+    """Fixture writer: pages rows → WARC bytes (warcinfo first, then
+    one response record per page), optionally gzip-per-member and with
+    the payload wrapped as a raw HTTP response (optionally chunked) so
+    tests exercise the real decode path."""
+    records = [
+        warc_record_bytes(
+            "warcinfo",
+            b"software: docling-eval-spark fixture writer\r\n",
+            {"Content-Type": "application/warc-fields"},
+        )
+    ]
+    for p in pages:
+        body = p["html"] if p.get("html") is not None else b""
+        if http_wrap:
+            if chunked:
+                mid = max(1, len(body) // 2)
+                wire = b""
+                for part in (body[:mid], body[mid:]):
+                    if part:
+                        wire += b"%x\r\n" % len(part) + part + _CRLF
+                wire += b"0\r\n\r\n"
+                http_head = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n"
+                )
+            else:
+                wire = body
+                http_head = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Length: %d\r\n\r\n" % len(body)
+                )
+            block = http_head + wire
+            ctype = 'application/http; msgtype=response'
+        else:
+            block = body
+            ctype = "text/html"
+        ts = p.get("warc_ts")
+        ts_s = (
+            ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None
+            else "2017-01-01T00:00:00Z"
+        )
+        records.append(
+            warc_record_bytes(
+                "response",
+                block,
+                {
+                    "WARC-Target-URI": p["url"],
+                    "WARC-Date": ts_s,
+                    "Content-Type": ctype,
+                },
+            )
+        )
+    if gzip_members:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)

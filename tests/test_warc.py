@@ -1,0 +1,150 @@
+"""WARC source (ISO 28500) — parse, gzip members, HTTP decode, and the
+byte-identity invariant through the WARC ingest path."""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+import pytest
+
+from docling_eval_spark.datagen.pages import gen_page, pages_dataframe
+from docling_eval_spark.extraction.stage import extract_text_stage
+from docling_eval_spark.sources.warc import (
+    encode_warc,
+    parse_http_payload,
+    parse_warc_records,
+    read_warc,
+    warc_file_to_pages,
+    warc_to_pages,
+)
+
+_TS = datetime(2017, 3, 22, 17, 43, 4, tzinfo=timezone.utc)
+
+
+def _fixture_pages(n=6, seed=7):
+    return [
+        {
+            "url": p["url"],
+            "warc_ts": _TS,
+            "html": p["html"],
+        }
+        for p in (gen_page(i, seed=seed) for i in range(n))
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    pages = _fixture_pages()
+    for gz in (False, True):
+        data = encode_warc(pages, gzip_members=gz)
+        rows = warc_file_to_pages(data, path="mem")
+        assert [r["warc_status"] for r in rows] == ["SUCCESS"] * len(pages)
+        assert [r["url"] for r in rows] == [p["url"] for p in pages]
+        assert [bytes(r["html"]) for r in rows] == [p["html"] for p in pages]
+        assert all(r["warc_ts"] == _TS for r in rows)
+
+
+def test_warc_chunked_transfer_decode():
+    pages = _fixture_pages(3)
+    data = encode_warc(pages, gzip_members=True, chunked=True)
+    rows = warc_file_to_pages(data)
+    assert [bytes(r["html"]) for r in rows] == [p["html"] for p in pages]
+
+
+def test_warc_content_encoding_gzip_body():
+    body = b"<html><body><p>compressed payload</p></body></html>"
+    gz = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    wire = gz.compress(body) + gz.flush()
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\nContent-Length: %d\r\n\r\n" % len(wire)
+    ) + wire
+    assert parse_http_payload(block) == body
+
+
+def test_warc_non_response_records_skipped():
+    pages = _fixture_pages(2)
+    data = encode_warc(pages, gzip_members=False)
+    # warcinfo record is present in the stream but not in the rows
+    recs = list(parse_warc_records(data))
+    assert recs[0]["type"] == "warcinfo"
+    rows = warc_file_to_pages(data)
+    assert len(rows) == 2
+
+
+def test_warc_corrupt_member_resyncs():
+    from docling_eval_spark.sources.warc import _gzip_member, warc_record_bytes
+
+    pages = _fixture_pages(4)
+    members = [
+        _gzip_member(
+            warc_record_bytes(
+                "response",
+                p["html"],
+                {
+                    "WARC-Target-URI": p["url"],
+                    "WARC-Date": "2017-03-22T17:43:04Z",
+                    "Content-Type": "text/html",
+                },
+            )
+        )
+        for p in pages
+    ]
+    # destroy member 1's deflate stream body (keep the gzip header)
+    bad = bytearray(members[1])
+    bad[12:20] = b"\x00" * 8
+    stream = members[0] + bytes(bad) + members[2] + members[3]
+    rows = warc_file_to_pages(stream)
+    ok = [r for r in rows if r["warc_status"] == "SUCCESS"]
+    # the wrecked member contributes no SUCCESS row but does not take
+    # down its neighbours — the parser resyncs at the next gzip magic
+    assert [r["url"] for r in ok] == [pages[i]["url"] for i in (0, 2, 3)]
+
+
+def test_warc_truncated_record_failure_row():
+    pages = _fixture_pages(1)
+    data = encode_warc(pages, gzip_members=False)
+    rows = warc_file_to_pages(data[: len(data) - 30])
+    assert rows and rows[-1]["warc_status"] == "FAILURE"
+    assert "truncated" in rows[-1]["error"]
+
+
+@pytest.mark.spark
+def test_read_warc_byte_identity_vs_parquet_path(spark, tmp_path):
+    """North-rule invariant: extracted text through the WARC ingest
+    path is byte-identical per url to the direct pages path."""
+    n = 24
+    pages = _fixture_pages(n, seed=11)
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    # spread across 3 files to exercise per-file parallelism
+    for f in range(3):
+        chunk = pages[f * 8 : (f + 1) * 8]
+        (warc_dir / f"crawl-{f:02d}.warc.gz").write_bytes(
+            encode_warc(chunk, gzip_members=True, chunked=(f == 1))
+        )
+
+    warc_df = read_warc(spark, str(warc_dir))
+    got = {
+        r["url"]: (bytes(r["html"]), r["warc_ts"])
+        for r in warc_df.collect()
+        if r["warc_status"] == "SUCCESS"
+    }
+    assert len(got) == n
+    for p in pages:
+        html, ts = got[p["url"]]
+        assert html == p["html"]
+        assert ts == _TS.replace(tzinfo=None) or ts == _TS
+
+    direct = pages_dataframe(spark, n, seed=11)
+    via_warc = warc_to_pages(warc_df)
+    t1 = {
+        r["url"]: r["extracted_text"]
+        for r in extract_text_stage(direct).collect()
+    }
+    t2 = {
+        r["url"]: r["extracted_text"]
+        for r in extract_text_stage(via_warc).collect()
+    }
+    assert set(t1) == set(t2)
+    assert all(t1[u] == t2[u] for u in t1)
