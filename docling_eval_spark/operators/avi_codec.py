@@ -1,0 +1,133 @@
+"""Uncompressed AVI (RIFF) video codec — the real video pixel path.
+
+Same role as the WAV/PNG/GIF/JPEG codecs (`multimodal.py` K11 family):
+the container lacks ffmpeg/PIL, so video stages degrade to honest
+``fake=True`` rows — EXCEPT for uncompressed RIFF AVI, which (like
+WAV) needs no entropy codec at all: frames are raw bottom-up BGR DIB
+chunks. Parsing that from scratch gives the frame-sampling and
+motion-feature stages a REAL pixel path with deterministic fixtures.
+
+Format per the public AVI RIFF specification (Microsoft "AVI RIFF File
+Reference"): RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+LIST('movi' '00db'…) [idx1]); frame chunks are BITMAPINFOHEADER
+``BI_RGB`` 24-bit rows, bottom-up, each row padded to 4 bytes.
+Compressed fourccs (MJPG/H264/…) raise ValueError and the caller
+falls back to the marked fake — never silent wrong pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_AVIH = struct.Struct("<14I")
+_BMIH = struct.Struct("<IiiHHIIiiII")
+
+
+def _walk_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) for a RIFF chunk run."""
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield tag, pos + 8, min(ln, end - pos - 8)
+        pos += 8 + ln + (ln & 1)
+
+
+def avi_decode(data: bytes):
+    """AVI bytes → (frames, fps) with frames an (n, h, w, 3) uint8 RGB
+    array. Only uncompressed 24-bit BI_RGB streams are supported —
+    anything else raises ValueError (caller degrades to fake)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    width = height = None
+    usec_per_frame = 0
+    scale = rate = 0
+    bitcount = compression = None
+    frames_raw: list[bytes] = []
+
+    def walk_list(pos: int, end: int) -> None:
+        nonlocal width, height, usec_per_frame, scale, rate
+        nonlocal bitcount, compression
+        for tag, start, ln in _walk_chunks(data, pos, end):
+            body_end = start + ln
+            if tag == b"LIST":
+                walk_list(start + 4, body_end)
+            elif tag == b"avih" and ln >= _AVIH.size:
+                v = _AVIH.unpack_from(data, start)
+                usec_per_frame, width, height = v[0], v[8], v[9]
+            elif tag == b"strh" and ln >= 32:
+                if data[start : start + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", data, start + 20)
+            elif tag == b"strf" and ln >= _BMIH.size and bitcount is None:
+                b = _BMIH.unpack_from(data, start)
+                bitcount, compression = b[4], b[5]
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(data[start:body_end])
+
+    walk_list(12, len(data))
+    if width is None or not frames_raw:
+        raise ValueError("no video stream/frames found")
+    if bitcount != 24 or compression != 0:
+        raise ValueError(
+            "only uncompressed 24-bit BI_RGB AVI supported "
+            f"(bitcount={bitcount}, compression={compression})"
+        )
+    row_bytes = (width * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), height, width, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < row_bytes * height:
+            raise ValueError("truncated frame %d" % i)
+        rows = np.frombuffer(raw[: row_bytes * height], dtype=np.uint8)
+        rows = rows.reshape(height, row_bytes)[:, : width * 3]
+        # bottom-up BGR → top-down RGB
+        out[i] = rows.reshape(height, width, 3)[::-1, :, ::-1]
+    fps = (
+        rate / scale
+        if scale
+        else (1e6 / usec_per_frame if usec_per_frame else 0.0)
+    )
+    return out, fps
+
+
+def avi_encode(frames: np.ndarray, fps: float = 10.0) -> bytes:
+    """(n, h, w, 3) uint8 RGB → uncompressed 24-bit AVI (fixtures)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = _AVIH.pack(
+        int(1e6 / fps), frame_size * int(fps), 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+        1000, int(fps * 1000), 0, n, frame_size, 10000, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = _BMIH.pack(40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_parts = []
+    for f in frames:
+        # top-down RGB → bottom-up BGR, rows padded to 4 bytes
+        bgr = f[::-1, :, ::-1]
+        if row_bytes != w * 3:
+            padded = np.zeros((h, row_bytes), dtype=np.uint8)
+            padded[:, : w * 3] = bgr.reshape(h, w * 3)
+            body = padded.tobytes()
+        else:
+            body = bgr.tobytes()
+        movi_parts.append(chunk(b"00db", body))
+    movi = lst(b"movi", b"".join(movi_parts))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -6,13 +6,14 @@ crop at `utils.py:406-436`). At web scale the engine treats media as
 ``binary`` columns with a typed metadata struct, processed by
 Arrow-batched kernels over ``mapInPandas``.
 
-PNG, GIF and baseline JPEG payloads get a REAL pixel path:
+PNG, GIF, JPEG and uncompressed-AVI payloads get a REAL pixel path:
 ``operators.png_codec`` (zlib + the five spec scanline filters),
-``operators.gif_codec`` (variable-width LZW) and
-``operators.jpeg_codec`` (baseline T.81: stream-embedded Huffman/
-quant tables, matrix IDCT, 4:4:4) are pure-Python+numpy codecs, so
-decode → numpy → resize → feature-extract genuinely runs on pixels.
-Progressive/subsampled JPEG and video still degrade to the
+``operators.gif_codec`` (variable-width LZW), ``operators.jpeg_codec``
+(T.81 baseline + progressive, 4:4:4/4:2:2/4:2:0, DRI/RSTn) and
+``operators.avi_codec`` (RIFF DIB frames) are pure-Python+numpy
+codecs, so decode → numpy → resize → feature-extract genuinely runs
+on pixels. Compressed video (MJPG/H.264/…) and lossless/arithmetic
+JPEG still degrade to the
 clearly-marked deterministic fakes behind ``fake=True`` markers;
 ``decode_image_meta`` still parses their real headers. The Spark-side
 contracts — schemas, batch iteration, partitioning — are identical on
@@ -171,32 +172,139 @@ def frame_sample_stage(
     every_n_bytes: int = 4096,
     max_frames: int = 16,
 ) -> DataFrame:
-    """STUB video frame sampler: emits one row per 'frame' (fixed-size
-    byte slice standing in for an ffmpeg keyframe). Real contract:
-    one-to-many expansion with ordinal, preserving the parent key."""
+    """Video frame sampler: one row per sampled frame, preserving the
+    parent key. Uncompressed RIFF AVI payloads take the REAL pixel
+    path (``avi_codec``): up to ``max_frames`` frames sampled at a
+    uniform stride, each re-encoded as a real PNG with true
+    dimensions and ``fake=False``. Compressed/unknown containers
+    degrade to the marked fake (fixed-size byte slices standing in
+    for ffmpeg keyframes, ``fake=True``) — never silent wrong
+    pixels."""
     src = df.select("url", binary_col)
     out_schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
             T.StructField("frame_no", T.IntegerType()),
             T.StructField("frame_bytes", T.BinaryType()),
+            T.StructField("frame_w", T.IntegerType()),
+            T.StructField("frame_h", T.IntegerType()),
+            T.StructField("fake", T.BooleanType()),
         ]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.operators.avi_codec import avi_decode
+        from docling_eval_spark.operators.png_codec import png_encode
+
+        cols = ["url", "frame_no", "frame_bytes", "frame_w", "frame_h", "fake"]
         for pdf in batches:
-            urls, nos, frames = [], [], []
+            rows: list[tuple] = []
             for url, b in zip(pdf["url"], pdf[binary_col]):
-                b = b if b is not None else b""
+                b = bytes(b) if b is not None else b""
+                frames = None
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        frames, _fps = avi_decode(b)
+                    except ValueError:
+                        frames = None
+                if frames is not None:
+                    n = frames.shape[0]
+                    stride = max(1, -(-n // max_frames))  # ceil(n/max)
+                    for fno, idx in enumerate(range(0, n, stride)):
+                        f = frames[idx]
+                        rows.append(
+                            (url, fno, png_encode(f), f.shape[1], f.shape[0], False)
+                        )
+                    continue
                 for fno in range(min(max_frames, max(1, len(b) // every_n_bytes))):
-                    urls.append(url)
-                    nos.append(fno)
-                    frames.append(b[fno * every_n_bytes : (fno + 1) * every_n_bytes])
-            yield pd.DataFrame(
-                {"url": urls, "frame_no": nos, "frame_bytes": frames}
-            )
+                    rows.append(
+                        (
+                            url,
+                            fno,
+                            b[fno * every_n_bytes : (fno + 1) * every_n_bytes],
+                            None,
+                            None,
+                            True,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(kernel, schema=out_schema)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("motion", T.DoubleType()),
+        T.StructField("fake", T.BooleanType()),
+    ]
+)
+
+
+def video_features(data: bytes) -> tuple:
+    """REAL per-video features for uncompressed AVI payloads:
+    Rec. 601 mean luma over all frames and mean absolute luma delta
+    between consecutive frames (the classic motion proxy). Other
+    containers → deterministic hash fake, ``fake=True``."""
+    import numpy as np
+
+    try:
+        from docling_eval_spark.operators.avi_codec import avi_decode
+
+        frames, fps = avi_decode(data)
+    except Exception:
+        digest = hashlib.sha256(data or b"").digest()
+        return (
+            1 + digest[0] % 32,
+            float(1 + digest[1] % 30),
+            64 + digest[2] % 192,
+            64 + digest[3] % 192,
+            digest[4] / 255.0,
+            digest[5] / 255.0,
+            True,
+        )
+    luma = (
+        0.299 * frames[..., 0].astype(np.float64)
+        + 0.587 * frames[..., 1]
+        + 0.114 * frames[..., 2]
+    ) / 255.0
+    motion = (
+        float(np.abs(np.diff(luma, axis=0)).mean()) if luma.shape[0] > 1 else 0.0
+    )
+    return (
+        int(frames.shape[0]),
+        float(fps),
+        int(frames.shape[2]),
+        int(frames.shape[1]),
+        float(luma.mean()),
+        motion,
+        False,
+    )
+
+
+def video_features_stage(
+    df: DataFrame, binary_col: str = "media", out_col: str = "video_features"
+) -> DataFrame:
+    """Append real-or-fake video features for a binary media column —
+    same Arrow-batched narrow-kernel shape as ``audio_features_stage``
+    (no shuffle; scales with input partitions)."""
+    out_fields = df.schema.fields + [T.StructField(out_col, VIDEO_FEATURES_SCHEMA)]
+    schema = T.StructType(out_fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                video_features(bytes(b) if b is not None else b"")
+                for b in pdf[binary_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 THUMBNAIL_SCHEMA = T.StructType(
