@@ -50,8 +50,10 @@ def sniff_mimetype(data: bytes) -> str:
     return "text/html"
 
 
-def _extract_html(data: bytes) -> dict[str, Any]:
-    html_text = data.decode("utf-8", errors="replace")
+def _extract_html(data: bytes, charset_hint: str | None = None) -> dict[str, Any]:
+    from docling_eval_spark.extraction.charset import decode_html
+
+    html_text, enc, _src = decode_html(data, transport=charset_hint)
     blocks = lex_blocks(html_text)
     flags = classify(blocks)
     items: list[dict[str, Any]] = []
@@ -79,7 +81,7 @@ def _extract_html(data: bytes) -> dict[str, Any]:
     text = BLOCK_SEP.join(it["text"] for it in items)
     _add_charspans(items)
     return {"title": title, "items": items, "tables": tables, "text": text,
-            "pages": [], "layout": []}
+            "pages": [], "layout": [], "encoding": enc}
 
 
 def _add_charspans(items: list[dict[str, Any]]) -> None:
@@ -155,17 +157,25 @@ def _extract_pdf(data: bytes) -> dict[str, Any]:
     }
 
 
-def extract_document(data: bytes) -> dict[str, Any]:
-    """Full extraction: bytes → {status, mimetype, title, text, items,
-    tables, layout, pages, content_hash}. Never raises — failures come
-    back as status='FAILURE' rows, matching the reference's failure-row
-    convention (`tableformer_huggingface_otsl/create.py:243-259`)."""
+def extract_document(
+    data: bytes, charset_hint: str | None = None
+) -> dict[str, Any]:
+    """Full extraction: bytes → {status, mimetype, encoding, title,
+    text, items, tables, layout, pages, content_hash}. Never raises —
+    failures come back as status='FAILURE' rows, matching the
+    reference's failure-row convention
+    (`tableformer_huggingface_otsl/create.py:243-259`).
+
+    ``charset_hint`` is the transport-layer charset label (HTTP
+    Content-Type — the WARC source surfaces it as ``http_charset``);
+    the HTML path sniffs BOM/meta/fallback per WHATWG precedence
+    (`extraction/charset.py`)."""
     try:
         mimetype = sniff_mimetype(data)
         doc = (
             _extract_pdf(data)
             if mimetype == "application/pdf"
-            else _extract_html(data)
+            else _extract_html(data, charset_hint=charset_hint)
         )
         doc["mimetype"] = mimetype
         doc["status"] = "SUCCESS"
@@ -182,6 +192,7 @@ def extract_document(data: bytes) -> dict[str, Any]:
             "error": f"{type(exc).__name__}: {exc}",
         }
     doc.setdefault("error", "")
+    doc.setdefault("encoding", "")  # PDF/failure rows: not a text decode
     doc["content_hash"] = hashlib.sha256(data).hexdigest()
     doc["text_md5"] = hashlib.md5(doc["text"].encode("utf-8")).hexdigest()
     return doc

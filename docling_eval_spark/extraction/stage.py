@@ -81,6 +81,7 @@ EXTRACTED_DOC_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("status", T.StringType()),
         T.StructField("mimetype", T.StringType()),
+        T.StructField("encoding", T.StringType()),
         T.StructField("content_hash", T.StringType()),
         T.StructField("title", T.StringType()),
         T.StructField("extracted_text", T.StringType()),
@@ -94,14 +95,23 @@ EXTRACTED_DOC_SCHEMA = T.StructType(
 )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], charset_col: str | None = None
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        docs = [extract_document(b) for b in pdf["html"]]
+        if charset_col is not None and charset_col in pdf.columns:
+            docs = [
+                extract_document(b, charset_hint=h)
+                for b, h in zip(pdf["html"], pdf[charset_col])
+            ]
+        else:
+            docs = [extract_document(b) for b in pdf["html"]]
         yield pd.DataFrame(
             {
                 "url": pdf["url"].to_numpy(),
                 "status": [d["status"] for d in docs],
                 "mimetype": [d["mimetype"] for d in docs],
+                "encoding": [d["encoding"] for d in docs],
                 "content_hash": [d["content_hash"] for d in docs],
                 "title": [d["title"] for d in docs],
                 "extracted_text": [d["text"] for d in docs],
@@ -157,15 +167,23 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_stage(pages_df: DataFrame) -> DataFrame:
+def extract_stage(
+    pages_df: DataFrame, charset_col: str | None = None
+) -> DataFrame:
     """Full extraction over a pages DataFrame with (url, html) columns.
 
-    Pure narrow map: ``select`` first so parquet scan prunes to the two
+    Pure narrow map: ``select`` first so parquet scan prunes to the
     needed columns (the reference materializes full rows including
     image blobs — SURVEY §4.1 'column pruning' anti-pattern).
+
+    ``charset_col`` optionally names a transport-charset-label column
+    (e.g. the WARC source's ``http_charset``) fed to the WHATWG sniff
+    as the transport layer; without it, BOM/meta/UTF-8/windows-1252
+    precedence still applies per row.
     """
-    return pages_df.select("url", "html").mapInPandas(
-        _extract_batches, schema=EXTRACTED_DOC_SCHEMA
+    cols = ["url", "html"] + ([charset_col] if charset_col else [])
+    return pages_df.select(*cols).mapInPandas(
+        lambda it: _extract_batches(it, charset_col), schema=EXTRACTED_DOC_SCHEMA
     )
 
 

@@ -56,6 +56,7 @@ WARC_PAGES_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType()),
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
+        T.StructField("http_charset", T.StringType()),
         T.StructField("warc_path", T.StringType()),
         T.StructField("record_no", T.IntegerType()),
         T.StructField("warc_status", T.StringType()),
@@ -178,15 +179,20 @@ def _dechunk(body: bytes) -> bytes:
         pos += size + 2  # chunk data CRLF
 
 
-def parse_http_payload(block: bytes) -> bytes:
-    """Split an ``application/http`` response block into headers+body
-    and undo transfer/content codings. Non-HTTP blocks pass through."""
+def parse_http_response(block: bytes) -> tuple[bytes, str | None]:
+    """Split an ``application/http`` response block into headers+body,
+    undo transfer/content codings, and surface the Content-Type
+    charset label (the transport layer of the WHATWG encoding sniff).
+    Non-HTTP blocks pass through with no charset."""
     if not block.startswith(b"HTTP/"):
-        return block
+        return block, None
     sep = block.find(_CRLF + _CRLF)
     if sep == -1:
-        return block
+        return block, None
     headers = _parse_headers(block[:sep].partition(_CRLF)[2])
+    from docling_eval_spark.extraction.charset import charset_from_content_type
+
+    charset = charset_from_content_type(headers.get("content-type"))
     body = block[sep + 4 :]
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
@@ -201,7 +207,12 @@ def parse_http_payload(block: bytes) -> bytes:
                 body = zlib.decompressobj(-zlib.MAX_WBITS).decompress(body)
             except zlib.error:
                 pass  # keep the coded bytes; extraction will fail the row
-    return body
+    return body, charset
+
+
+def parse_http_payload(block: bytes) -> bytes:
+    """Body-only convenience wrapper around :func:`parse_http_response`."""
+    return parse_http_response(block)[0]
 
 
 def _parse_warc_date(value: str):
@@ -240,6 +251,7 @@ def warc_file_to_pages(data: bytes, path: str = "") -> list[dict]:
                     "html": None,
                     "text": None,
                     "lang": None,
+                    "http_charset": None,
                     "warc_path": path,
                     "record_no": rec_no,
                     "warc_status": "FAILURE",
@@ -252,7 +264,7 @@ def warc_file_to_pages(data: bytes, path: str = "") -> list[dict]:
         h = rec["headers"]
         url = h.get("warc-target-uri")
         ts = _parse_warc_date(h.get("warc-date", ""))
-        payload = parse_http_payload(rec["block"])
+        payload, charset = parse_http_response(rec["block"])
         ok = url is not None
         rows.append(
             {
@@ -261,6 +273,7 @@ def warc_file_to_pages(data: bytes, path: str = "") -> list[dict]:
                 "html": payload if ok else None,
                 "text": None,
                 "lang": None,
+                "http_charset": charset,
                 "warc_path": path,
                 "record_no": rec_no,
                 "warc_status": "SUCCESS" if ok else "FAILURE",
@@ -337,6 +350,9 @@ def encode_warc(
     for p in pages:
         body = p["html"] if p.get("html") is not None else b""
         if http_wrap:
+            ct = b"text/html"
+            if p.get("charset"):
+                ct += b"; charset=" + p["charset"].encode()
             if chunked:
                 mid = max(1, len(body) // 2)
                 wire = b""
@@ -345,14 +361,14 @@ def encode_warc(
                         wire += b"%x\r\n" % len(part) + part + _CRLF
                 wire += b"0\r\n\r\n"
                 http_head = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"Transfer-Encoding: chunked\r\n\r\n"
+                    b"HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+                    b"\r\nTransfer-Encoding: chunked\r\n\r\n"
                 )
             else:
                 wire = body
                 http_head = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"Content-Length: %d\r\n\r\n" % len(body)
+                    b"HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+                    b"\r\nContent-Length: %d\r\n\r\n" % len(body)
                 )
             block = http_head + wire
             ctype = 'application/http; msgtype=response'
