@@ -1979,6 +1979,52 @@ def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021 substring
+    dedup, k-gram inverted-index form): maximal [start, end) character
+    spans of normalized text whose k-grams occur in >=2 documents."""
+    from docling_eval_spark.operators.text_analysis import duplicate_spans
+
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=20
+    )
+
+
+_SQL_DUP_SPANS = r"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+),
+hs AS (
+  SELECT id,
+    list_transform(range(1, length(t) - 18),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(i, i + 20),
+                              j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647)) AS h
+  FROM norm WHERE length(t) >= 20
+),
+posted AS (
+  SELECT id, unnest(range(1, len(h) + 1)) - 1 AS pos, unnest(h) AS hh FROM hs
+),
+dups AS (SELECT hh FROM posted GROUP BY hh HAVING count(DISTINCT id) >= 2),
+dp AS (SELECT DISTINCT id, pos FROM posted JOIN dups USING (hh)),
+isl AS (
+  SELECT id, pos,
+    sum(CASE WHEN pos > lag_pos + 20 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT id, pos,
+               lag(pos) OVER (PARTITION BY id ORDER BY pos) AS lag_pos
+        FROM dp)
+)
+SELECT id, min(pos) AS span_start, max(pos) + 20 AS span_end
+FROM isl GROUP BY id, island
+HAVING max(pos) + 20 - min(pos) >= 20
+"""
+
+
 _SQL_WINNOW = r"""
 WITH norm AS (
   SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
@@ -2457,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _with_pkg(_q_host_stats),
         "line_dedup": _with_pkg(_q_line_dedup),
         "winnow_fps": _with_pkg(_q_winnow_fps),
+        "duplicate_spans": _with_pkg(_q_duplicate_spans),
         "asof_latest_error": _with_pkg(_q_asof_latest_error),
         "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
         "sessionize": _with_pkg(_q_sessionize),
@@ -2511,6 +2558,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": _SQL_HOST_STATS,
         "line_dedup": _SQL_LINE_DEDUP,
         "winnow_fps": _SQL_WINNOW,
+        "duplicate_spans": _SQL_DUP_SPANS,
         "asof_latest_error": _SQL_ASOF,
         "asof_dup_ties": _SQL_ASOF_DUP,
         "sessionize": _SQL_SESSIONIZE,

@@ -278,3 +278,95 @@ def winnow_py(text: str, k: int = 8, w: int = 8) -> set[int]:
     for i in range(max(len(hs) - w + 1, 1)):
         out.add(min(hs[i : i + w]))
     return out
+
+
+def kgram_hash_positions(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """(id, pos, h): every k-char shingle hash of the normalized text
+    with its 0-based character position. Docs shorter than k emit
+    nothing (no full k-gram exists). Same Karp-Rabin arithmetic as
+    ``rolling_fingerprint_col`` so any engine can recompute it."""
+    t = F.trim(F.regexp_replace(F.col(text_col), _WS, " "))
+
+    def over_norm(nrm: Column) -> Column:
+        n = F.length(nrm)
+        codes = F.transform(F.split(nrm, ""), lambda ch: F.ascii(ch).cast("long"))
+
+        def over_codes(cds: Column) -> Column:
+            idxs = F.sequence(F.lit(1), n - (k - 1))
+            shingle_hash = lambda i: F.aggregate(  # noqa: E731
+                F.slice(cds, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
+            )
+            return F.transform(idxs, shingle_hash)
+
+        return let_col(codes, over_codes)
+
+    hashes = F.when(
+        F.length(t) >= k, let_col(t, over_norm)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(hashes).alias("pos", "h")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring spans across a corpus (the substring
+    dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — public paper; their suffix-array pass is
+    re-expressed as a k-gram inverted index, the Spark-native shape).
+
+    A position is duplicated iff its k-gram occurs in >=2 DISTINCT
+    documents; overlapping/adjacent duplicated positions merge into
+    maximal spans (gaps-and-islands). Output: (id, span_start,
+    span_end) — 0-based [start, end) character offsets into the
+    whitespace-normalized text, keeping spans of length >= min_len
+    (default k).
+
+    Scale shape (no all-pairs, no per-key sort on corpus keys):
+    - postings explode → groupBy(h) count-distinct-ids (map-side
+      partial dedup of (h, id); a boilerplate k-gram in millions of
+      docs still reduces to ONE slim row per hash);
+    - equi-join postings against the >=2-doc hash set on h (slim build
+      side; AQE skew split applies);
+    - island merge windows partition by DOC id — per-doc data is
+      bounded by document length, never by corpus size.
+    """
+    from pyspark.sql import Window
+
+    if min_len is None:
+        min_len = k
+    posted = kgram_hash_positions(df, id_col, text_col, k)
+    dup_hashes = (
+        posted.groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dp = posted.join(dup_hashes, "h").select("id", "pos").distinct()
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dp.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("pos") > F.lag("pos").over(w) + F.lit(k), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+        )
+        .filter(F.col("span_end") - F.col("span_start") >= F.lit(min_len))
+        .select("id", "span_start", "span_end")
+    )

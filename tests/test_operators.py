@@ -796,3 +796,65 @@ def test_jpeg_zigzag_is_spec_order():
         (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
     ]
     assert _ZZ[-3:] == [(6, 7), (7, 6), (7, 7)]
+
+
+def test_duplicate_spans(spark):
+    from docling_eval_spark.operators.text_analysis import duplicate_spans
+
+    shared = "this exact sentence is repeated verbatim across documents"
+    rows = [
+        (0, f"unique prefix alpha. {shared} unique suffix omega."),
+        (1, f"different opening words here. {shared} different close."),
+        (2, "totally unrelated content with no overlap whatsoever in it."),
+        (3, "ab"),  # shorter than k: no k-gram, no span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, "doc_id", "text", k=20).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    assert set(by_id) == {0, 1}  # docs 2 and 3 emit nothing
+    for doc_id, spans in by_id.items():
+        assert len(spans) == 1
+        s, e = spans[0]
+        text = rows[doc_id][1]
+        # the shared sentence is inside the span; span edges extend at
+        # most k-1 chars into unique context (k-gram boundary fuzz)
+        assert shared in text[s:e]
+        assert e - s < len(shared) + 2 * 20
+    # determinism across partitionings
+    a = sorted(map(tuple, duplicate_spans(
+        df.repartition(1), "doc_id", "text", k=20).collect()))
+    b = sorted(map(tuple, duplicate_spans(
+        df.repartition(7), "doc_id", "text", k=20).collect()))
+    assert a == b
+
+
+def test_bloom_prefilter(spark):
+    from docling_eval_spark.operators.bloom import (
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    big = spark.range(0, 20000).selectExpr(
+        "concat('u', id) AS url", "id AS payload"
+    )
+    small = spark.range(0, 20000, 100).selectExpr("concat('u', id) AS url")
+    filtered = bloom_prefilter(big, small, "url")
+    n_filtered = filtered.count()
+    # no false negatives: every true match survives
+    true_sem = big.join(small, "url", "left_semi")
+    n_true = true_sem.count()
+    assert n_true == 200
+    survived = {r["url"] for r in filtered.collect()}
+    assert {r["url"] for r in true_sem.collect()} <= survived
+    # the filter actually filters (fpp ~6% of 19800 non-matches)
+    assert n_filtered < 200 + 0.25 * 19800
+    # exact semi join through the bloom path
+    exact = bloom_semi_join(big, small, "url")
+    assert sorted(r["url"] for r in exact.collect()) == sorted(
+        r["url"] for r in true_sem.collect()
+    )
+    # plan shape: probe side is broadcast-joined, not shuffled
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
