@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "near_dup_pairs",
     "gopher_quality",
     "repetition_bigrams",
+    "duplicate_spans",
     "corpus_map",
     "teds_known_distance",
 ]

@@ -281,12 +281,74 @@ def winnow_py(text: str, k: int = 8, w: int = 8) -> set[int]:
 
 
 def kgram_hash_positions(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, pos, h): every k-char shingle hash of the normalized text
     with its 0-based character position. Docs shorter than k emit
     nothing (no full k-gram exists). Same Karp-Rabin arithmetic as
-    ``rolling_fingerprint_col`` so any engine can recompute it."""
+    ``rolling_fingerprint_col`` so any engine can recompute it.
+
+    Default path is an Arrow-batched numpy kernel — a vectorized
+    k-pass Horner fold over a sliding-window view, O(n·k) in numpy
+    time vs the interpreted per-shingle HOF fold — producing
+    BIT-IDENTICAL hashes to the SQL path (same mod-2^31-1 arithmetic,
+    same code points), so the DuckDB oracle stays value-exact without
+    a portability flag. ``use_arrow=False`` keeps the pure-SQL-HOF
+    form (engine-portability witness; pytest asserts parity)."""
+    if use_arrow:
+        import re as _re
+        from collections.abc import Iterator as _It
+
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        ws_re = _re.compile(r"[ \t\n\r\f\v]+")
+        out_schema = T.StructType(
+            [
+                T.StructField("id", df.schema[id_col].dataType),
+                T.StructField("pos", T.IntegerType()),
+                T.StructField("h", T.LongType()),
+            ]
+        )
+
+        def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+            import numpy as np
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            for pdf in batches:
+                ids, poss, hss = [], [], []
+                for did, t in zip(pdf[id_col], pdf[text_col]):
+                    norm = ws_re.sub(" ", t or "").strip()
+                    n = len(norm)
+                    if n < k:
+                        continue
+                    codes = np.frombuffer(
+                        norm.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
+                    win = sliding_window_view(codes, k)
+                    acc = np.zeros(n - k + 1, dtype=np.int64)
+                    for j in range(k):
+                        acc = (acc * _FP_BASE + win[:, j]) % _FP_MOD
+                    ids.append(np.full(n - k + 1, did))
+                    poss.append(np.arange(n - k + 1, dtype=np.int32))
+                    hss.append(acc)
+                if ids:
+                    yield pd.DataFrame(
+                        {
+                            "id": np.concatenate(ids),
+                            "pos": np.concatenate(poss),
+                            "h": np.concatenate(hss),
+                        }
+                    )
+                else:
+                    yield pd.DataFrame({"id": [], "pos": [], "h": []})
+
+        return df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
     t = F.trim(F.regexp_replace(F.col(text_col), _WS, " "))
 
     def over_norm(nrm: Column) -> Column:
@@ -331,42 +393,80 @@ def duplicate_spans(
     whitespace-normalized text, keeping spans of length >= min_len
     (default k).
 
-    Scale shape (no all-pairs, no per-key sort on corpus keys):
+    Scale shape — TWO keyed shuffles total, no per-key sort:
     - postings explode → groupBy(h) count-distinct-ids (map-side
       partial dedup of (h, id); a boilerplate k-gram in millions of
       docs still reduces to ONE slim row per hash);
-    - equi-join postings against the >=2-doc hash set on h (slim build
-      side; AQE skew split applies);
-    - island merge windows partition by DOC id — per-doc data is
-      bounded by document length, never by corpus size.
+    - broadcast/equi-join postings against the >=2-doc hash set on h;
+    - groupBy DOC id collects the (bounded-by-doc-length) duplicated
+      positions; the gaps-and-islands merge is a sorted-array HOF
+      fold per row — no window, no second repartitioning key.
     """
-    from pyspark.sql import Window
-
     if min_len is None:
         min_len = k
     posted = kgram_hash_positions(df, id_col, text_col, k)
+    # ">=2 distinct docs" as min(id) != max(id): plain min/max combine
+    # map-side (no distinct expansion, one exchange, O(1) state even
+    # for a boilerplate k-gram present in millions of docs)
     dup_hashes = (
         posted.groupBy("h")
-        .agg(F.count_distinct("id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
+        .agg(F.min("id").alias("__lo"), F.max("id").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
         .select("h")
     )
-    dp = posted.join(dup_hashes, "h").select("id", "pos").distinct()
-    w = Window.partitionBy("id").orderBy("pos")
-    islands = dp.withColumn(
-        "island",
-        F.sum(
+    dp = (
+        posted.join(dup_hashes, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("pos"))).alias("ps"))
+    )
+
+    span = lambda s, e: F.struct(  # noqa: E731
+        s.cast("long").alias("s"), e.cast("long").alias("e")
+    )
+    init = F.struct(
+        F.array().cast("array<struct<s:bigint,e:bigint>>").alias("spans"),
+        F.lit(-1).cast("long").alias("cs"),
+        F.lit(-1).cast("long").alias("ce"),
+    )
+
+    def merge(acc, p):
+        return (
             F.when(
-                F.col("pos") > F.lag("pos").over(w) + F.lit(k), 1
-            ).otherwise(0)
-        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                acc["cs"] == -1,
+                F.struct(acc["spans"].alias("spans"),
+                         p.cast("long").alias("cs"),
+                         (p + k).cast("long").alias("ce")),
+            )
+            .when(
+                p <= acc["ce"],
+                F.struct(acc["spans"].alias("spans"),
+                         acc["cs"].alias("cs"),
+                         (p + k).cast("long").alias("ce")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(
+                        acc["spans"], F.array(span(acc["cs"], acc["ce"]))
+                    ).alias("spans"),
+                    p.cast("long").alias("cs"),
+                    (p + k).cast("long").alias("ce"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["cs"] == -1, acc["spans"]).otherwise(
+            F.concat(acc["spans"], F.array(span(acc["cs"], acc["ce"])))
+        )
+
+    spans = dp.select(
+        "id", F.explode(F.aggregate("ps", init, merge, finish)).alias("sp")
     )
     return (
-        islands.groupBy("id", "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k)).alias("span_end"),
+        spans.filter(F.col("sp.e") - F.col("sp.s") >= F.lit(min_len))
+        .select(
+            "id",
+            F.col("sp.s").cast("int").alias("span_start"),
+            F.col("sp.e").cast("int").alias("span_end"),
         )
-        .filter(F.col("span_end") - F.col("span_start") >= F.lit(min_len))
-        .select("id", "span_start", "span_end")
     )

@@ -858,3 +858,26 @@ def test_bloom_prefilter(spark):
     # plan shape: probe side is broadcast-joined, not shuffled
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kgram_arrow_sql_parity(spark):
+    from docling_eval_spark.operators.text_analysis import kgram_hash_positions
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (1, "  whitespace   normalization\tmatters\nhere exactly  "),
+        (2, "ünïcødé cödé pöints múst hásh idèntically tôo"),
+        (3, "short"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = sorted(
+        map(tuple, kgram_hash_positions(df, "doc_id", k=20).collect())
+    )
+    sql = sorted(
+        map(
+            tuple,
+            kgram_hash_positions(df, "doc_id", k=20, use_arrow=False).collect(),
+        )
+    )
+    assert fast == sql and len(fast) > 0
