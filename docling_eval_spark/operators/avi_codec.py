@@ -34,60 +34,111 @@ def _walk_chunks(data: bytes, pos: int, end: int):
         pos += 8 + ln + (ln & 1)
 
 
-def avi_decode(data: bytes):
+# safety valve: a malformed header can declare absurd dimensions; the
+# decoder must degrade (ValueError → caller's fake path), never try to
+# allocate the claimed buffer (MemoryError would kill the Spark task)
+_MAX_FRAME_PIXELS = 64_000_000  # ~8k × 8k
+
+
+def avi_decode(data: bytes, indices: list[int] | None = None):
     """AVI bytes → (frames, fps) with frames an (n, h, w, 3) uint8 RGB
     array. Only uncompressed 24-bit BI_RGB streams are supported —
-    anything else raises ValueError (caller degrades to fake)."""
+    anything else raises ValueError (caller degrades to fake).
+
+    Dimensions come from the authoritative BITMAPINFOHEADER
+    (``biWidth``/``biHeight``, negative biHeight = top-down DIB) and
+    are cross-checked against the avih header — a mismatch is a
+    malformed file, ValueError, never silently-garbled pixels.
+
+    ``indices`` decodes only the selected frame ordinals (still
+    returning them in the given order) — the sampler's path, so a
+    long video never materializes every frame just to keep a few.
+    """
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
-    width = height = None
+    avih_w = avih_h = None
     usec_per_frame = 0
     scale = rate = 0
-    bitcount = compression = None
+    bmih = None
     frames_raw: list[bytes] = []
 
     def walk_list(pos: int, end: int) -> None:
-        nonlocal width, height, usec_per_frame, scale, rate
-        nonlocal bitcount, compression
+        nonlocal avih_w, avih_h, usec_per_frame, scale, rate, bmih
         for tag, start, ln in _walk_chunks(data, pos, end):
             body_end = start + ln
             if tag == b"LIST":
                 walk_list(start + 4, body_end)
             elif tag == b"avih" and ln >= _AVIH.size:
                 v = _AVIH.unpack_from(data, start)
-                usec_per_frame, width, height = v[0], v[8], v[9]
+                usec_per_frame, avih_w, avih_h = v[0], v[8], v[9]
             elif tag == b"strh" and ln >= 32:
                 if data[start : start + 4] == b"vids":
                     scale, rate = struct.unpack_from("<II", data, start + 20)
-            elif tag == b"strf" and ln >= _BMIH.size and bitcount is None:
-                b = _BMIH.unpack_from(data, start)
-                bitcount, compression = b[4], b[5]
+            elif tag == b"strf" and ln >= _BMIH.size and bmih is None:
+                bmih = _BMIH.unpack_from(data, start)
             elif tag in (b"00db", b"00dc"):
                 frames_raw.append(data[start:body_end])
 
     walk_list(12, len(data))
-    if width is None or not frames_raw:
+    if bmih is None or not frames_raw:
         raise ValueError("no video stream/frames found")
+    width, bi_height = bmih[1], bmih[2]
+    top_down = bi_height < 0
+    height = abs(bi_height)
+    bitcount, compression = bmih[4], bmih[5]
     if bitcount != 24 or compression != 0:
         raise ValueError(
             "only uncompressed 24-bit BI_RGB AVI supported "
             f"(bitcount={bitcount}, compression={compression})"
         )
+    if avih_w is not None and (avih_w, avih_h) != (width, height):
+        raise ValueError(
+            f"avih {avih_w}x{avih_h} disagrees with BITMAPINFOHEADER "
+            f"{width}x{height}"
+        )
+    if width <= 0 or height <= 0 or width * height > _MAX_FRAME_PIXELS:
+        raise ValueError(f"implausible frame dimensions {width}x{height}")
+    if indices is None:
+        indices = list(range(len(frames_raw)))
+    elif any(i < 0 or i >= len(frames_raw) for i in indices):
+        raise ValueError("frame index out of range")
     row_bytes = (width * 3 + 3) & ~3
-    out = np.empty((len(frames_raw), height, width, 3), dtype=np.uint8)
-    for i, raw in enumerate(frames_raw):
+    out = np.empty((len(indices), height, width, 3), dtype=np.uint8)
+    for slot, i in enumerate(indices):
+        raw = frames_raw[i]
         if len(raw) < row_bytes * height:
             raise ValueError("truncated frame %d" % i)
         rows = np.frombuffer(raw[: row_bytes * height], dtype=np.uint8)
         rows = rows.reshape(height, row_bytes)[:, : width * 3]
-        # bottom-up BGR → top-down RGB
-        out[i] = rows.reshape(height, width, 3)[::-1, :, ::-1]
+        bgr = rows.reshape(height, width, 3)
+        if not top_down:
+            bgr = bgr[::-1]  # bottom-up DIB → top-down
+        out[slot] = bgr[:, :, ::-1]  # BGR → RGB
     fps = (
         rate / scale
         if scale
         else (1e6 / usec_per_frame if usec_per_frame else 0.0)
     )
     return out, fps
+
+
+def avi_frame_count(data: bytes) -> int:
+    """Number of frame chunks in the movi list (header walk only, no
+    pixel decode) — lets a sampler choose indices before decoding."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    n = 0
+
+    def walk_list(pos: int, end: int) -> None:
+        nonlocal n
+        for tag, start, ln in _walk_chunks(data, pos, end):
+            if tag == b"LIST":
+                walk_list(start + 4, start + ln)
+            elif tag in (b"00db", b"00dc"):
+                n += 1
+
+    walk_list(12, len(data))
+    return n
 
 
 def avi_encode(frames: np.ndarray, fps: float = 10.0) -> bytes:

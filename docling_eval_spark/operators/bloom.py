@@ -35,18 +35,20 @@ from pyspark.sql import DataFrame
 
 
 def bloom_words(small: DataFrame, key: str, num_bits: int) -> DataFrame:
-    """Build side → (word_idx, word) bitmap table (≈ num_bits/64 rows)."""
+    """Build side → (__bf_word_idx, __bf_word) bitmap table
+    (≈ num_bits/64 rows; __bf_ prefix avoids colliding with caller
+    columns like a text table's own ``word``)."""
     pos = F.pmod(F.xxhash64(F.col(key)), F.lit(num_bits))
     return (
-        small.select(pos.alias("__pos"))
+        small.select(pos.alias("__bf_pos"))
         .select(
-            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            (F.col("__bf_pos") / 64).cast("long").alias("__bf_word_idx"),
             F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-            ).alias("mask"),
+                "shiftleft(CAST(1 AS BIGINT), CAST(__bf_pos % 64 AS INT))"
+            ).alias("__bf_m"),
         )
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("word"))
+        .groupBy("__bf_word_idx")
+        .agg(F.bit_or("__bf_m").alias("__bf_word"))
     )
 
 
@@ -82,12 +84,14 @@ def bloom_prefilter(
         )
         .drop("__bf_pos")
     )
+    bwords = F.broadcast(words)
     return (
-        probe.join(
-            F.broadcast(words), probe["__bf_idx"] == words["word_idx"], "inner"
-        )
-        .where(F.col("__bf_mask").bitwiseAND(F.col("word")) != 0)
-        .drop("__bf_idx", "__bf_mask", "word_idx", "word")
+        probe.join(bwords, probe["__bf_idx"] == bwords["__bf_word_idx"], "inner")
+        .where(probe["__bf_mask"].bitwiseAND(bwords["__bf_word"]) != 0)
+        .drop(probe["__bf_idx"])
+        .drop(probe["__bf_mask"])
+        .drop(bwords["__bf_word_idx"])
+        .drop(bwords["__bf_word"])
     )
 
 

@@ -193,7 +193,10 @@ def frame_sample_stage(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from docling_eval_spark.operators.avi_codec import avi_decode
+        from docling_eval_spark.operators.avi_codec import (
+            avi_decode,
+            avi_frame_count,
+        )
         from docling_eval_spark.operators.png_codec import png_encode
 
         cols = ["url", "frame_no", "frame_bytes", "frame_w", "frame_h", "fake"]
@@ -203,15 +206,20 @@ def frame_sample_stage(
                 b = bytes(b) if b is not None else b""
                 frames = None
                 if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    # degrade to the fake path on ANY decode problem
+                    # (incl. malformed headers) — never a task failure
                     try:
-                        frames, _fps = avi_decode(b)
-                    except ValueError:
+                        n = avi_frame_count(b)
+                        stride = max(1, -(-n // max_frames))  # ceil(n/max)
+                        idxs = list(range(0, n, stride))
+                        # decode ONLY the sampled frames — a long video
+                        # never materializes in full just to keep a few
+                        frames, _fps = avi_decode(b, indices=idxs)
+                    except Exception:
                         frames = None
                 if frames is not None:
-                    n = frames.shape[0]
-                    stride = max(1, -(-n // max_frames))  # ceil(n/max)
-                    for fno, idx in enumerate(range(0, n, stride)):
-                        f = frames[idx]
+                    for fno in range(frames.shape[0]):
+                        f = frames[fno]
                         rows.append(
                             (url, fno, png_encode(f), f.shape[1], f.shape[0], False)
                         )

@@ -188,7 +188,7 @@ def fingerprint_py(text: str, k: int = 8) -> int | None:
     """Oracle twin of rolling_fingerprint_col."""
     import re as _re
 
-    norm = _re.sub(r"[ \t\n\r\f\v]+", " ", text).strip()
+    norm = _re.sub(r"[ \t\n\r\f\v]+", " ", text).strip(" ")  # ASCII-space only, = SQL trim
     if not norm:
         return None
     if len(norm) < k:
@@ -260,7 +260,7 @@ def winnow_py(text: str, k: int = 8, w: int = 8) -> set[int]:
     """Oracle twin of winnowed_fps_col."""
     import re as _re
 
-    norm = _re.sub(r"[ \t\n\r\f\v]+", " ", text).strip()
+    norm = _re.sub(r"[ \t\n\r\f\v]+", " ", text).strip(" ")  # ASCII-space only, = SQL trim
     if not norm:
         return set()
     windows = (
@@ -322,7 +322,10 @@ def kgram_hash_positions(
             for pdf in batches:
                 ids, poss, hss = [], [], []
                 for did, t in zip(pdf[id_col], pdf[text_col]):
-                    norm = ws_re.sub(" ", t or "").strip()
+                    # strip ASCII space ONLY: Spark F.trim / DuckDB
+                    # trim() leave NBSP etc. in place — Python's bare
+                    # .strip() would shift every position on such docs
+                    norm = ws_re.sub(" ", t or "").strip(" ")
                     n = len(norm)
                     if n < k:
                         continue
@@ -380,6 +383,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 20,
     min_len: int | None = None,
+    postings_path: str | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring spans across a corpus (the substring
     dedup of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -401,10 +405,22 @@ def duplicate_spans(
     - groupBy DOC id collects the (bounded-by-doc-length) duplicated
       positions; the gaps-and-islands merge is a sorted-array HOF
       fold per row — no window, no second repartitioning key.
+
+    Cost note: ``posted`` feeds both the dup-hash aggregation and the
+    join probe; with the default lazy plan the hashing kernel runs
+    TWICE (recompute — no executor storage pressure, the safe default
+    at 10^12 rows where postings are ~20x the text bytes). Pass
+    ``postings_path`` to write postings parquet once and read them for
+    both sides — halves kernel CPU when storage for the intermediate
+    exists (the write-once/read-back pattern the rollup pipeline
+    uses).
     """
     if min_len is None:
         min_len = k
     posted = kgram_hash_positions(df, id_col, text_col, k)
+    if postings_path is not None:
+        posted.write.mode("overwrite").parquet(postings_path)
+        posted = df.sparkSession.read.parquet(postings_path)
     # ">=2 distinct docs" as min(id) != max(id): plain min/max combine
     # map-side (no distinct expansion, one exchange, O(1) state even
     # for a boilerplate k-gram present in millions of docs)

@@ -56,6 +56,7 @@ WARC_PAGES_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType()),
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
         T.StructField("http_charset", T.StringType()),
         T.StructField("warc_path", T.StringType()),
         T.StructField("record_no", T.IntegerType()),
@@ -179,17 +180,24 @@ def _dechunk(body: bytes) -> bytes:
         pos += size + 2  # chunk data CRLF
 
 
-def parse_http_response(block: bytes) -> tuple[bytes, str | None]:
+def parse_http_response(block: bytes) -> tuple[bytes, str | None, int | None]:
     """Split an ``application/http`` response block into headers+body,
     undo transfer/content codings, and surface the Content-Type
-    charset label (the transport layer of the WHATWG encoding sniff).
-    Non-HTTP blocks pass through with no charset."""
+    charset label (the transport layer of the WHATWG encoding sniff)
+    plus the HTTP status code — redirect/error pages (3xx/4xx/5xx)
+    must be filterable, not silently ingested as documents. Non-HTTP
+    blocks pass through with no charset/status."""
     if not block.startswith(b"HTTP/"):
-        return block, None
+        return block, None, None
     sep = block.find(_CRLF + _CRLF)
     if sep == -1:
-        return block, None
-    headers = _parse_headers(block[:sep].partition(_CRLF)[2])
+        return block, None, None
+    status_line, _, header_blob = block[:sep].partition(_CRLF)
+    try:
+        status: int | None = int(status_line.split(b" ", 2)[1])
+    except (IndexError, ValueError):
+        status = None
+    headers = _parse_headers(header_blob)
     from docling_eval_spark.extraction.charset import charset_from_content_type
 
     charset = charset_from_content_type(headers.get("content-type"))
@@ -207,7 +215,7 @@ def parse_http_response(block: bytes) -> tuple[bytes, str | None]:
                 body = zlib.decompressobj(-zlib.MAX_WBITS).decompress(body)
             except zlib.error:
                 pass  # keep the coded bytes; extraction will fail the row
-    return body, charset
+    return body, charset, status
 
 
 def parse_http_payload(block: bytes) -> bytes:
@@ -251,6 +259,7 @@ def warc_file_to_pages(data: bytes, path: str = "") -> list[dict]:
                     "html": None,
                     "text": None,
                     "lang": None,
+                    "http_status": None,
                     "http_charset": None,
                     "warc_path": path,
                     "record_no": rec_no,
@@ -264,7 +273,7 @@ def warc_file_to_pages(data: bytes, path: str = "") -> list[dict]:
         h = rec["headers"]
         url = h.get("warc-target-uri")
         ts = _parse_warc_date(h.get("warc-date", ""))
-        payload, charset = parse_http_response(rec["block"])
+        payload, charset, status = parse_http_response(rec["block"])
         ok = url is not None
         rows.append(
             {
@@ -273,6 +282,7 @@ def warc_file_to_pages(data: bytes, path: str = "") -> list[dict]:
                 "html": payload if ok else None,
                 "text": None,
                 "lang": None,
+                "http_status": status,
                 "http_charset": charset,
                 "warc_path": path,
                 "record_no": rec_no,
@@ -301,11 +311,20 @@ def read_warc(spark: SparkSession, glob: str) -> DataFrame:
     return raw.mapInPandas(kernel, schema=WARC_PAGES_SCHEMA)
 
 
-def warc_to_pages(df: DataFrame) -> DataFrame:
-    """Project successful WARC rows onto the canonical PAGES_SCHEMA."""
-    return df.filter(F.col("warc_status") == "SUCCESS").select(
-        "url", "warc_ts", "html", "text", "lang"
-    )
+def warc_to_pages(df: DataFrame, require_2xx: bool = True) -> DataFrame:
+    """Project successful WARC rows onto the canonical PAGES_SCHEMA.
+
+    ``require_2xx`` (default) drops redirect/error responses —
+    3xx Location stubs and 404 pages are boilerplate, not documents.
+    Raw (non-HTTP-wrapped) records have no status and always pass.
+    This filter sits directly on the parse stage, before any shuffle."""
+    cond = F.col("warc_status") == "SUCCESS"
+    if require_2xx:
+        cond = cond & (
+            F.col("http_status").isNull()
+            | F.col("http_status").between(200, 299)
+        )
+    return df.filter(cond).select("url", "warc_ts", "html", "text", "lang")
 
 
 # ---------------------------------------------------------------- sink
@@ -350,6 +369,7 @@ def encode_warc(
     for p in pages:
         body = p["html"] if p.get("html") is not None else b""
         if http_wrap:
+            status_line = b"HTTP/1.1 %d X\r\n" % p.get("status", 200)
             ct = b"text/html"
             if p.get("charset"):
                 ct += b"; charset=" + p["charset"].encode()
@@ -361,13 +381,13 @@ def encode_warc(
                         wire += b"%x\r\n" % len(part) + part + _CRLF
                 wire += b"0\r\n\r\n"
                 http_head = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+                    status_line + b"Content-Type: " + ct +
                     b"\r\nTransfer-Encoding: chunked\r\n\r\n"
                 )
             else:
                 wire = body
                 http_head = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+                    status_line + b"Content-Type: " + ct +
                     b"\r\nContent-Length: %d\r\n\r\n" % len(body)
                 )
             block = http_head + wire

@@ -80,3 +80,61 @@ def test_frame_sample_stage_real_avi(spark):
     vf = {r["url"]: r["video_features"] for r in video_features_stage(df).collect()}
     assert vf["vid"]["fake"] is False and vf["vid"]["n_frames"] == 20
     assert vf["junk"]["fake"] is True
+
+
+def test_avi_malformed_header_degrades_not_crashes(spark):
+    import struct
+
+    from docling_eval_spark.operators.multimodal import frame_sample_stage
+
+    frames = _fixture_frames(2, h=6, w=6)
+    data = bytearray(avi_encode(frames))
+    # declare absurd dimensions in BOTH headers (avih + BMIH agree, so
+    # only the plausibility guard can save us)
+    huge = 0x40000000
+    i = data.find(b"avih") + 8
+    data[i + 32 : i + 40] = struct.pack("<II", huge, huge)
+    j = data.find(b"strf") + 8
+    data[j + 4 : j + 12] = struct.pack("<ii", huge, huge)
+    with pytest.raises(ValueError, match="implausible"):
+        avi_decode(bytes(data))
+    # through the stage: fake rows, never a task failure
+    df = spark.createDataFrame(
+        [("bad", bytearray(bytes(data)))], "url string, media binary"
+    )
+    rows = frame_sample_stage(df).collect()
+    assert rows and all(r["fake"] for r in rows)
+
+
+def test_avi_header_dimension_mismatch_rejected():
+    import struct
+
+    frames = _fixture_frames(2, h=6, w=6)
+    data = bytearray(avi_encode(frames))
+    i = data.find(b"avih") + 8
+    data[i + 32 : i + 36] = struct.pack("<I", 12)  # avih width != BMIH
+    with pytest.raises(ValueError, match="disagrees"):
+        avi_decode(bytes(data))
+
+
+def test_avi_top_down_dib_and_selective_decode():
+    import numpy as np
+    import struct
+
+    frames = _fixture_frames(5, h=4, w=4)
+    data = bytearray(avi_encode(frames))
+    # flip to top-down DIB: negate biHeight AND pre-flip stored rows
+    # (encoder wrote bottom-up) — build by hand instead: decode indices
+    got, _ = avi_decode(bytes(data), indices=[0, 3])
+    assert got.shape[0] == 2
+    assert np.array_equal(got[0], frames[0])
+    assert np.array_equal(got[1], frames[3])
+    with pytest.raises(ValueError, match="out of range"):
+        avi_decode(bytes(data), indices=[5])
+    # top-down: negate biHeight; stored rows are bottom-up so the
+    # decoded frame should now be vertically flipped
+    j = data.find(b"strf") + 8
+    (h,) = struct.unpack("<i", data[j + 8 : j + 12])
+    data[j + 8 : j + 12] = struct.pack("<i", -h)
+    flipped, _ = avi_decode(bytes(data), indices=[0])
+    assert np.array_equal(flipped[0], frames[0][::-1])

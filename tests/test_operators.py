@@ -881,3 +881,55 @@ def test_kgram_arrow_sql_parity(spark):
         )
     )
     assert fast == sql and len(fast) > 0
+
+
+def test_bloom_prefilter_word_column_collision(spark):
+    from docling_eval_spark.operators.bloom import bloom_prefilter
+
+    big = spark.range(0, 500).selectExpr(
+        "concat('u', id) AS url", "id AS word", "id * 2 AS word_idx"
+    )
+    small = spark.range(0, 500, 50).selectExpr("concat('u', id) AS url")
+    out = bloom_prefilter(big, small, "url")
+    assert set(out.columns) == {"url", "word", "word_idx"}
+    matches = {r["url"] for r in out.collect()}
+    assert {f"u{i}" for i in range(0, 500, 50)} <= matches
+    # caller columns survive untouched
+    r = out.filter("url = 'u100'").collect()[0]
+    assert r["word"] == 100 and r["word_idx"] == 200
+
+
+def test_kgram_nbsp_edge_parity(spark):
+    from docling_eval_spark.operators.text_analysis import kgram_hash_positions
+
+    nbsp = " leading NBSP stays; interior too and trailing "
+    df = spark.createDataFrame([(0, nbsp)], "doc_id long, text string")
+    fast = sorted(map(tuple, kgram_hash_positions(df, "doc_id", k=20).collect()))
+    sql = sorted(
+        map(
+            tuple,
+            kgram_hash_positions(df, "doc_id", k=20, use_arrow=False).collect(),
+        )
+    )
+    assert fast == sql and len(fast) > 0
+
+
+def test_duplicate_spans_postings_path(spark, tmp_path):
+    from docling_eval_spark.operators.text_analysis import duplicate_spans
+
+    shared = "this exact sentence is repeated verbatim across documents"
+    rows = [
+        (0, f"alpha prefix here. {shared} omega suffix."),
+        (1, f"other doc opening. {shared} other ending."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, duplicate_spans(df, "doc_id", k=20).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicate_spans(
+                df, "doc_id", k=20, postings_path=str(tmp_path / "p")
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 2

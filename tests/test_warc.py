@@ -148,3 +148,37 @@ def test_read_warc_byte_identity_vs_parquet_path(spark, tmp_path):
     }
     assert set(t1) == set(t2)
     assert all(t1[u] == t2[u] for u in t1)
+
+
+def test_warc_http_status_filtering():
+    pages = [
+        {"url": "http://ok.example/", "warc_ts": _TS,
+         "html": b"<p>real content page here</p>", "status": 200},
+        {"url": "http://moved.example/", "warc_ts": _TS,
+         "html": b"<p>Moved Permanently</p>", "status": 301},
+        {"url": "http://gone.example/", "warc_ts": _TS,
+         "html": b"<p>Not Found</p>", "status": 404},
+    ]
+    rows = warc_file_to_pages(encode_warc(pages))
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["http://ok.example/"]["http_status"] == 200
+    assert by_url["http://moved.example/"]["http_status"] == 301
+    assert by_url["http://gone.example/"]["http_status"] == 404
+    # all parse as SUCCESS (the record is valid) — filtering is explicit
+    assert all(r["warc_status"] == "SUCCESS" for r in rows)
+
+
+@pytest.mark.spark
+def test_warc_to_pages_drops_non_2xx(spark, tmp_path):
+    pages = [
+        {"url": "http://ok.example/", "warc_ts": _TS,
+         "html": b"<p>real</p>", "status": 200},
+        {"url": "http://moved.example/", "warc_ts": _TS,
+         "html": b"<p>redirect</p>", "status": 301},
+    ]
+    (tmp_path / "s.warc.gz").write_bytes(encode_warc(pages))
+    wdf = read_warc(spark, str(tmp_path))
+    kept = [r["url"] for r in warc_to_pages(wdf).collect()]
+    assert kept == ["http://ok.example/"]
+    all_rows = [r["url"] for r in warc_to_pages(wdf, require_2xx=False).collect()]
+    assert sorted(all_rows) == ["http://moved.example/", "http://ok.example/"]
