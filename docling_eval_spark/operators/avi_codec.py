@@ -2,16 +2,18 @@
 
 Same role as the WAV/PNG/GIF/JPEG codecs (`multimodal.py` K11 family):
 the container lacks ffmpeg/PIL, so video stages degrade to honest
-``fake=True`` rows — EXCEPT for uncompressed RIFF AVI, which (like
-WAV) needs no entropy codec at all: frames are raw bottom-up BGR DIB
-chunks. Parsing that from scratch gives the frame-sampling and
-motion-feature stages a REAL pixel path with deterministic fixtures.
+``fake=True`` rows — EXCEPT for RIFF AVI carrying uncompressed DIB
+frames (raw bottom-up BGR, no entropy codec — the WAV analogue) or
+MJPG frames (each a self-contained baseline JPEG, decoded by the
+in-repo T.81 codec). Parsing these from scratch gives the
+frame-sampling and motion-feature stages a REAL pixel path with
+deterministic fixtures.
 
 Format per the public AVI RIFF specification (Microsoft "AVI RIFF File
 Reference"): RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
 LIST('movi' '00db'…) [idx1]); frame chunks are BITMAPINFOHEADER
 ``BI_RGB`` 24-bit rows, bottom-up, each row padded to 4 bytes.
-Compressed fourccs (MJPG/H264/…) raise ValueError and the caller
+Other fourccs (H264/VP8/…) raise ValueError and the caller
 falls back to the marked fake — never silent wrong pixels.
 """
 
@@ -23,6 +25,7 @@ import numpy as np
 
 _AVIH = struct.Struct("<14I")
 _BMIH = struct.Struct("<IiiHHIIiiII")
+_MJPG = int.from_bytes(b"MJPG", "little")
 
 
 def _walk_chunks(data: bytes, pos: int, end: int):
@@ -42,7 +45,7 @@ _MAX_FRAME_PIXELS = 64_000_000  # ~8k × 8k
 
 def avi_decode(data: bytes, indices: list[int] | None = None):
     """AVI bytes → (frames, fps) with frames an (n, h, w, 3) uint8 RGB
-    array. Only uncompressed 24-bit BI_RGB streams are supported —
+    array. Uncompressed 24-bit BI_RGB and MJPG streams are supported —
     anything else raises ValueError (caller degrades to fake).
 
     Dimensions come from the authoritative BITMAPINFOHEADER
@@ -86,9 +89,10 @@ def avi_decode(data: bytes, indices: list[int] | None = None):
     top_down = bi_height < 0
     height = abs(bi_height)
     bitcount, compression = bmih[4], bmih[5]
-    if bitcount != 24 or compression != 0:
+    is_mjpg = compression == _MJPG
+    if not is_mjpg and (bitcount != 24 or compression != 0):
         raise ValueError(
-            "only uncompressed 24-bit BI_RGB AVI supported "
+            "only uncompressed 24-bit BI_RGB or MJPG AVI supported "
             f"(bitcount={bitcount}, compression={compression})"
         )
     if avih_w is not None and (avih_w, avih_h) != (width, height):
@@ -106,6 +110,22 @@ def avi_decode(data: bytes, indices: list[int] | None = None):
     out = np.empty((len(indices), height, width, 3), dtype=np.uint8)
     for slot, i in enumerate(indices):
         raw = frames_raw[i]
+        if is_mjpg:
+            # each 00dc chunk is a self-contained JPEG; the in-repo
+            # T.81 decoder handles it (MJPEG streams that omit DHT
+            # tables raise there → caller's honest-fake path)
+            from docling_eval_spark.operators.jpeg_codec import jpeg_decode
+
+            img = jpeg_decode(raw)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            if img.shape[:2] != (height, width):
+                raise ValueError(
+                    f"MJPG frame {i} is {img.shape[1]}x{img.shape[0]}, "
+                    f"header says {width}x{height}"
+                )
+            out[slot] = img
+            continue
         if len(raw) < row_bytes * height:
             raise ValueError("truncated frame %d" % i)
         rows = np.frombuffer(raw[: row_bytes * height], dtype=np.uint8)
@@ -141,12 +161,17 @@ def avi_frame_count(data: bytes) -> int:
     return n
 
 
-def avi_encode(frames: np.ndarray, fps: float = 10.0) -> bytes:
-    """(n, h, w, 3) uint8 RGB → uncompressed 24-bit AVI (fixtures)."""
+def avi_encode(
+    frames: np.ndarray, fps: float = 10.0, codec: str = "dib"
+) -> bytes:
+    """(n, h, w, 3) uint8 RGB → AVI (fixtures). ``codec``: 'dib' =
+    uncompressed 24-bit bottom-up frames; 'mjpg' = per-frame baseline
+    JPEG 00dc chunks (the common webcam/capture format)."""
     frames = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = frames.shape
     row_bytes = (w * 3 + 3) & ~3
     frame_size = row_bytes * h
+    mjpg = codec == "mjpg"
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
@@ -159,17 +184,25 @@ def avi_encode(frames: np.ndarray, fps: float = 10.0) -> bytes:
         frame_size, w, h, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+        b"vids" + (b"MJPG" if mjpg else b"DIB ")
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
         1000, int(fps * 1000), 0, n, frame_size, 10000, 0)
         + struct.pack("<4H", 0, 0, w, h)
     )
-    strf = _BMIH.pack(40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strf = _BMIH.pack(
+        40, w, h, 1, 24, _MJPG if mjpg else 0, frame_size, 0, 0, 0, 0
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
     movi_parts = []
     for f in frames:
+        if mjpg:
+            from docling_eval_spark.operators.jpeg_codec import jpeg_encode
+
+            movi_parts.append(chunk(b"00dc", jpeg_encode(f)))
+            continue
         # top-down RGB → bottom-up BGR, rows padded to 4 bytes
         bgr = f[::-1, :, ::-1]
         if row_bytes != w * 3:

@@ -415,3 +415,102 @@ def encode_warc(
     if gzip_members:
         return b"".join(_gzip_member(r) for r in records)
     return b"".join(records)
+
+
+# ---------------------------------------------------------------- WET
+
+def read_wet(spark: SparkSession, glob: str) -> DataFrame:
+    """Common-Crawl WET files (same WARC container; ``conversion``
+    records whose block is the already-extracted UTF-8 text) →
+    (url, warc_ts, text) rows. Same per-file parallelism as
+    :func:`read_warc`; the pages-schema twin carries text instead of
+    html so quality/dedup stages run without the extraction kernel."""
+    raw = spark.read.format("binaryFile").load(glob).select("path", "content")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == _GZIP_MAGIC:
+                    records = (
+                        rec
+                        for member in split_gzip_members(data)
+                        for rec in parse_warc_records(member)
+                    )
+                else:
+                    records = parse_warc_records(data)
+                rec_no = 0
+                for rec in records:
+                    rec_no += 1
+                    if rec.get("error"):
+                        rows.append(
+                            {
+                                "url": None, "warc_ts": None, "html": None,
+                                "text": None, "lang": None,
+                                "http_status": None, "http_charset": None,
+                                "warc_path": str(path), "record_no": rec_no,
+                                "warc_status": "FAILURE",
+                                "error": rec["error"],
+                            }
+                        )
+                        continue
+                    if rec["type"].lower() != "conversion":
+                        continue
+                    h = rec["headers"]
+                    url = h.get("warc-target-uri")
+                    if url is None:
+                        continue
+                    rows.append(
+                        {
+                            "url": url,
+                            "warc_ts": _parse_warc_date(h.get("warc-date", "")),
+                            "html": None,
+                            "text": rec["block"].decode("utf-8", errors="replace"),
+                            "lang": None,
+                            "http_status": None,
+                            "http_charset": None,
+                            "warc_path": str(path),
+                            "record_no": rec_no,
+                            "warc_status": "SUCCESS",
+                            "error": "",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(kernel, schema=WARC_PAGES_SCHEMA)
+
+
+def encode_wet(pages: list[dict], gzip_members: bool = True) -> bytes:
+    """Fixture writer: (url, warc_ts, text) → WET bytes (warcinfo +
+    one ``conversion`` record per page)."""
+    records = [
+        warc_record_bytes(
+            "warcinfo",
+            b"software: docling-eval-spark WET fixture writer\r\n",
+            {"Content-Type": "application/warc-fields"},
+        )
+    ]
+    for p in pages:
+        block = (p.get("text") or "").encode("utf-8")
+        ts = p.get("warc_ts")
+        ts_s = (
+            ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None
+            else "2017-01-01T00:00:00Z"
+        )
+        records.append(
+            warc_record_bytes(
+                "conversion",
+                block,
+                {
+                    "WARC-Target-URI": p["url"],
+                    "WARC-Date": ts_s,
+                    "Content-Type": "text/plain",
+                },
+            )
+        )
+    if gzip_members:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)

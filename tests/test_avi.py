@@ -26,10 +26,14 @@ def test_avi_roundtrip_exact_pixels():
 def test_avi_rejects_compressed_stream():
     frames = _fixture_frames(2)
     data = bytearray(avi_encode(frames))
-    # flip biCompression in strf (BI_RGB=0 → fourcc 'MJPG')
+    # flip biCompression in strf (BI_RGB=0 → fourcc 'H264')
     idx = data.find(b"strf")
-    data[idx + 8 + 16 : idx + 8 + 20] = b"MJPG"
+    data[idx + 8 + 16 : idx + 8 + 20] = b"H264"
     with pytest.raises(ValueError, match="compression"):
+        avi_decode(bytes(data))
+    # MJPG fourcc over non-JPEG chunk bytes must also fail loudly
+    data[idx + 8 + 16 : idx + 8 + 20] = b"MJPG"
+    with pytest.raises(ValueError):
         avi_decode(bytes(data))
 
 
@@ -138,3 +142,32 @@ def test_avi_top_down_dib_and_selective_decode():
     data[j + 8 : j + 12] = struct.pack("<i", -h)
     flipped, _ = avi_decode(bytes(data), indices=[0])
     assert np.array_equal(flipped[0], frames[0][::-1])
+
+
+def test_avi_mjpg_real_decode():
+    import numpy as np
+
+    # smooth gradient frames (JPEG-friendly); decode is lossy so
+    # compare within a tolerance, plus exact dims and frame count
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack(
+        [
+            np.stack(
+                [(xx * 10 + t * 3) % 256, (yy * 8) % 256,
+                 ((xx + yy) * 4) % 256], axis=-1
+            ).astype(np.uint8)
+            for t in range(4)
+        ]
+    )
+    data = avi_encode(frames, fps=6.0, codec="mjpg")
+    got, fps = avi_decode(data)
+    assert got.shape == frames.shape and abs(fps - 6.0) < 1e-6
+    err = np.abs(got.astype(int) - frames.astype(int)).mean()
+    assert err < 12.0  # lossy but clearly the same pixels
+    # selective decode works for MJPG too
+    two, _ = avi_decode(data, indices=[1, 3])
+    assert np.array_equal(two[0], got[1]) and np.array_equal(two[1], got[3])
+    # features flow real
+    feats = video_features(data)
+    assert feats[6] is False and feats[0] == 4

@@ -182,3 +182,28 @@ def test_warc_to_pages_drops_non_2xx(spark, tmp_path):
     assert kept == ["http://ok.example/"]
     all_rows = [r["url"] for r in warc_to_pages(wdf, require_2xx=False).collect()]
     assert sorted(all_rows) == ["http://moved.example/", "http://ok.example/"]
+
+
+@pytest.mark.spark
+def test_wet_roundtrip_and_quality_flow(spark, tmp_path):
+    from docling_eval_spark.operators.quality_rules import gopher_flags
+    from docling_eval_spark.sources.warc import encode_wet, read_wet
+
+    texts = [
+        ("http://a.example/", "the quick brown fox jumps over the lazy dog " * 12),
+        ("http://b.example/", "short"),
+        ("http://c.example/", "ünïcødé text wïth nön-àscii survives utf-8 " * 8),
+    ]
+    pages = [{"url": u, "warc_ts": _TS, "text": t} for u, t in texts]
+    (tmp_path / "x.warc.wet.gz").write_bytes(encode_wet(pages))
+    wet = read_wet(spark, str(tmp_path))
+    rows = {r["url"]: r for r in wet.collect()}
+    assert len(rows) == 3
+    for u, t in texts:
+        assert rows[u]["text"] == t and rows[u]["html"] is None
+        assert rows[u]["warc_status"] == "SUCCESS"
+    # text-only rows flow straight into quality stages (no extraction)
+    flags = gopher_flags(
+        wet.selectExpr("url AS doc_id", "text")
+    ).collect()
+    assert len(flags) == 3
