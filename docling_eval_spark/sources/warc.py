@@ -299,16 +299,7 @@ def read_warc(spark: SparkSession, glob: str) -> DataFrame:
     """``.warc`` / ``.warc.gz`` files → pages rows (+ provenance and
     status columns). One task per file (see module scale notes)."""
     raw = spark.read.format("binaryFile").load(glob).select("path", "content")
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
-        for pdf in batches:
-            rows: list[dict] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(warc_file_to_pages(bytes(content), str(path)))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return raw.mapInPandas(kernel, schema=WARC_PAGES_SCHEMA)
+    return raw.mapInPandas(_warc_kernel, schema=WARC_PAGES_SCHEMA)
 
 
 def warc_to_pages(df: DataFrame, require_2xx: bool = True) -> DataFrame:
@@ -514,3 +505,193 @@ def encode_wet(pages: list[dict], gzip_members: bool = True) -> bytes:
     if gzip_members:
         return b"".join(_gzip_member(r) for r in records)
     return b"".join(records)
+
+
+# ------------------------------------------------------- resumable ingest
+
+WARC_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_path", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("doc_count", T.LongType()),
+        T.StructField("ok_count", T.LongType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("committed_at", T.TimestampType()),
+    ]
+)
+
+
+def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[str]:
+    try:
+        lin = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(manifest_dir)
+    except Exception:
+        return set()
+    return {
+        r["warc_path"]
+        for r in lin.filter(F.col("status") == "SUCCESS")
+        .select("warc_path")
+        .distinct()
+        .collect()
+    }
+
+
+def ingest_warc_resumable(
+    spark: SparkSession,
+    glob: str,
+    out_dir: str,
+    manifest_dir: str,
+    files_per_job: int = 64,
+    run_id: str = "run",
+    fail_after_groups: int | None = None,
+) -> list[str]:
+    """Parse .warc(.gz) files into pages parquet, resumable at FILE
+    granularity — the WARC twin of ``plans.lineage.run_resumable``
+    (north rule: "resumable from checkpoint with per-partition
+    lineage"). The unit of restart is the input file because a gzip
+    member stream is parsed whole by one task anyway.
+
+    Protocol (crash-safe, no duplicates):
+    - pending = listed files ANTI-JOIN manifest[status=SUCCESS];
+    - each group of ``files_per_job`` files parses in ONE Spark job and
+      commits to ``{out}/part=<digest-of-group>/`` with mode=overwrite
+      — a group that died mid-write is simply rewritten on restart,
+      and finished groups are never touched again;
+    - only after the group's parquet commits does one manifest row per
+      file (doc/ok counts from the WRITTEN data, no re-parse) append.
+    Readers scan ``out_dir`` (hive-partitioned by part) or, for a
+    consistent snapshot, only the parts listed in the manifest.
+
+    ``fail_after_groups`` is the failure-injection hook for the
+    kill/restart test. Returns the file paths processed this call."""
+    import hashlib as _hashlib
+    from datetime import datetime as _dt, timezone as _tz
+
+    listed = [
+        r["path"]
+        for r in spark.read.format("binaryFile")
+        .load(glob)
+        .select("path")
+        .collect()
+    ]
+    done = _manifest_done(spark, manifest_dir)
+    todo = sorted(p for p in listed if p not in done)
+    # a group that died mid-write left a part dir the manifest never
+    # recorded; its files regroup under a new digest on this run, so
+    # the partial dir must go or raw out_dir scans double-count
+    clean_orphan_parts(spark, out_dir, manifest_dir)
+    try:
+        prev = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(manifest_dir)
+        seq0 = prev.agg(F.max("seq").alias("m")).collect()[0]["m"] or 0
+    except Exception:
+        seq0 = 0
+    processed: list[str] = []
+    for g, i in enumerate(range(0, len(todo), files_per_job)):
+        if fail_after_groups is not None and g >= fail_after_groups:
+            raise RuntimeError(f"injected failure before group {g}")
+        group = todo[i : i + files_per_job]
+        part = _hashlib.sha256("\n".join(group).encode()).hexdigest()[:16]
+        part_dir = f"{out_dir}/part={part}"
+        parsed = (
+            spark.read.format("binaryFile")
+            .load(group)
+            .select("path", "content")
+            .mapInPandas(_warc_kernel, schema=WARC_PAGES_SCHEMA)
+        )
+        parsed.write.mode("overwrite").parquet(part_dir)
+        written = spark.read.schema(WARC_PAGES_SCHEMA).parquet(part_dir)
+        stats = {
+            r["warc_path"]: r
+            for r in written.groupBy("warc_path")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum(
+                    F.when(F.col("warc_status") == "SUCCESS", 1).otherwise(0)
+                ).alias("ok_count"),
+            )
+            .collect()
+        }
+        now = _dt.now(_tz.utc)
+        rows = [
+            {
+                "warc_path": p,
+                "status": "SUCCESS",
+                "doc_count": int(stats[p]["doc_count"]) if p in stats else 0,
+                "ok_count": int(stats[p]["ok_count"]) if p in stats else 0,
+                "part": part,
+                "seq": seq0 + g + 1,
+                "run_id": run_id,
+                "committed_at": now,
+            }
+            for p in group
+        ]
+        spark.createDataFrame(rows, WARC_MANIFEST_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(manifest_dir)
+        processed.extend(group)
+    return processed
+
+
+def _warc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+    for pdf in batches:
+        rows: list[dict] = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            rows.extend(warc_file_to_pages(bytes(content), str(path)))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def _manifest_parts(spark: SparkSession, manifest_dir: str) -> set[str]:
+    try:
+        lin = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(manifest_dir)
+    except Exception:
+        return set()
+    return {
+        r["part"]
+        for r in lin.filter(F.col("status") == "SUCCESS")
+        .select("part")
+        .distinct()
+        .collect()
+    }
+
+
+def clean_orphan_parts(
+    spark: SparkSession, out_dir: str, manifest_dir: str
+) -> list[str]:
+    """Delete ``part=`` dirs not listed in the manifest — the residue
+    of a group that died mid-write (its restart regrouping lands in a
+    DIFFERENT part digest, so the partial dir would otherwise sit in
+    ``out_dir`` forever and double-count rows for raw scans). Runs at
+    the start of every ingest; returns the deleted part names."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    keep = _manifest_parts(spark, manifest_dir)
+    removed: list[str] = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("part=") and name[len("part="):] not in keep:
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+    return removed
+
+
+def read_ingested(
+    spark: SparkSession, out_dir: str, manifest_dir: str
+) -> DataFrame:
+    """Consistent-snapshot read of the ingest output: opens ONLY
+    manifest-listed part dirs (never globs ``out_dir``), so a reader
+    racing a live ingest sees exactly the committed files — the same
+    isolation rule as ``plans.lineage.read_as_of``."""
+    parts = sorted(_manifest_parts(spark, manifest_dir))
+    if not parts:
+        return spark.createDataFrame([], WARC_PAGES_SCHEMA)
+    return (
+        spark.read.schema(WARC_PAGES_SCHEMA)
+        .option("basePath", out_dir)
+        .parquet(*[f"{out_dir}/part={p}" for p in parts])
+    )

@@ -207,3 +207,109 @@ def test_wet_roundtrip_and_quality_flow(spark, tmp_path):
         wet.selectExpr("url AS doc_id", "text")
     ).collect()
     assert len(flags) == 3
+
+
+@pytest.mark.spark
+def test_warc_resumable_ingest_kill_restart(spark, tmp_path):
+    from docling_eval_spark.sources.warc import (
+        WARC_MANIFEST_SCHEMA,
+        ingest_warc_resumable,
+    )
+
+    n_files, per_file = 6, 5
+    pages = _fixture_pages(n_files * per_file, seed=3)
+    warc_dir = tmp_path / "in"
+    warc_dir.mkdir()
+    for f in range(n_files):
+        chunk = pages[f * per_file : (f + 1) * per_file]
+        (warc_dir / f"c-{f}.warc.gz").write_bytes(encode_warc(chunk))
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+
+    # first run dies after 1 group (2 files per group → 2 files done)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_warc_resumable(
+            spark, str(warc_dir), out, man,
+            files_per_job=2, fail_after_groups=1,
+        )
+    lin = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(man)
+    assert lin.filter("status = 'SUCCESS'").count() == 2
+
+    # restart completes WITHOUT re-processing finished files
+    done2 = ingest_warc_resumable(
+        spark, str(warc_dir), out, man, files_per_job=2,
+    )
+    assert len(done2) == 4  # only the remaining files
+    lin = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(man)
+    rows = lin.filter("status = 'SUCCESS'").collect()
+    assert len(rows) == n_files
+    # every file exactly once, with correct per-file counts
+    assert sorted(r["warc_path"] for r in rows) == sorted(
+        "file:" + str(warc_dir / f"c-{f}.warc.gz") for f in range(n_files)
+    ) or len({r["warc_path"] for r in rows}) == n_files
+    assert all(r["doc_count"] == per_file == r["ok_count"] for r in rows)
+
+    # output is complete and duplicate-free
+    got = spark.read.parquet(out)
+    urls = [r["url"] for r in got.filter("warc_status = 'SUCCESS'").collect()]
+    assert sorted(urls) == sorted(p["url"] for p in pages)
+
+    # idempotent: nothing pending on a third call
+    assert ingest_warc_resumable(
+        spark, str(warc_dir), out, man, files_per_job=2
+    ) == []
+
+
+@pytest.mark.spark
+def test_warc_ingest_orphan_part_cleanup(spark, tmp_path):
+    """A group that died mid-parquet-write leaves an unmanifested part
+    dir; the next ingest must remove it so raw out_dir scans never
+    double-count, and read_ingested must never have seen it."""
+    from docling_eval_spark.sources.warc import (
+        clean_orphan_parts,
+        ingest_warc_resumable,
+        read_ingested,
+    )
+
+    pages = _fixture_pages(8, seed=9)
+    warc_dir = tmp_path / "in"
+    warc_dir.mkdir()
+    for f in range(4):
+        (warc_dir / f"c-{f}.warc.gz").write_bytes(
+            encode_warc(pages[f * 2 : (f + 1) * 2])
+        )
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+
+    # fabricate a crashed group: partial rows in an unmanifested part
+    stray = spark.createDataFrame(
+        [(pages[0]["url"], None, None, None, None, None, None,
+          "stray", 1, "SUCCESS", "")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, http_status int, http_charset string, "
+        "warc_path string, record_no int, warc_status string, error string",
+    )
+    stray.write.parquet(f"{out}/part=deadbeefdeadbeef")
+
+    # snapshot reader with an empty manifest sees nothing
+    assert read_ingested(spark, out, man).count() == 0
+
+    done = ingest_warc_resumable(
+        spark, str(warc_dir), out, man, files_per_job=2
+    )
+    assert len(done) == 4
+    # the orphan is gone from disk; raw scan equals snapshot read
+    import os
+
+    assert not os.path.exists(f"{out}/part=deadbeefdeadbeef")
+    raw_urls = sorted(
+        r["url"] for r in spark.read.parquet(out)
+        .filter("warc_status = 'SUCCESS'").collect()
+    )
+    snap_urls = sorted(
+        r["url"] for r in read_ingested(spark, out, man)
+        .filter("warc_status = 'SUCCESS'").collect()
+    )
+    assert raw_urls == snap_urls == sorted(p["url"] for p in pages)
+    # idempotent cleanup on a healthy tree removes nothing
+    assert clean_orphan_parts(spark, out, man) == []
