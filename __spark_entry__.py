@@ -2025,6 +2025,83 @@ HAVING max(pos) + 20 - min(pos) >= 20
 """
 
 
+def _q_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply step of substring dedup (Lee et al. 2021): cut every
+    cross-document duplicated span out of the normalized text and
+    digest the survivor."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.text_analysis import (
+        cut_spans,
+        duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", k=20)
+    return cut_spans(docs, spans, "doc_id", "text").select(
+        F.col("doc_id").alias("id"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+    )
+
+
+_SQL_DEDUP_CLEAN = r"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+),
+hs AS (
+  SELECT id,
+    list_transform(range(1, length(t) - 18),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(i, i + 20),
+                              j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647)) AS h
+  FROM norm WHERE length(t) >= 20
+),
+posted AS (
+  SELECT id, unnest(range(1, len(h) + 1)) - 1 AS pos, unnest(h) AS hh FROM hs
+),
+dups AS (SELECT hh FROM posted GROUP BY hh HAVING count(DISTINCT id) >= 2),
+dp AS (SELECT DISTINCT id, pos FROM posted JOIN dups USING (hh)),
+isl AS (
+  SELECT id, pos,
+    sum(CASE WHEN pos > lag_pos + 20 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT id, pos,
+               lag(pos) OVER (PARTITION BY id ORDER BY pos) AS lag_pos
+        FROM dp)
+),
+sp AS (
+  SELECT id, min(pos) AS s, max(pos) + 20 AS e
+  FROM isl GROUP BY id, island
+  HAVING max(pos) + 20 - min(pos) >= 20
+),
+seg AS (
+  SELECT id,
+         coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 0) AS ks,
+         s AS ke
+  FROM sp
+  UNION ALL
+  SELECT sp.id, max(sp.e) AS ks, max(length(n.t)) AS ke
+  FROM sp JOIN norm n USING (id) GROUP BY sp.id
+),
+cut AS (
+  SELECT seg.id,
+         string_agg(substring(n.t, ks + 1, greatest(ke - ks, 0)),
+                    '' ORDER BY ks) AS clean
+  FROM seg JOIN norm n ON n.id = seg.id
+  GROUP BY seg.id
+)
+SELECT n.id,
+       md5(coalesce(c.clean, n.t)) AS clean_md5,
+       length(coalesce(c.clean, n.t)) AS clean_len
+FROM norm n LEFT JOIN cut c ON c.id = n.id
+"""
+
+
 _SQL_WINNOW = r"""
 WITH norm AS (
   SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
@@ -2504,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _with_pkg(_q_line_dedup),
         "winnow_fps": _with_pkg(_q_winnow_fps),
         "duplicate_spans": _with_pkg(_q_duplicate_spans),
+        "dedup_clean": _with_pkg(_q_dedup_clean),
         "asof_latest_error": _with_pkg(_q_asof_latest_error),
         "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
         "sessionize": _with_pkg(_q_sessionize),
@@ -2559,6 +2637,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "winnow_fps": _SQL_WINNOW,
         "duplicate_spans": _SQL_DUP_SPANS,
+        "dedup_clean": _SQL_DEDUP_CLEAN,
         "asof_latest_error": _SQL_ASOF,
         "asof_dup_ties": _SQL_ASOF_DUP,
         "sessionize": _SQL_SESSIONIZE,

@@ -486,3 +486,76 @@ def duplicate_spans(
             F.col("sp.e").cast("int").alias("span_end"),
         )
     )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove [span_start, span_end) character ranges from each doc's
+    WHITESPACE-NORMALIZED text — the apply step of the Lee et al. 2021
+    substring dedup (``duplicate_spans`` finds, ``cut_spans`` removes).
+
+    ``spans`` is (id, span_start, span_end) with disjoint spans per doc
+    (``duplicate_spans`` emits maximal merged spans, so they are).
+    Docs with no spans pass through with their normalized text intact.
+
+    Scale shape: ONE slim shuffle (spans groupBy id — per-doc arrays
+    bounded by doc length), then a broadcast-or-shuffle left join and
+    a per-row HOF fold building the kept substring. No window, no
+    per-key sort beyond the bounded ``sort_array``.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), _WS, " "))
+    per_doc = spans.groupBy(F.col("id").alias("__sid")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = docs.join(
+        per_doc, F.col(id_col) == F.col("__sid"), "left"
+    ).drop("__sid")
+
+    def fold(nrm: Column) -> Column:
+        init = F.struct(
+            F.lit("").alias("out"), F.lit(0).cast("long").alias("pos")
+        )
+
+        def step(acc, sp):
+            s = sp["span_start"].cast("long")
+            e = sp["span_end"].cast("long")
+            keep_to = F.greatest(s, acc["pos"])
+            return F.struct(
+                F.concat(
+                    acc["out"],
+                    F.substring(
+                        nrm,
+                        (acc["pos"] + 1).cast("int"),
+                        F.greatest(keep_to - acc["pos"], F.lit(0)).cast(
+                            "int"
+                        ),
+                    ),
+                ).alias("out"),
+                F.greatest(e, acc["pos"]).alias("pos"),
+            )
+
+        def finish(acc):
+            return F.concat(
+                acc["out"],
+                F.substring(
+                    nrm,
+                    (acc["pos"] + 1).cast("int"),
+                    F.greatest(
+                        F.length(nrm) - acc["pos"], F.lit(0)
+                    ).cast("int"),
+                ),
+            )
+
+        return F.aggregate(F.col("__spans"), init, step, finish)
+
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__spans").isNull(), norm).otherwise(let_col(norm, fold)),
+    ).drop("__spans")

@@ -933,3 +933,41 @@ def test_duplicate_spans_postings_path(spark, tmp_path):
         )
     )
     assert a == b and len(a) == 2
+
+
+def test_cut_spans(spark):
+    from docling_eval_spark.operators.text_analysis import (
+        cut_spans,
+        duplicate_spans,
+    )
+
+    shared = "this exact sentence is repeated verbatim across documents"
+    rows = [
+        (0, f"alpha prefix here. {shared} omega suffix."),
+        (1, f"beta doc opening. {shared} beta ending."),
+        (2, "untouched document with no duplicated content at all."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=20)
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(df, spans, "doc_id", "text").collect()
+    }
+    # the shared sentence is gone from both carriers
+    assert shared not in out[0] and shared not in out[1]
+    # unique prefixes/suffixes survive (up to k-1 chars of boundary fuzz)
+    assert out[0].startswith("alpha") and out[0].endswith("suffix.")
+    assert out[1].startswith("beta") and out[1].endswith("ending.")
+    # doc without spans passes through normalized-intact
+    assert out[2] == rows[2][1]
+    # hand-built spans: cut at exact offsets incl. edge spans
+    docs2 = spark.createDataFrame(
+        [(10, "0123456789abcdefghij")], "doc_id long, text string"
+    )
+    spans2 = spark.createDataFrame(
+        [(10, 0, 3), (10, 8, 12), (10, 18, 20)],
+        "id long, span_start int, span_end int",
+    )
+    got = cut_spans(docs2, spans2, "doc_id", "text").collect()[0]["clean_text"]
+    # keep [3,8)="34567", [12,18)="cdefgh"; spans at both edges cut
+    assert got == "34567cdefgh"
