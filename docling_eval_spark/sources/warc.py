@@ -44,6 +44,7 @@ from typing import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 _CRLF = b"\r\n"
@@ -234,19 +235,24 @@ def _parse_warc_date(value: str):
     return None
 
 
+def _iter_records(data: bytes) -> Iterator[dict]:
+    """WARC bytes (gzip-member or plain) → record dicts — the shared
+    prelude of every reader, so member-resync fixes land once."""
+    if data[:2] == _GZIP_MAGIC:
+        return (
+            rec
+            for member in split_gzip_members(data)
+            for rec in parse_warc_records(member)
+        )
+    return parse_warc_records(data)
+
+
 def warc_file_to_pages(data: bytes, path: str = "") -> list[dict]:
     """Parse one WARC file (gzip-member or plain) into pages-schema
     rows. ``response`` records produce SUCCESS/FAILURE rows; warcinfo /
     request / metadata records are skipped (they carry no payload the
     pipeline evaluates)."""
-    if data[:2] == _GZIP_MAGIC:
-        records = (
-            rec
-            for member in split_gzip_members(data)
-            for rec in parse_warc_records(member)
-        )
-    else:
-        records = parse_warc_records(data)
+    records = _iter_records(data)
     rows: list[dict] = []
     rec_no = 0
     for rec in records:
@@ -423,17 +429,8 @@ def read_wet(spark: SparkSession, glob: str) -> DataFrame:
         for pdf in batches:
             rows: list[dict] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if data[:2] == _GZIP_MAGIC:
-                    records = (
-                        rec
-                        for member in split_gzip_members(data)
-                        for rec in parse_warc_records(member)
-                    )
-                else:
-                    records = parse_warc_records(data)
                 rec_no = 0
-                for rec in records:
+                for rec in _iter_records(bytes(content)):
                     rec_no += 1
                     if rec.get("error"):
                         rows.append(
@@ -452,6 +449,19 @@ def read_wet(spark: SparkSession, glob: str) -> DataFrame:
                     h = rec["headers"]
                     url = h.get("warc-target-uri")
                     if url is None:
+                        # same FAILURE-row convention as read_warc —
+                        # malformed records never vanish silently
+                        rows.append(
+                            {
+                                "url": None, "warc_ts": None, "html": None,
+                                "text": None, "lang": None,
+                                "http_status": None, "http_charset": None,
+                                "warc_path": str(path), "record_no": rec_no,
+                                "warc_status": "FAILURE",
+                                "error": "conversion record without "
+                                         "WARC-Target-URI",
+                            }
+                        )
                         continue
                     rows.append(
                         {
@@ -523,18 +533,31 @@ WARC_MANIFEST_SCHEMA = T.StructType(
 )
 
 
-def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[str]:
+def _manifest_col(
+    spark: SparkSession, manifest_dir: str, col: str
+) -> set[str]:
+    """Distinct SUCCESS-row values of one manifest column; empty set
+    ONLY when the manifest doesn't exist yet. Any other read failure
+    propagates — treating a transient error as an empty manifest would
+    make clean_orphan_parts delete committed parts and re-ingest
+    everything."""
     try:
         lin = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(manifest_dir)
-    except Exception:
-        return set()
-    return {
-        r["warc_path"]
-        for r in lin.filter(F.col("status") == "SUCCESS")
-        .select("warc_path")
-        .distinct()
-        .collect()
-    }
+        return {
+            r[col]
+            for r in lin.filter(F.col("status") == "SUCCESS")
+            .select(col)
+            .distinct()
+            .collect()
+        }
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return set()
+        raise
+
+
+def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[str]:
+    return _manifest_col(spark, manifest_dir, "warc_path")
 
 
 def ingest_warc_resumable(
@@ -584,7 +607,9 @@ def ingest_warc_resumable(
     try:
         prev = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(manifest_dir)
         seq0 = prev.agg(F.max("seq").alias("m")).collect()[0]["m"] or 0
-    except Exception:
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         seq0 = 0
     processed: list[str] = []
     for g, i in enumerate(range(0, len(todo), files_per_job)):
@@ -643,17 +668,7 @@ def _warc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _manifest_parts(spark: SparkSession, manifest_dir: str) -> set[str]:
-    try:
-        lin = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(manifest_dir)
-    except Exception:
-        return set()
-    return {
-        r["part"]
-        for r in lin.filter(F.col("status") == "SUCCESS")
-        .select("part")
-        .distinct()
-        .collect()
-    }
+    return _manifest_col(spark, manifest_dir, "part")
 
 
 def clean_orphan_parts(
@@ -686,7 +701,10 @@ def read_ingested(
     """Consistent-snapshot read of the ingest output: opens ONLY
     manifest-listed part dirs (never globs ``out_dir``), so a reader
     racing a live ingest sees exactly the committed files — the same
-    isolation rule as ``plans.lineage.read_as_of``."""
+    isolation rule as ``plans.lineage.read_as_of``. Returns exactly
+    WARC_PAGES_SCHEMA in BOTH branches — the discovered ``part``
+    partition column is dropped so the schema never flips with
+    pipeline state (empty vs first-commit)."""
     parts = sorted(_manifest_parts(spark, manifest_dir))
     if not parts:
         return spark.createDataFrame([], WARC_PAGES_SCHEMA)
@@ -694,4 +712,5 @@ def read_ingested(
         spark.read.schema(WARC_PAGES_SCHEMA)
         .option("basePath", out_dir)
         .parquet(*[f"{out_dir}/part={p}" for p in parts])
+        .select(*[f.name for f in WARC_PAGES_SCHEMA.fields])
     )

@@ -16,8 +16,10 @@ Methodology matches scaling_bench.py: separate fresh-JVM child per
 level, all-core warm-up before the timed window, best-of-3 with
 cooldowns, identity hash outside the timed window.
 
-Usage: python3 scripts/warc_scaling.py [n_docs] [n_files]
-       (defaults 50000, 128)
+Usage: python3 scripts/warc_scaling.py [n_docs] [n_files] [draws] [cooldown_sec]
+       (defaults 50000, 128, 2, 120) — draws = full 4-level sweeps
+       (best throughput per level across draws is reported); cooldown
+       = idle seconds between child JVMs (host-thermal methodology)
 """
 
 from __future__ import annotations

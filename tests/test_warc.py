@@ -243,10 +243,15 @@ def test_warc_resumable_ingest_kill_restart(spark, tmp_path):
     lin = spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(man)
     rows = lin.filter("status = 'SUCCESS'").collect()
     assert len(rows) == n_files
-    # every file exactly once, with correct per-file counts
-    assert sorted(r["warc_path"] for r in rows) == sorted(
-        "file:" + str(warc_dir / f"c-{f}.warc.gz") for f in range(n_files)
-    ) or len({r["warc_path"] for r in rows}) == n_files
+    # every file exactly once, with correct per-file counts — expected
+    # paths come from the same binaryFile listing the ingest uses, so
+    # the URI scheme can never silently diverge from the assertion
+    listed = sorted(
+        r["path"]
+        for r in spark.read.format("binaryFile")
+        .load(str(warc_dir)).select("path").collect()
+    )
+    assert sorted(r["warc_path"] for r in rows) == listed
     assert all(r["doc_count"] == per_file == r["ok_count"] for r in rows)
 
     # output is complete and duplicate-free
@@ -313,3 +318,32 @@ def test_warc_ingest_orphan_part_cleanup(spark, tmp_path):
     assert raw_urls == snap_urls == sorted(p["url"] for p in pages)
     # idempotent cleanup on a healthy tree removes nothing
     assert clean_orphan_parts(spark, out, man) == []
+
+
+@pytest.mark.spark
+def test_wet_missing_uri_failure_row(spark, tmp_path):
+    from docling_eval_spark.sources.warc import (
+        _gzip_member,
+        read_wet,
+        warc_record_bytes,
+    )
+
+    good = warc_record_bytes(
+        "conversion", b"good text here",
+        {"WARC-Target-URI": "http://a.example/", "WARC-Date": "2017-01-01T00:00:00Z"},
+    )
+    no_uri = warc_record_bytes(
+        "conversion", b"orphan text",
+        {"WARC-Date": "2017-01-01T00:00:00Z"},
+    )
+    (tmp_path / "w.warc.wet.gz").write_bytes(
+        _gzip_member(good) + _gzip_member(no_uri)
+    )
+    rows = read_wet(spark, str(tmp_path)).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["warc_status"], []).append(r)
+    assert len(by_status["SUCCESS"]) == 1
+    assert by_status["SUCCESS"][0]["text"] == "good text here"
+    assert len(by_status["FAILURE"]) == 1
+    assert "WARC-Target-URI" in by_status["FAILURE"][0]["error"]
