@@ -2025,6 +2025,28 @@ HAVING max(pos) + 20 - min(pos) >= 20
 """
 
 
+def _q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cap (per-host crawl downsampling): keep the 5
+    md5-order-first events per user — deterministic, engine-portable
+    ranking (same convention as deterministic_sample)."""
+    from docling_eval_spark.operators.web_ops import cap_per_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return cap_per_key(ev, "user_id", "event_id", 5)
+
+
+_SQL_HOST_CAP = r"""
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY md5(CAST(event_id AS VARCHAR))
+         ) AS rn
+  FROM (SELECT event_id, user_id FROM events)
+) WHERE rn <= 5
+"""
+
+
 def _q_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply step of substring dedup (Lee et al. 2021): cut every
     cross-document duplicated span out of the normalized text and
@@ -2582,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": _with_pkg(_q_winnow_fps),
         "duplicate_spans": _with_pkg(_q_duplicate_spans),
         "dedup_clean": _with_pkg(_q_dedup_clean),
+        "host_cap": _with_pkg(_q_host_cap),
         "asof_latest_error": _with_pkg(_q_asof_latest_error),
         "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
         "sessionize": _with_pkg(_q_sessionize),
@@ -2638,6 +2661,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": _SQL_WINNOW,
         "duplicate_spans": _SQL_DUP_SPANS,
         "dedup_clean": _SQL_DEDUP_CLEAN,
+        "host_cap": _SQL_HOST_CAP,
         "asof_latest_error": _SQL_ASOF,
         "asof_dup_ties": _SQL_ASOF_DUP,
         "sessionize": _SQL_SESSIONIZE,

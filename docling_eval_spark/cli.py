@@ -3,7 +3,7 @@
 reference `cli/main.py:456-563`), Spark-first:
 
     python -m docling_eval_spark.cli create \
-        --pages <parquet dir | synthetic:N> --output <dataset dir>
+        --pages <parquet dir | synthetic:N | warc:GLOB> --output <dataset dir>
     python -m docling_eval_spark.cli evaluate \
         --dataset <dir> --modality markdown_text --output <dir>
     python -m docling_eval_spark.cli visualize \
@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("create", help="pages table → benchmark dataset")
     c.add_argument("--pages", required=True,
-                   help="pages parquet dir, or synthetic:N for N generated pages")
+                   help="pages parquet dir, synthetic:N for N generated pages, or warc:GLOB to ingest .warc(.gz) files")
     c.add_argument("--output", required=True)
     c.add_argument("--buckets", type=int, default=16)
     c.add_argument("--records-per-shard", type=int, default=1000)
@@ -62,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
                 pages_path = f"{args.output.rstrip('/')}_pages"
                 write_pages_parquet(spark, pages_path, n)
                 print(f"generated {n} synthetic pages at {pages_path}")
+            elif pages_path.startswith("warc:"):
+                # Common-Crawl ingest: .warc/.warc.gz glob → pages
+                # parquet (2xx-gated), then the normal dataset flow
+                from docling_eval_spark.sources.warc import (
+                    read_warc,
+                    warc_to_pages,
+                )
+
+                glob = pages_path.split(":", 1)[1]
+                pages_path = f"{args.output.rstrip('/')}_pages"
+                warc_to_pages(read_warc(spark, glob)).write.mode(
+                    "overwrite"
+                ).parquet(pages_path)
+                n = spark.read.parquet(pages_path).count()
+                print(f"ingested {n} WARC pages at {pages_path}")
             pipelines.create_dataset(
                 spark, pages_path, args.output,
                 buckets=args.buckets, records_per_shard=args.records_per_shard,

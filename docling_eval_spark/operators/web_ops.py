@@ -123,3 +123,51 @@ def line_dedup(
             ).alias("text")
         )
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    scale_mode: bool = False,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key — the per-host cap every crawl
+    corpus applies so mega-hosts don't dominate training data.
+
+    Default (exact): deterministic md5-of-id order, ``row_number <= n``
+    per key. Engine-portable (the DuckDB oracle replicates the md5
+    ranking bit-for-bit) and exactly n. The window sorts each key's
+    rows in one task — fine up to large hosts, but a single
+    pathological key with 10^9 rows lands on one reducer; that is what
+    ``scale_mode`` is for.
+
+    ``scale_mode=True``: hash-threshold sampling — keep a row iff
+    ``xxhash64(id) mod count(key) < n``. Two map-side-combining
+    passes (count agg + join), NO per-key sort or single-reducer
+    hazard; deterministic for a fixed input set, but keeps n only in
+    expectation (binomial around n for huge keys, exact when
+    count <= n). The honest 10^12-row default."""
+    if scale_mode:
+        counts = df.groupBy(key_col).agg(F.count("*").alias("__cnt"))
+        return (
+            df.join(counts, key_col)
+            .where(
+                (F.col("__cnt") <= n)
+                | (
+                    F.pmod(F.xxhash64(F.col(id_col)), F.col("__cnt"))
+                    < F.lit(n)
+                )
+            )
+            .drop("__cnt")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string"))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

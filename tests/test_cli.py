@@ -172,3 +172,51 @@ def test_evaluate_runs_kernel_exactly_once(spark, tmp_path, monkeypatch):
     stats = spark.read.json(str(tmp_path / "ev/evaluation_markdown_text_stats"))
     assert stats.count() >= 6  # one rollup row per metric
     assert acc.value == 40, f"kernel processed {acc.value} rows for 40 docs"
+
+
+def test_warc_ingest_to_dataset(spark, tmp_path):
+    """warc:GLOB ingest → create_dataset → evaluate, identity-perfect
+    (the CLI's Common-Crawl path shares this pipeline)."""
+    from datetime import datetime, timezone
+
+    from docling_eval_spark.datagen.pages import gen_page
+    from docling_eval_spark.sources.warc import (
+        encode_warc,
+        read_warc,
+        warc_to_pages,
+    )
+
+    ts = datetime(2017, 1, 1, tzinfo=timezone.utc)
+    pages = [
+        {"url": p["url"], "warc_ts": ts, "html": p["html"]}
+        for p in (gen_page(i, seed=21) for i in range(40))
+    ]
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    for f in range(2):
+        (warc_dir / f"c{f}.warc.gz").write_bytes(
+            encode_warc(pages[f * 20 : (f + 1) * 20])
+        )
+    # WARC carries no ground truth (text is NULL by design) — join GT
+    # from the annotation source, as a real corpus flow would
+    gt_rows = [(p["url"], t) for p, t in zip(
+        pages, (gen_page(i, seed=21)["text"] for i in range(40))
+    )]
+    gt = spark.createDataFrame(gt_rows, "url string, gt_text string")
+    ingested = warc_to_pages(read_warc(spark, str(warc_dir)))
+    pages_dir = str(tmp_path / "pages")
+    (
+        ingested.drop("text")
+        .join(gt, "url")
+        .selectExpr("url", "warc_ts", "html", "gt_text AS text", "lang")
+        .write.parquet(pages_dir)
+    )
+
+    dataset = str(tmp_path / "dataset")
+    eval_dir = str(tmp_path / "eval")
+    pipelines.create_dataset(spark, pages_dir, dataset, buckets=4)
+    pipelines.evaluate(spark, dataset, "markdown_text", eval_dir)
+    per_doc = spark.read.parquet(f"{eval_dir}/evaluation_markdown_text")
+    assert per_doc.count() == 40
+    row = per_doc.agg({"f1_score": "avg"}).collect()[0]
+    assert abs(row["avg(f1_score)"] - 1.0) < 1e-9

@@ -971,3 +971,41 @@ def test_cut_spans(spark):
     got = cut_spans(docs2, spans2, "doc_id", "text").collect()[0]["clean_text"]
     # keep [3,8)="34567", [12,18)="cdefgh"; spans at both edges cut
     assert got == "34567cdefgh"
+
+
+def test_cap_per_key(spark):
+    from docling_eval_spark.operators.web_ops import cap_per_key
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS event_id", "CAST(id % 7 AS STRING) AS host"
+    )
+    exact = cap_per_key(df, "host", "event_id", 20)
+    per_key = {
+        r["host"]: r["count"]
+        for r in exact.groupBy("host").count().collect()
+    }
+    assert all(c == 20 for c in per_key.values()) and len(per_key) == 7
+    # deterministic across partitionings
+    a = sorted(r["event_id"] for r in exact.collect())
+    b = sorted(
+        r["event_id"]
+        for r in cap_per_key(df.repartition(13), "host", "event_id", 20).collect()
+    )
+    assert a == b
+    # small keys unaffected in both modes
+    small = spark.range(0, 30).selectExpr(
+        "id AS event_id", "CAST(id % 10 AS STRING) AS host"
+    )
+    assert cap_per_key(small, "host", "event_id", 5).count() == 30
+    assert cap_per_key(small, "host", "event_id", 5, scale_mode=True).count() == 30
+    # scale mode: ~n per key (binomial), deterministic, no sort
+    sm = cap_per_key(df, "host", "event_id", 20, scale_mode=True)
+    cnts = [r["count"] for r in sm.groupBy("host").count().collect()]
+    assert all(5 <= c <= 45 for c in cnts)  # loose binomial bounds
+    sm2 = sorted(r["event_id"] for r in sm.collect())
+    assert sm2 == sorted(
+        r["event_id"]
+        for r in cap_per_key(
+            df.repartition(3), "host", "event_id", 20, scale_mode=True
+        ).collect()
+    )
