@@ -171,3 +171,150 @@ def cap_per_key(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------- robots
+
+def _robots_pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored regex: '*' matches any octet
+    run, trailing '$' anchors the end; everything else is literal."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = []
+    for piece in body.split("*"):
+        out.append(_re.escape(piece))
+    return "^" + ".*".join(out) + ("$" if anchored else "")
+
+
+def parse_robots_rules(
+    robots_txt: str, agent: str = "*"
+) -> list[tuple[bool, str, int]]:
+    """robots.txt → [(allow, regex, pattern_len)] for the group that
+    governs ``agent`` per RFC 9309 (public spec): the group whose
+    user-agent token is the LONGEST case-insensitive match for the
+    product token wins; '*' is the fallback group; rule precedence at
+    match time is longest-pattern-wins, allow beating disallow on
+    ties (handled by the caller via (len, allow) ordering)."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_group_body = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body and cur_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:
+                cur_rules.append((field == "allow", value))
+            elif field == "disallow":
+                # "Disallow:" empty = allow everything (no rule)
+                pass
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+
+    tok = agent.lower()
+    best_len = -1
+    best_rules: list[tuple[bool, str]] = []
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                if best_len < 0:
+                    best_len = 0
+                    best_rules = rules
+            elif tok.startswith(a) and len(a) > best_len:
+                best_len = len(a)
+                best_rules = rules
+    return [
+        (allow, _robots_pattern_to_regex(p), len(p)) for allow, p in best_rules
+    ]
+
+
+def robots_allowed(robots_txt: str, path: str, agent: str = "*") -> bool:
+    """Pure-Python decision (the oracle for the Spark stage)."""
+    import re as _re
+
+    best = None  # (pattern_len, allow)
+    for allow, rx, plen in parse_robots_rules(robots_txt, agent):
+        if _re.search(rx, path):
+            cand = (plen, allow)
+            if best is None or cand > best:
+                best = cand
+    return True if best is None else best[1]
+
+
+def robots_filter_stage(
+    pages: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    out_col: str = "robots_allowed",
+) -> DataFrame:
+    """Append a ``robots_allowed`` flag by joining per-host robots.txt
+    and deciding per URL (RFC 9309 longest-match, allow wins ties).
+
+    Scale shape: ``robots`` is (host, robots_txt) — one small row per
+    host — so the join broadcasts; the decision runs in an Arrow
+    kernel with per-host compiled-regex caching (rules are parsed once
+    per host per batch, not per URL). Hosts with no robots.txt are
+    allowed (the crawler convention for 404)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    joined = pages.withColumn("__host", host_col(F.col(url_col))).join(
+        F.broadcast(
+            robots.select(
+                F.col("host").alias("__host"),
+                F.col("robots_txt").alias("__robots"),
+            )
+        ),
+        "__host",
+        "left",
+    )
+    schema = T.StructType(
+        [f for f in joined.schema.fields if not f.name.startswith("__")]
+        + [T.StructField(out_col, T.BooleanType())]
+    )
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import re as _re
+
+        rules_cache: dict = {}
+        for pdf in batches:
+            verdicts = []
+            for url, txt in zip(pdf[url_col], pdf["__robots"]):
+                if txt is None:
+                    verdicts.append(True)
+                    continue
+                if txt not in rules_cache:
+                    rules_cache[txt] = [
+                        (allow, _re.compile(rx), plen)
+                        for allow, rx, plen in parse_robots_rules(txt, agent)
+                    ]
+                path = "/" + url.split("://", 1)[-1].split("/", 1)[-1] \
+                    if "/" in url.split("://", 1)[-1] else "/"
+                best = None
+                for allow, rx, plen in rules_cache[txt]:
+                    if rx.search(path):
+                        cand = (plen, allow)
+                        if best is None or cand > best:
+                            best = cand
+                verdicts.append(True if best is None else best[1])
+            out = pdf.drop(columns=[c for c in pdf.columns if c.startswith("__")])
+            out[out_col] = verdicts
+            yield out
+
+    return joined.mapInPandas(kernel, schema=schema)

@@ -1009,3 +1009,58 @@ def test_cap_per_key(spark):
             df.repartition(3), "host", "event_id", 20, scale_mode=True
         ).collect()
     )
+
+
+def test_robots_rules_rfc9309():
+    from docling_eval_spark.operators.web_ops import robots_allowed
+
+    txt = """
+# comment
+User-agent: googlebot
+Disallow: /private/
+Allow: /private/public$
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /fish*.php
+Allow: /tmp/ok/
+"""
+    # fallback group for unknown agents
+    assert robots_allowed(txt, "/anything") is True
+    assert robots_allowed(txt, "/tmp/x") is False
+    # longest match wins: /tmp/ok/ allow beats /tmp/ disallow
+    assert robots_allowed(txt, "/tmp/ok/page") is True
+    # wildcard
+    assert robots_allowed(txt, "/fishheads/catfish.php?p=1") is False
+    assert robots_allowed(txt, "/fish.html") is True
+    # specific agent group: most-specific UA token wins
+    assert robots_allowed(txt, "/private/x", agent="googlebot") is False
+    assert robots_allowed(txt, "/private/public", agent="googlebot") is True
+    assert robots_allowed(txt, "/private/publicity", agent="googlebot") is False
+    # $ anchor: exact end only
+    assert robots_allowed(txt, "/tmp/x", agent="googlebot") is True
+    # empty Disallow = allow all
+    assert robots_allowed("User-agent: *\nDisallow:", "/x") is True
+    # allow wins ties at equal pattern length
+    tie = "User-agent: *\nDisallow: /page\nAllow: /page"
+    assert robots_allowed(tie, "/page") is True
+
+
+def test_robots_filter_stage(spark):
+    from docling_eval_spark.operators.web_ops import robots_filter_stage
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/tmp/x", 1),
+            ("http://a.example/ok", 2),
+            ("http://b.example/tmp/x", 3),  # no robots row → allowed
+        ],
+        "url string, payload int",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /tmp/")],
+        "host string, robots_txt string",
+    )
+    rows = {r["payload"]: r["robots_allowed"]
+            for r in robots_filter_stage(pages, robots).collect()}
+    assert rows == {1: False, 2: True, 3: True}

@@ -180,3 +180,63 @@ def test_cell_grammar_roundtrip(grid):
     }
     assert teds_score(grid2, parsed) == 1.0
     assert is_complex_grid(parsed) == is_complex_grid(grid2)
+
+
+# ---------------------------------------------------------------- WARC
+
+_URLS = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=50,
+).map(lambda s: "http://h.example/" + s)
+
+
+@given(
+    st.lists(
+        st.tuples(_URLS, st.binary(max_size=500)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_property(pages, gz, chunked):
+    """encode → parse is identity on (url, payload) for ARBITRARY
+    binary payloads (incl. bytes that look like CRLFs, gzip magic,
+    WARC headers), in all four gzip×chunked packagings."""
+    from datetime import datetime, timezone
+
+    from docling_eval_spark.sources.warc import encode_warc, warc_file_to_pages
+
+    ts = datetime(2017, 3, 22, 17, 43, 4, tzinfo=timezone.utc)
+    fixture = [
+        {"url": u, "warc_ts": ts, "html": body} for u, body in pages
+    ]
+    data = encode_warc(fixture, gzip_members=gz, chunked=chunked)
+    rows = warc_file_to_pages(data)
+    assert [r["warc_status"] for r in rows] == ["SUCCESS"] * len(pages)
+    assert [(r["url"], bytes(r["html"])) for r in rows] == [
+        (u, b) for u, b in pages
+    ]
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_warc_parser_never_raises(junk):
+    """Arbitrary bytes — including truncated/corrupt streams — must
+    produce rows (possibly FAILURE), never exceptions (the kernel's
+    no-task-failure contract)."""
+    from docling_eval_spark.sources.warc import warc_file_to_pages
+
+    rows = warc_file_to_pages(junk)
+    assert isinstance(rows, list)
+    for r in rows:
+        assert r["warc_status"] in ("SUCCESS", "FAILURE")
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_gzip_member_splitter_never_raises(junk):
+    from docling_eval_spark.sources.warc import split_gzip_members
+
+    for member in split_gzip_members(b"\x1f\x8b" + junk):
+        assert isinstance(member, bytes)
