@@ -714,3 +714,192 @@ def read_ingested(
         .parquet(*[f"{out_dir}/part={p}" for p in parts])
         .select(*[f.name for f in WARC_PAGES_SCHEMA.fields])
     )
+
+
+# ---------------------------------------------------------------- CDX index
+
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("surt", T.StringType()),
+        T.StructField("cdx_ts", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+_CDX_JSON = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("offset", T.StringType()),
+        T.StructField("length", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+
+def read_cdxj(spark: SparkSession, glob: str) -> DataFrame:
+    """Common-Crawl CDXJ index lines (``surt ts {json}``, public IIPC
+    format) → typed rows. A plain splittable TEXT scan — the index is
+    the 100 TB access path: a selective fetch reads index lines (tiny)
+    and then only the byte ranges it needs, never whole WARC files.
+    Malformed lines yield null-url rows the caller can filter."""
+    raw = spark.read.text(glob)
+    parts = F.split(F.col("value"), " ", 3)
+    parsed = raw.select(
+        parts.getItem(0).alias("surt"),
+        parts.getItem(1).alias("cdx_ts"),
+        F.from_json(parts.getItem(2), _CDX_JSON).alias("j"),
+    )
+    return parsed.select(
+        "surt",
+        "cdx_ts",
+        F.col("j.url").alias("url"),
+        F.col("j.filename").alias("filename"),
+        F.col("j.offset").cast("long").alias("offset"),
+        F.col("j.length").cast("long").alias("length"),
+        F.col("j.status").cast("int").alias("status"),
+        F.col("j.mime").alias("mime"),
+    )
+
+
+def fetch_warc_records(
+    spark: SparkSession, cdx: DataFrame, base_dir: str
+) -> DataFrame:
+    """Point-fetch WARC records by (filename, offset, length) from a
+    CDX selection — the targeted-read path: at 10^12 documents you
+    never rescan the crawl for a subset, you read exactly the gzip
+    members the index names.
+
+    Plan: repartition by filename + sort by offset inside each
+    partition, so each task streams ONE file's ranges in ascending
+    order through a single handle (seek+read per record, no
+    whole-file materialization). Unreadable ranges become FAILURE
+    rows, never task failures."""
+    src = cdx.select("url", "filename", "offset", "length").repartition(
+        "filename"
+    ).sortWithinPartitions("filename", "offset")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                rows: list[dict] = []
+                for url, fname, off, ln in zip(
+                    pdf["url"], pdf["filename"], pdf["offset"], pdf["length"]
+                ):
+                    path = f"{base_dir}/{fname}"
+                    try:
+                        fh = handles.get(path)
+                        if fh is None:
+                            fh = open(path, "rb")
+                            handles[path] = fh
+                        fh.seek(int(off))
+                        member = fh.read(int(ln))
+                        recs = warc_file_to_pages(member, path=path)
+                        ok = [
+                            r for r in recs if r["warc_status"] == "SUCCESS"
+                        ]
+                        if not ok:
+                            raise ValueError(
+                                recs[0]["error"]
+                                if recs
+                                else "no record in range"
+                            )
+                        r = ok[0]
+                        r["record_no"] = -1  # ordinal unknown on a point read
+                        rows.append(r)
+                    except Exception as exc:
+                        rows.append(
+                            {
+                                "url": url, "warc_ts": None, "html": None,
+                                "text": None, "lang": None,
+                                "http_status": None, "http_charset": None,
+                                "warc_path": path, "record_no": -1,
+                                "warc_status": "FAILURE",
+                                "error": f"{type(exc).__name__}: {exc}",
+                            }
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return src.mapInPandas(kernel, schema=WARC_PAGES_SCHEMA)
+
+
+def encode_warc_with_cdx(
+    pages: list[dict], filename: str
+) -> tuple[bytes, list[str]]:
+    """Fixture twin of the Common-Crawl packaging: gzip-member WARC
+    bytes PLUS the CDXJ lines indexing each response record's
+    (offset, length) within the file."""
+    import json as _json
+
+    records = [
+        _gzip_member(
+            warc_record_bytes(
+                "warcinfo",
+                b"software: docling-eval-spark fixture writer\r\n",
+                {"Content-Type": "application/warc-fields"},
+            )
+        )
+    ]
+    cdx: list[str] = []
+    offset = len(records[0])
+    for p in pages:
+        body = p["html"] if p.get("html") is not None else b""
+        http_head = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body)
+        )
+        ts = p.get("warc_ts")
+        ts_s = (
+            ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None
+            else "2017-01-01T00:00:00Z"
+        )
+        member = _gzip_member(
+            warc_record_bytes(
+                "response",
+                http_head + body,
+                {
+                    "WARC-Target-URI": p["url"],
+                    "WARC-Date": ts_s,
+                    "Content-Type": "application/http; msgtype=response",
+                },
+            )
+        )
+        host_path = p["url"].split("://", 1)[-1]
+        host = host_path.split("/", 1)[0]
+        surt = ",".join(reversed(host.split("."))) + ")/" + (
+            host_path.split("/", 1)[1] if "/" in host_path else ""
+        )
+        cdx.append(
+            surt
+            + " "
+            + ts_s.replace("-", "").replace(":", "").replace("T", "").replace(
+                "Z", ""
+            )
+            + " "
+            + _json.dumps(
+                {
+                    "url": p["url"],
+                    "filename": filename,
+                    "offset": str(offset),
+                    "length": str(len(member)),
+                    "status": "200",
+                    "mime": "text/html",
+                },
+                sort_keys=True,
+            )
+        )
+        records.append(member)
+        offset += len(member)
+    return b"".join(records), cdx

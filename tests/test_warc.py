@@ -4,6 +4,8 @@ byte-identity invariant through the WARC ingest path."""
 from __future__ import annotations
 
 import zlib
+
+import pyspark.sql.functions as F
 from datetime import datetime, timezone
 
 import pytest
@@ -347,3 +349,49 @@ def test_wet_missing_uri_failure_row(spark, tmp_path):
     assert by_status["SUCCESS"][0]["text"] == "good text here"
     assert len(by_status["FAILURE"]) == 1
     assert "WARC-Target-URI" in by_status["FAILURE"][0]["error"]
+
+
+@pytest.mark.spark
+def test_cdx_index_point_fetch(spark, tmp_path):
+    """CDXJ index → targeted byte-range fetch: reads exactly the gzip
+    members the index names, never whole files."""
+    from docling_eval_spark.sources.warc import (
+        encode_warc_with_cdx,
+        fetch_warc_records,
+        read_cdxj,
+    )
+
+    pages = _fixture_pages(12, seed=17)
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    cdx_lines = []
+    for f in range(3):
+        chunk = pages[f * 4 : (f + 1) * 4]
+        fname = f"crawl-{f}.warc.gz"
+        data, lines = encode_warc_with_cdx(chunk, fname)
+        (wdir / fname).write_bytes(data)
+        cdx_lines.extend(lines)
+    (tmp_path / "index.cdxj").write_text("\n".join(cdx_lines) + "\n")
+
+    cdx = read_cdxj(spark, str(tmp_path / "index.cdxj"))
+    assert cdx.count() == 12
+    rows = cdx.collect()
+    assert all(r["status"] == 200 and r["offset"] > 0 for r in rows)
+
+    # selective fetch: 5 of the 12 urls
+    wanted = sorted(p["url"] for p in pages)[:5]
+    sel = cdx.filter(F.col("url").isin(wanted))
+    got = fetch_warc_records(spark, sel, str(wdir)).collect()
+    assert sorted(r["url"] for r in got) == wanted
+    by_url = {p["url"]: p["html"] for p in pages}
+    for r in got:
+        assert r["warc_status"] == "SUCCESS"
+        assert bytes(r["html"]) == by_url[r["url"]]
+
+    # a bogus range yields a FAILURE row, not a task failure
+    bad = spark.createDataFrame(
+        [("http://x.example/", "crawl-0.warc.gz", 999999, 100)],
+        "url string, filename string, offset long, length long",
+    )
+    frow = fetch_warc_records(spark, bad, str(wdir)).collect()[0]
+    assert frow["warc_status"] == "FAILURE" and frow["url"] == "http://x.example/"
