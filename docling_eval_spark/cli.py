@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--perturb", type=float, default=None,
                    help="seeded noise level for prediction columns "
                         "(the K10 model slot); omit for identity")
+    c.add_argument("--gt", default=None,
+                   help="ground-truth JSONL (url, gt_text, spans) to join "
+                        "onto warc: ingests — WARC carries no GT, so "
+                        "evaluate without this scores against empty text")
 
     e = sub.add_parser("evaluate", help="dataset → metric rows + stats")
     e.add_argument("--dataset", required=True)
@@ -72,9 +76,33 @@ def main(argv: list[str] | None = None) -> int:
 
                 glob = pages_path.split(":", 1)[1]
                 pages_path = f"{args.output.rstrip('/')}_pages"
-                warc_to_pages(read_warc(spark, glob)).write.mode(
-                    "overwrite"
-                ).parquet(pages_path)
+                ingested = warc_to_pages(read_warc(spark, glob))
+                if args.gt:
+                    # WARC carries no ground truth (text is NULL by
+                    # design) — join it from the annotation store so
+                    # evaluate has something real to score against
+                    from docling_eval_spark.sources.json_gt import (
+                        read_gt_json,
+                    )
+
+                    gt = read_gt_json(spark, args.gt).filter(
+                        "gt_status = 'SUCCESS'"
+                    )
+                    ingested = (
+                        ingested.drop("text")
+                        .join(gt.select("url", "gt_text"), "url", "left")
+                        .selectExpr(
+                            "url", "warc_ts", "html",
+                            "gt_text AS text", "lang",
+                        )
+                    )
+                else:
+                    print(
+                        "WARNING: warc: ingest without --gt — the "
+                        "dataset's ground-truth text is NULL; evaluate "
+                        "will score extraction against empty GT"
+                    )
+                ingested.write.mode("overwrite").parquet(pages_path)
                 n = spark.read.parquet(pages_path).count()
                 print(f"ingested {n} WARC pages at {pages_path}")
             pipelines.create_dataset(

@@ -143,15 +143,28 @@ def cap_per_key(
     ``scale_mode`` is for.
 
     ``scale_mode=True``: hash-threshold sampling — keep a row iff
-    ``xxhash64(id) mod count(key) < n``. Two map-side-combining
-    passes (count agg + join), NO per-key sort or single-reducer
-    hazard; deterministic for a fixed input set, but keeps n only in
+    ``xxhash64(id) mod count(key) < n``. The count agg is map-side-
+    combining, and the join back is SALTED: the big side joins on
+    ``(key, xxhash64(id) mod S)`` against the slim count table
+    exploded ×S, so even a 10^9-row pathological key spreads over S
+    partitions — no per-key sort, no single-reducer concentration.
+    Deterministic for a fixed input set, but keeps n only in
     expectation (binomial around n for huge keys, exact when
     count <= n). The honest 10^12-row default."""
     if scale_mode:
-        counts = df.groupBy(key_col).agg(F.count("*").alias("__cnt"))
+        S = 16  # salt fan-out bounding any one key to 1/S per task
+        counts = (
+            df.groupBy(key_col)
+            .agg(F.count("*").alias("__cnt"))
+            .withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+            )
+        )
+        salted = df.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(S)).cast("int")
+        )
         return (
-            df.join(counts, key_col)
+            salted.join(counts, [key_col, "__salt"])
             .where(
                 (F.col("__cnt") <= n)
                 | (
@@ -159,7 +172,7 @@ def cap_per_key(
                     < F.lit(n)
                 )
             )
-            .drop("__cnt")
+            .drop("__cnt", "__salt")
         )
     from pyspark.sql import Window
 
@@ -215,6 +228,10 @@ def parse_robots_rules(
                 in_group_body = False
             cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
+            if not cur_agents:
+                # RFC 9309: a rule outside any group is invalid —
+                # ignore it rather than leak it into the first group
+                continue
             in_group_body = True
             if value:
                 cur_rules.append((field == "allow", value))
@@ -224,20 +241,29 @@ def parse_robots_rules(
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
+    # RFC 9309 §2.2.1: the crawler obeys the MOST SPECIFIC matching
+    # user-agent token; when several groups match at that same
+    # specificity (e.g. two 'User-agent: *' blocks), their rules are
+    # COMBINED, not first-wins.
     tok = agent.lower()
     best_len = -1
-    best_rules: list[tuple[bool, str]] = []
-    for agents, rules in groups:
+    for agents, _rules in groups:
         for a in agents:
             if a == "*":
-                if best_len < 0:
-                    best_len = 0
-                    best_rules = rules
-            elif tok.startswith(a) and len(a) > best_len:
-                best_len = len(a)
-                best_rules = rules
+                best_len = max(best_len, 0)
+            elif tok.startswith(a):
+                best_len = max(best_len, len(a))
+    merged: list[tuple[bool, str]] = []
+    for agents, rules in groups:
+        hit = any(
+            (a == "*" and best_len == 0)
+            or (a != "*" and tok.startswith(a) and len(a) == best_len)
+            for a in agents
+        )
+        if hit:
+            merged.extend(rules)
     return [
-        (allow, _robots_pattern_to_regex(p), len(p)) for allow, p in best_rules
+        (allow, _robots_pattern_to_regex(p), len(p)) for allow, p in merged
     ]
 
 
@@ -304,8 +330,14 @@ def robots_filter_stage(
                         (allow, _re.compile(rx), plen)
                         for allow, rx, plen in parse_robots_rules(txt, agent)
                     ]
-                path = "/" + url.split("://", 1)[-1].split("/", 1)[-1] \
-                    if "/" in url.split("://", 1)[-1] else "/"
+                rest = url.split("://", 1)[-1]
+                qpos, spos = rest.find("?"), rest.find("/")
+                if spos != -1 and (qpos == -1 or spos < qpos):
+                    path = rest[spos:]  # path (+query) from first '/'
+                elif qpos != -1:
+                    path = "/" + rest[qpos:]  # query with no path
+                else:
+                    path = "/"
                 best = None
                 for allow, rx, plen in rules_cache[txt]:
                     if rx.search(path):

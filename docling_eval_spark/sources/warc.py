@@ -346,6 +346,65 @@ def warc_record_bytes(
     return b"".join(head) + block + _CRLF + _CRLF
 
 
+def _warcinfo_record() -> bytes:
+    return warc_record_bytes(
+        "warcinfo",
+        b"software: docling-eval-spark fixture writer\r\n",
+        {"Content-Type": "application/warc-fields"},
+    )
+
+
+def _response_record_bytes(
+    p: dict, http_wrap: bool = True, chunked: bool = False
+) -> bytes:
+    """ONE response record for a page dict (url, html, warc_ts, and
+    optional status/charset) — the single source both fixture writers
+    (plain WARC and WARC+CDX) build from, so they can never drift."""
+    body = p["html"] if p.get("html") is not None else b""
+    if http_wrap:
+        status_line = b"HTTP/1.1 %d X\r\n" % p.get("status", 200)
+        ct = b"text/html"
+        if p.get("charset"):
+            ct += b"; charset=" + p["charset"].encode()
+        if chunked:
+            mid = max(1, len(body) // 2)
+            wire = b""
+            for part in (body[:mid], body[mid:]):
+                if part:
+                    wire += b"%x\r\n" % len(part) + part + _CRLF
+            wire += b"0\r\n\r\n"
+            http_head = (
+                status_line + b"Content-Type: " + ct +
+                b"\r\nTransfer-Encoding: chunked\r\n\r\n"
+            )
+        else:
+            wire = body
+            http_head = (
+                status_line + b"Content-Type: " + ct +
+                b"\r\nContent-Length: %d\r\n\r\n" % len(body)
+            )
+        block = http_head + wire
+        ctype = "application/http; msgtype=response"
+    else:
+        block = body
+        ctype = "text/html"
+    ts = p.get("warc_ts")
+    ts_s = (
+        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        if ts is not None
+        else "2017-01-01T00:00:00Z"
+    )
+    return warc_record_bytes(
+        "response",
+        block,
+        {
+            "WARC-Target-URI": p["url"],
+            "WARC-Date": ts_s,
+            "Content-Type": ctype,
+        },
+    )
+
+
 def encode_warc(
     pages: list[dict],
     gzip_members: bool = True,
@@ -356,58 +415,10 @@ def encode_warc(
     one response record per page), optionally gzip-per-member and with
     the payload wrapped as a raw HTTP response (optionally chunked) so
     tests exercise the real decode path."""
-    records = [
-        warc_record_bytes(
-            "warcinfo",
-            b"software: docling-eval-spark fixture writer\r\n",
-            {"Content-Type": "application/warc-fields"},
-        )
-    ]
+    records = [_warcinfo_record()]
     for p in pages:
-        body = p["html"] if p.get("html") is not None else b""
-        if http_wrap:
-            status_line = b"HTTP/1.1 %d X\r\n" % p.get("status", 200)
-            ct = b"text/html"
-            if p.get("charset"):
-                ct += b"; charset=" + p["charset"].encode()
-            if chunked:
-                mid = max(1, len(body) // 2)
-                wire = b""
-                for part in (body[:mid], body[mid:]):
-                    if part:
-                        wire += b"%x\r\n" % len(part) + part + _CRLF
-                wire += b"0\r\n\r\n"
-                http_head = (
-                    status_line + b"Content-Type: " + ct +
-                    b"\r\nTransfer-Encoding: chunked\r\n\r\n"
-                )
-            else:
-                wire = body
-                http_head = (
-                    status_line + b"Content-Type: " + ct +
-                    b"\r\nContent-Length: %d\r\n\r\n" % len(body)
-                )
-            block = http_head + wire
-            ctype = 'application/http; msgtype=response'
-        else:
-            block = body
-            ctype = "text/html"
-        ts = p.get("warc_ts")
-        ts_s = (
-            ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-            if ts is not None
-            else "2017-01-01T00:00:00Z"
-        )
         records.append(
-            warc_record_bytes(
-                "response",
-                block,
-                {
-                    "WARC-Target-URI": p["url"],
-                    "WARC-Date": ts_s,
-                    "Content-Type": ctype,
-                },
-            )
+            _response_record_bytes(p, http_wrap=http_wrap, chunked=chunked)
         )
     if gzip_members:
         return b"".join(_gzip_member(r) for r in records)
@@ -787,7 +798,23 @@ def fetch_warc_records(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
-        handles: dict[str, object] = {}
+        # input is sorted by (filename, offset): exactly ONE handle is
+        # live at a time — a task spanning hundreds of files (a CDX
+        # selection over ~100k WARCs) must not accumulate fds toward
+        # the ulimit
+        cur_path: str | None = None
+        cur_fh = None
+
+        def handle_for(path: str):
+            nonlocal cur_path, cur_fh
+            if path != cur_path:
+                if cur_fh is not None:
+                    cur_fh.close()
+                cur_fh, cur_path = None, None  # stay clean if open fails
+                cur_fh = open(path, "rb")
+                cur_path = path
+            return cur_fh
+
         try:
             for pdf in batches:
                 rows: list[dict] = []
@@ -796,10 +823,7 @@ def fetch_warc_records(
                 ):
                     path = f"{base_dir}/{fname}"
                     try:
-                        fh = handles.get(path)
-                        if fh is None:
-                            fh = open(path, "rb")
-                            handles[path] = fh
+                        fh = handle_for(path)
                         fh.seek(int(off))
                         member = fh.read(int(ln))
                         recs = warc_file_to_pages(member, path=path)
@@ -828,8 +852,8 @@ def fetch_warc_records(
                         )
                 yield pd.DataFrame(rows, columns=cols)
         finally:
-            for fh in handles.values():
-                fh.close()
+            if cur_fh is not None:
+                cur_fh.close()
 
     return src.mapInPandas(kernel, schema=WARC_PAGES_SCHEMA)
 
@@ -842,40 +866,17 @@ def encode_warc_with_cdx(
     (offset, length) within the file."""
     import json as _json
 
-    records = [
-        _gzip_member(
-            warc_record_bytes(
-                "warcinfo",
-                b"software: docling-eval-spark fixture writer\r\n",
-                {"Content-Type": "application/warc-fields"},
-            )
-        )
-    ]
+    records = [_gzip_member(_warcinfo_record())]
     cdx: list[str] = []
     offset = len(records[0])
     for p in pages:
-        body = p["html"] if p.get("html") is not None else b""
-        http_head = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            b"Content-Length: %d\r\n\r\n" % len(body)
-        )
         ts = p.get("warc_ts")
         ts_s = (
             ts.strftime("%Y-%m-%dT%H:%M:%SZ")
             if ts is not None
             else "2017-01-01T00:00:00Z"
         )
-        member = _gzip_member(
-            warc_record_bytes(
-                "response",
-                http_head + body,
-                {
-                    "WARC-Target-URI": p["url"],
-                    "WARC-Date": ts_s,
-                    "Content-Type": "application/http; msgtype=response",
-                },
-            )
-        )
+        member = _gzip_member(_response_record_bytes(p))
         host_path = p["url"].split("://", 1)[-1]
         host = host_path.split("/", 1)[0]
         surt = ",".join(reversed(host.split("."))) + ")/" + (
@@ -894,7 +895,7 @@ def encode_warc_with_cdx(
                     "filename": filename,
                     "offset": str(offset),
                     "length": str(len(member)),
-                    "status": "200",
+                    "status": str(p.get("status", 200)),
                     "mime": "text/html",
                 },
                 sort_keys=True,

@@ -220,3 +220,52 @@ def test_warc_ingest_to_dataset(spark, tmp_path):
     assert per_doc.count() == 40
     row = per_doc.agg({"f1_score": "avg"}).collect()[0]
     assert abs(row["avg(f1_score)"] - 1.0) < 1e-9
+
+
+def test_cli_warc_create_with_gt(tmp_path, monkeypatch):
+    """The SHIPPED cli path: create --pages warc:GLOB --gt jsonl →
+    evaluate scores real ground truth (not NULL)."""
+    import json
+    from datetime import datetime, timezone
+
+    import pyspark.sql
+
+    from docling_eval_spark import cli
+
+    # cli.main stops its session on exit; under pytest that session IS
+    # the shared fixture session — neutralize stop for this test
+    monkeypatch.setattr(pyspark.sql.SparkSession, "stop", lambda self: None)
+    from docling_eval_spark.datagen.pages import gen_page
+    from docling_eval_spark.sources.warc import encode_warc
+
+    ts = datetime(2017, 1, 1, tzinfo=timezone.utc)
+    gens = [gen_page(i, seed=33) for i in range(20)]
+    pages = [
+        {"url": p["url"], "warc_ts": ts, "html": p["html"]} for p in gens
+    ]
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    (warc_dir / "c.warc.gz").write_bytes(encode_warc(pages))
+    gt_path = tmp_path / "gt.jsonl"
+    gt_path.write_text(
+        "\n".join(
+            json.dumps({"url": p["url"], "gt_text": p["text"], "spans": []})
+            for p in gens
+        )
+    )
+    ds = str(tmp_path / "ds")
+    ev = str(tmp_path / "ev")
+    assert cli.main([
+        "create", "--pages", f"warc:{warc_dir}", "--gt", str(gt_path),
+        "--output", ds, "--buckets", "2",
+    ]) == 0
+    assert cli.main([
+        "evaluate", "--dataset", ds, "--modality", "markdown_text",
+        "--output", ev,
+    ]) == 0
+    import pyspark.sql
+    spark2 = pyspark.sql.SparkSession.builder.getOrCreate()
+    per_doc = spark2.read.parquet(f"{ev}/evaluation_markdown_text")
+    assert per_doc.count() == 20
+    row = per_doc.agg({"f1_score": "avg"}).collect()[0]
+    assert abs(row["avg(f1_score)"] - 1.0) < 1e-9

@@ -1064,3 +1064,65 @@ def test_robots_filter_stage(spark):
     rows = {r["payload"]: r["robots_allowed"]
             for r in robots_filter_stage(pages, robots).collect()}
     assert rows == {1: False, 2: True, 3: True}
+
+
+def test_robots_rfc9309_group_merge_and_orphans():
+    from docling_eval_spark.operators.web_ops import robots_allowed
+
+    # RFC 9309 §2.2.1: multiple matching groups COMBINE
+    two_star = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b"
+    assert robots_allowed(two_star, "/a") is False
+    assert robots_allowed(two_star, "/b") is False
+    assert robots_allowed(two_star, "/c") is True
+    # rules before any User-agent line are invalid → ignored
+    orphan = "Disallow: /secret\nUser-agent: *\nAllow: /"
+    assert robots_allowed(orphan, "/secret/x") is True
+    # equal-length specific tokens also merge
+    dup_agent = (
+        "User-agent: bot\nDisallow: /x\n\nUser-agent: bot\nDisallow: /y"
+    )
+    assert robots_allowed(dup_agent, "/x", agent="bot") is False
+    assert robots_allowed(dup_agent, "/y", agent="bot") is False
+
+
+def test_robots_filter_query_only_url(spark):
+    from docling_eval_spark.operators.web_ops import robots_filter_stage
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example?q=/x", 1),   # query, no path
+            ("http://a.example/x", 2),      # real /x path
+            ("http://a.example/p?q=1", 3),  # path + query
+        ],
+        "url string, payload int",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /x\nDisallow: /p?q=")],
+        "host string, robots_txt string",
+    )
+    rows = {r["payload"]: r["robots_allowed"]
+            for r in robots_filter_stage(pages, robots).collect()}
+    # query-only url is path '/', not '/x' — must stay allowed
+    assert rows == {1: True, 2: False, 3: False}
+
+
+def test_cap_per_key_scale_mode_salted_plan(spark):
+    from docling_eval_spark.operators.web_ops import cap_per_key
+
+    df = spark.range(0, 400).selectExpr(
+        "id AS event_id", "CAST(id % 3 AS STRING) AS host"
+    )
+    out = cap_per_key(df, "host", "event_id", 10, scale_mode=True)
+    # salted join: the exchange keys on (host, salt), so the physical
+    # plan partitions on BOTH columns — the hot-key defence
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    # still deterministic and ~n per key
+    a = sorted(r["event_id"] for r in out.collect())
+    b = sorted(
+        r["event_id"]
+        for r in cap_per_key(
+            df.repartition(7), "host", "event_id", 10, scale_mode=True
+        ).collect()
+    )
+    assert a == b
