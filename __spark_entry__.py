@@ -2047,6 +2047,56 @@ SELECT event_id, user_id FROM (
 """
 
 
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant Unicode script per document (the script layer under
+    language ID — half a real crawl is not Latin-script)."""
+    from docling_eval_spark.operators.text_analysis import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_script_profile() -> str:
+    from docling_eval_spark.operators.text_analysis import SCRIPT_RANGES
+
+    names = sorted({n for n, _, _ in SCRIPT_RANGES})
+    selects = []
+    for name in names:
+        conds = " OR ".join(
+            f"(x BETWEEN {lo} AND {hi})"
+            for n, lo, hi in SCRIPT_RANGES
+            if n == name
+        )
+        selects.append(
+            f"SELECT id, '{name}' AS script, "
+            f"len(list_filter(cds, x -> {conds})) AS n FROM codes"
+        )
+    union = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH s AS (
+  SELECT doc_id AS id, substring(text, 1, 2000) AS t FROM documents
+),
+codes AS (
+  SELECT id, list_transform(range(1, length(t) + 1),
+                            i -> unicode(substring(t, i, 1))) AS cds
+  FROM s
+),
+counts AS (
+  {union}
+),
+tot AS (SELECT id, sum(n) AS total FROM counts GROUP BY id),
+best AS (
+  SELECT id, script, n,
+         row_number() OVER (PARTITION BY id ORDER BY n DESC, script ASC) AS rk
+  FROM counts
+)
+SELECT b.id,
+       CASE WHEN b.n > 0 THEN b.script ELSE 'none' END AS script,
+       CASE WHEN t.total > 0 THEN round(b.n / t.total, 6) ELSE 0.0 END
+         AS script_frac
+FROM best b JOIN tot t USING (id) WHERE rk = 1
+"""
+
+
 def _q_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply step of substring dedup (Lee et al. 2021): cut every
     cross-document duplicated span out of the normalized text and
@@ -2605,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _with_pkg(_q_duplicate_spans),
         "dedup_clean": _with_pkg(_q_dedup_clean),
         "host_cap": _with_pkg(_q_host_cap),
+        "script_profile": _with_pkg(_q_script_profile),
         "asof_latest_error": _with_pkg(_q_asof_latest_error),
         "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
         "sessionize": _with_pkg(_q_sessionize),
@@ -2662,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _SQL_DUP_SPANS,
         "dedup_clean": _SQL_DEDUP_CLEAN,
         "host_cap": _SQL_HOST_CAP,
+        "script_profile": _sql_script_profile(),
         "asof_latest_error": _SQL_ASOF,
         "asof_dup_ties": _SQL_ASOF_DUP,
         "sessionize": _SQL_SESSIONIZE,

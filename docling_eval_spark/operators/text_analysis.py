@@ -559,3 +559,101 @@ def cut_spans(
         out_col,
         F.when(F.col("__spans").isNull(), norm).otherwise(let_col(norm, fold)),
     ).drop("__spans")
+
+
+# ---------------------------------------------------------------- scripts
+
+# Unicode script ranges (public Unicode block table, the major writing
+# systems a web crawl actually sees). Half-open [lo, hi] inclusive.
+SCRIPT_RANGES: list[tuple[str, int, int]] = [
+    ("latin", 0x41, 0x5A), ("latin", 0x61, 0x7A),
+    ("latin", 0xC0, 0x24F),
+    ("greek", 0x370, 0x3FF),
+    ("cyrillic", 0x400, 0x4FF),
+    ("hebrew", 0x590, 0x5FF),
+    ("arabic", 0x600, 0x6FF), ("arabic", 0x750, 0x77F),
+    ("devanagari", 0x900, 0x97F),
+    ("thai", 0xE00, 0xE7F),
+    ("hangul", 0x1100, 0x11FF), ("hangul", 0xAC00, 0xD7AF),
+    ("hiragana", 0x3040, 0x309F),
+    ("katakana", 0x30A0, 0x30FF),
+    ("han", 0x4E00, 0x9FFF), ("han", 0x3400, 0x4DBF),
+]
+
+_SCRIPTS = sorted({name for name, _, _ in SCRIPT_RANGES})
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sample_chars: int = 2000,
+) -> DataFrame:
+    """(id, script, script_frac): the dominant Unicode script of the
+    first ``sample_chars`` letters and its fraction among SCRIPTED
+    characters (digits/punct/space excluded) — the script layer real
+    language ID rests on (the stopword ``lang_id`` only resolves
+    Latin-script languages; a crawl is half not-Latin).
+
+    Pure column algebra over the codepoint array (one pass, no
+    shuffle, no UDF); fixed-size sampling caps per-row cost the same
+    way fastText-style classifiers do. Ties break alphabetically
+    (deterministic, engine-portable); zero scripted chars → script
+    'none', frac 0."""
+    t = F.substring(F.col(text_col), 1, sample_chars)
+
+    def over_codes(cds: Column) -> Column:
+        counts = []
+        # NOTE: F.filter dispatches on lambda ARITY — a helper with a
+        # second (default) parameter would receive the element INDEX
+        # there; capture the ranges via closure factory instead
+        def make_cond(rngs):
+            def cond(x):
+                e = None
+                for lo, hi in rngs:
+                    term = (x >= lo) & (x <= hi)
+                    e = term if e is None else (e | term)
+                return e
+
+            return cond
+
+        for name in _SCRIPTS:
+            rngs = [(lo, hi) for n, lo, hi in SCRIPT_RANGES if n == name]
+            cond = make_cond(rngs)
+            counts.append(
+                F.struct(
+                    F.size(F.filter(cds, cond)).alias("n"),
+                    # invert name ordering so max() breaks count ties
+                    # toward the alphabetically FIRST script
+                    F.lit(_inv_name(name)).alias("inv"),
+                    F.lit(name).alias("script"),
+                )
+            )
+        total = F.aggregate(
+            F.array(*[c["n"] for c in counts]),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        best = F.array_max(F.array(*counts))
+        return F.struct(
+            F.when(best["n"] > 0, best["script"]).otherwise(
+                F.lit("none")
+            ).alias("script"),
+            F.when(
+                total > 0, F.round(best["n"] / total, 6)
+            ).otherwise(F.lit(0.0)).alias("script_frac"),
+        )
+
+    codes = F.transform(F.split(t, ""), lambda ch: F.ascii(ch))
+    res = let_col(codes, over_codes)
+    return df.select(
+        F.col(id_col).alias("id"),
+        res["script"].alias("script"),
+        res["script_frac"].alias("script_frac"),
+    )
+
+
+def _inv_name(name: str) -> str:
+    """Order-inverting key so (count, inv_name) max-struct ordering
+    resolves count ties to the alphabetically first script name."""
+    return "".join(chr(0x7A - (ord(c) - 0x61)) for c in name)

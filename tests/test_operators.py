@@ -1126,3 +1126,25 @@ def test_cap_per_key_scale_mode_salted_plan(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_script_profile(spark):
+    from docling_eval_spark.operators.text_analysis import script_profile
+
+    rows = [
+        (0, "hello latin world entirely ascii"),
+        (1, "русский текст на кириллице"),
+        (2, "한국어 텍스트 문서"),
+        (3, "نص عربي للاختبار"),
+        (4, "1234 ... !!!"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["script"], r["script_frac"])
+           for r in script_profile(df, "doc_id").collect()}
+    assert got[0] == ("latin", 1.0)
+    assert got[1] == ("cyrillic", 1.0)
+    assert got[2] == ("hangul", 1.0)
+    assert got[3] == ("arabic", 1.0)
+    assert got[4] == ("none", 0.0)
+    assert got[5] == ("none", 0.0)
