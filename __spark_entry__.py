@@ -2097,6 +2097,32 @@ FROM best b JOIN tot t USING (id) WHERE rk = 1
 """
 
 
+def _q_nfc_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-canonicalized text digests (UAX #15): the normalization
+    every hash-based dedup runs behind; DuckDB's nfc_normalize is the
+    independent implementation of the same public algorithm."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.text_analysis import (
+        nfc_normalize_stage,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return nfc_normalize_stage(d, "text", out_col="nfc_text").select(
+        F.col("doc_id").alias("id"),
+        F.md5("nfc_text").alias("nfc_md5"),
+        (F.length("nfc_text") != F.length("text")).alias("changed_len"),
+    )
+
+
+_SQL_NFC = r"""
+SELECT doc_id AS id,
+       md5(nfc_normalize(text)) AS nfc_md5,
+       length(nfc_normalize(text)) != length(text) AS changed_len
+FROM documents
+"""
+
+
 def _q_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply step of substring dedup (Lee et al. 2021): cut every
     cross-document duplicated span out of the normalized text and
@@ -2656,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clean": _with_pkg(_q_dedup_clean),
         "host_cap": _with_pkg(_q_host_cap),
         "script_profile": _with_pkg(_q_script_profile),
+        "nfc_digests": _with_pkg(_q_nfc_digests),
         "asof_latest_error": _with_pkg(_q_asof_latest_error),
         "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
         "sessionize": _with_pkg(_q_sessionize),
@@ -2714,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clean": _SQL_DEDUP_CLEAN,
         "host_cap": _SQL_HOST_CAP,
         "script_profile": _sql_script_profile(),
+        "nfc_digests": _SQL_NFC,
         "asof_latest_error": _SQL_ASOF,
         "asof_dup_ties": _SQL_ASOF_DUP,
         "sessionize": _SQL_SESSIONIZE,

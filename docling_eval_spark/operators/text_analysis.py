@@ -657,3 +657,45 @@ def _inv_name(name: str) -> str:
     """Order-inverting key so (count, inv_name) max-struct ordering
     resolves count ties to the alphabetically first script name."""
     return "".join(chr(0x7A - (ord(c) - 0x61)) for c in name)
+
+
+def nfc_normalize_stage(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode NFC normalization (UAX #15) of a text column — dedup
+    robustness: a composed 'é' and 'e'+combining-acute are the same
+    document to a reader but different bytes to every hash operator
+    upstream, so canonical composition runs BEFORE exact/minhash/
+    simhash dedup in a real pipeline.
+
+    Spark has no built-in normalizer; this is an Arrow-batched kernel
+    over ``unicodedata`` (narrow map, no shuffle). DuckDB's
+    ``nfc_normalize`` implements the same public algorithm, giving a
+    value-exact cross-engine oracle."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    out = out_col or text_col
+    schema = (
+        df.schema
+        if out in df.columns
+        else T.StructType(
+            df.schema.fields + [T.StructField(out, T.StringType())]
+        )
+    )
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(kernel, schema=schema)

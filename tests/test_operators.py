@@ -1148,3 +1148,23 @@ def test_script_profile(spark):
     assert got[3] == ("arabic", 1.0)
     assert got[4] == ("none", 0.0)
     assert got[5] == ("none", 0.0)
+
+
+def test_nfc_normalize_stage(spark):
+    from docling_eval_spark.operators.text_analysis import nfc_normalize_stage
+
+    decomposed = "cafe\u0301 and \u212b angstrom"  # e+combining, ANGSTROM SIGN
+    composed = "caf\u00e9 and \u00c5 angstrom"
+    df = spark.createDataFrame(
+        [(0, decomposed), (1, composed), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in nfc_normalize_stage(df).collect()}
+    # NFC composes e+combining-acute and maps ANGSTROM SIGN to A-ring
+    assert out[0] == composed
+    assert out[1] == composed
+    assert out[2] is None
+    # out_col variant appends instead of replacing
+    with_col = nfc_normalize_stage(df, out_col="nfc").collect()
+    by_id = {r["doc_id"]: r for r in with_col}
+    assert by_id[0]["text"] == decomposed and by_id[0]["nfc"] == composed
