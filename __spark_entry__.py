@@ -2097,6 +2097,57 @@ FROM best b JOIN tot t USING (id) WHERE rk = 1
 """
 
 
+def _q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) over the
+    order→part bipartite edge list; the oracle unrolls the identical
+    5 iterations as chained CTEs."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.web_ops import page_rank
+
+    edges = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    ranks = page_rank(edges, iterations=5)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_page_rank(iterations: int = 5, damping: float = 0.85) -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         (1 - {damping}) / (SELECT count(*) FROM nodes)
+           + {damping} * coalesce(s.s, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node, sum(r.rank / ed.deg) AS s
+    FROM ed JOIN {prev} r ON r.node = ed.src
+    GROUP BY ed.dst
+  ) s USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH edges AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+r0 AS (
+  SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes
+),
+{chain}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+
+
 def _q_nfc_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC-canonicalized text digests (UAX #15): the normalization
     every hash-based dedup runs behind; DuckDB's nfc_normalize is the
@@ -2683,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": _with_pkg(_q_host_cap),
         "script_profile": _with_pkg(_q_script_profile),
         "nfc_digests": _with_pkg(_q_nfc_digests),
+        "page_rank": _with_pkg(_q_page_rank),
         "asof_latest_error": _with_pkg(_q_asof_latest_error),
         "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
         "sessionize": _with_pkg(_q_sessionize),
@@ -2742,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": _SQL_HOST_CAP,
         "script_profile": _sql_script_profile(),
         "nfc_digests": _SQL_NFC,
+        "page_rank": _sql_page_rank(),
         "asof_latest_error": _SQL_ASOF,
         "asof_dup_ties": _SQL_ASOF_DUP,
         "sessionize": _SQL_SESSIONIZE,

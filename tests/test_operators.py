@@ -1168,3 +1168,48 @@ def test_nfc_normalize_stage(spark):
     with_col = nfc_normalize_stage(df, out_col="nfc").collect()
     by_id = {r["doc_id"]: r for r in with_col}
     assert by_id[0]["text"] == decomposed and by_id[0]["nfc"] == composed
+
+
+def test_extract_links(spark):
+    from docling_eval_spark.operators.web_ops import extract_links
+
+    html = (
+        b'<html><body>'
+        b'<a href="https://other.example/x">abs</a>'
+        b'<a href="//cdn.example/lib.js">proto-rel</a>'
+        b'<a href="/local/page">rooted</a>'
+        b'<a href="relative.html">rel-skipped</a>'
+        b'<a href="#frag">frag-skipped</a>'
+        b'</body></html>'
+    )
+    df = spark.createDataFrame(
+        [("https://src.example/dir/page", bytearray(html))],
+        "url string, html binary",
+    )
+    got = {r["dst"] for r in extract_links(df).collect()}
+    assert got == {
+        "https://other.example/x",
+        "https://cdn.example/lib.js",
+        "https://src.example/local/page",
+    }
+
+
+def test_page_rank(spark):
+    from docling_eval_spark.operators.web_ops import page_rank
+
+    # star: everyone links to 'hub'; hub links to 'a'
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    # the a<->hub 2-cycle oscillates, so run to convergence
+    ranks = {r["node"]: r["rank"] for r in page_rank(edges, 30).collect()}
+    # fixed point: hub ~0.4797, a ~0.4452, b = c = base 0.0375
+    assert abs(ranks["hub"] - 0.4797) < 5e-3
+    assert abs(ranks["a"] - 0.4452) < 5e-3
+    assert ranks["hub"] > ranks["a"] > ranks["b"]
+    assert abs(ranks["b"] - ranks["c"]) < 1e-12
+    # deterministic across partitionings
+    r2 = {r["node"]: r["rank"]
+          for r in page_rank(edges.repartition(5), 30).collect()}
+    assert ranks == r2
