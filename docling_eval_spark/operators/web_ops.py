@@ -412,14 +412,21 @@ def page_rank(
     localCheckpoint-ed — without truncation the lazy plan deepens by
     two joins per iteration and analysis/optimization time grows
     superlinearly (the classic iterative-algorithm lineage blowup)."""
+    # persist the two frames every iteration re-reads (slim: node ids
+    # + degree-annotated edges) — without this each of the 2 joins per
+    # iteration re-scans the SOURCE, 20+ scans for 5 iterations; the
+    # final eager checkpoint materializes the result so both can be
+    # unpersisted before returning (no cache accumulation across
+    # repeated calls)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(out_deg, "src")
+    ed = edges.join(out_deg, "src").persist()
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for it in range(iterations):
@@ -441,4 +448,7 @@ def page_rank(
                 ).alias("rank"),
             )
         )
-    return ranks
+    out = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    ed.unpersist()
+    return out
