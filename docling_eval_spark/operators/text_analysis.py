@@ -564,10 +564,13 @@ def cut_spans(
 # ---------------------------------------------------------------- scripts
 
 # Unicode script ranges (public Unicode block table, the major writing
-# systems a web crawl actually sees). Half-open [lo, hi] inclusive.
+# systems a web crawl actually sees). INCLUSIVE [lo, hi] bounds.
+# 0xD7 (multiplication sign) and 0xF7 (division sign) are carved out
+# of the Latin-1 letter range — they are symbols, not script chars.
 SCRIPT_RANGES: list[tuple[str, int, int]] = [
     ("latin", 0x41, 0x5A), ("latin", 0x61, 0x7A),
-    ("latin", 0xC0, 0x24F),
+    ("latin", 0xC0, 0xD6), ("latin", 0xD8, 0xF6),
+    ("latin", 0xF8, 0x24F),
     ("greek", 0x370, 0x3FF),
     ("cyrillic", 0x400, 0x4FF),
     ("hebrew", 0x590, 0x5FF),
@@ -655,8 +658,13 @@ def script_profile(
 
 def _inv_name(name: str) -> str:
     """Order-inverting key so (count, inv_name) max-struct ordering
-    resolves count ties to the alphabetically first script name."""
-    return "".join(chr(0x7A - (ord(c) - 0x61)) for c in name)
+    resolves count ties to the alphabetically first script name.
+    Padded with '{' (0x7B, sorts above 'z') so PREFIX pairs invert
+    correctly too: plain inversion keeps 'han' a prefix of 'hangul'
+    and max would pick the longer (alphabetically LATER) name —
+    diverging from the oracle's ORDER BY script ASC."""
+    inv = "".join(chr(0x7A - (ord(c) - 0x61)) for c in name)
+    return inv.ljust(12, "{")
 
 
 def nfc_normalize_stage(

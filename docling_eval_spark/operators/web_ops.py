@@ -365,22 +365,42 @@ def extract_links(
     hrefs are skipped (the crawl-graph convention — they dominate
     nav noise).
     """
+    from docling_eval_spark.functions import let_col
+
     src = F.col(url_col)
-    hrefs = F.expr(
-        f"regexp_extract_all(CAST({html_col} AS STRING), "
-        "'href\\\\s*=\\\\s*\"([^\"]*)\"', 1)"
+    # case-insensitive attribute + scheme, both quote styles
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"),
+        F.lit("(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"),
+        1,
     )
-    scheme = F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    origin = F.concat(scheme, F.lit("://"), host_col(src))
-    resolved = F.transform(
-        hrefs,
-        lambda h: F.when(
-            h.rlike("^https?://"), h
+    scheme_expr = F.lower(
+        F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    # authority VERBATIM (keeps :port — host_col would drop it and a
+    # rooted link on example.com:8080 must not resolve to example.com)
+    authority = F.regexp_extract(
+        src, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1
+    )
+
+    def over_scheme(scheme: Column) -> Column:
+        def over_origin(origin: Column) -> Column:
+            return F.transform(
+                hrefs,
+                lambda h: F.when(h.rlike("(?i)^https?://"), h)
+                .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+                .when(h.startswith("/"), F.concat(origin, h))
+                .otherwise(F.lit(None)),
+            )
+
+        # let-bound: a lambda re-evaluates free references per href
+        # element (the Catalyst re-eval hazard functions/let.py exists
+        # for) — bind scheme and origin once per row
+        return let_col(
+            F.concat(scheme, F.lit("://"), authority), over_origin
         )
-        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
-        .when(h.startswith("/"), F.concat(origin, h))
-        .otherwise(F.lit(None)),
-    )
+
+    resolved = let_col(scheme_expr, over_scheme)
     return (
         df.select(src.alias("src"), F.explode(resolved).alias("dst"))
         .filter(F.col("dst").isNotNull())
