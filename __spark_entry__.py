@@ -673,15 +673,14 @@ FROM hits GROUP BY 1
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups (training-pipeline op): winner id + size."""
+    """Exact dedup groups (training-pipeline op): winner id + size.
+    Runs through operators.dedup.exact_dedup (min-struct hash agg +
+    winner join-back) so the oracle gates the skew-safe operator."""
+    from docling_eval_spark.operators.dedup import exact_dedup
+
     d = _t(spark, sf_dir, "documents")
-    digest = F.md5(
-        F.trim(F.regexp_replace(F.col("text"), _WS, " ")).cast("binary")
-    )
-    return (
-        d.groupBy(digest.alias("digest"))
-        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("dup_count"))
-        .select("keeper_id", "dup_count")
+    return exact_dedup(d, "doc_id").select(
+        F.col("doc_id").alias("keeper_id"), "dup_count"
     )
 
 

@@ -1,7 +1,9 @@
 """Deduplication operator family for web-corpus scale.
 
-- exact_dedup        — hash-groupBy on normalized-text digest; one
-  shuffle on the digest, min-id winner per group (deterministic).
+- exact_dedup        — hash-groupBy on normalized-text digest with a
+  min-struct aggregate (map-side combinable; skew-safe on
+  boilerplate-identical hot digests), winners joined back on the
+  unique id (deterministic min-id winner per group).
 - ngram_jaccard      — character n-gram Jaccard similarity between
   candidate pairs (exact set intersection over distinct shingles).
 - minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH:
@@ -31,7 +33,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from docling_eval_spark.functions import let_col
 
@@ -51,16 +53,34 @@ def _norm(text_col: str):
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep the min-id row per identical normalized text; adds
-    ``dup_count``. One hash-shuffle on the md5 digest."""
-    digest = F.md5(_norm(text_col)).alias("__digest")
-    w = Window.partitionBy("__digest").orderBy(F.col(id_col))
-    return (
-        df.withColumn("__digest", digest)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count("*").over(Window.partitionBy("__digest")))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__digest")
+    ``dup_count``.
+
+    Skew-safe plan (same min-winner hash-agg pattern as
+    ``web_ops.line_dedup``): the winner per digest comes from a
+    ``groupBy(digest).agg(min(id), count(*))`` HashAggregate — O(1)
+    state per key with map-side partial combine — so a mega-duplicated
+    page (the boilerplate-page hot case: one digest holding 10^8
+    copies) collapses to one row per map task before the exchange
+    instead of physically sorting every copy on a single reducer,
+    which is what the previous per-digest ``row_number()`` window did.
+    (``min(id)`` rather than line_dedup's ``min(struct(...))``: the
+    atomic column keeps the agg in HashAggregate; struct buffers force
+    a SortAggregate fallback.) Winners then join back to the source on
+    the *unique* id column, which cannot skew."""
+    winners = (
+        df.select(
+            F.md5(_norm(text_col)).alias("__digest"), F.col(id_col)
+        )
+        .groupBy("__digest")
+        .agg(
+            F.min(F.col(id_col)).alias("__win_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("__win_id", "dup_count")
     )
+    return df.join(
+        winners, F.col(id_col) == F.col("__win_id"), "inner"
+    ).drop("__win_id")
 
 
 # ---------------------------------------------------------------- shingles

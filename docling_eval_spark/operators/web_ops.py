@@ -280,6 +280,31 @@ def robots_allowed(robots_txt: str, path: str, agent: str = "*") -> bool:
     return True if best is None else best[1]
 
 
+def _url_path_col(url: Column) -> Column:
+    """URL → path(+query) for robots matching, as a pure column
+    expression (the SQL twin of the old Python slicing): strip the
+    scheme at the first '://', then take from the first '/', or '/' +
+    query when only a '?' is present, else '/'. 1-based ``instr``
+    mirrors 0-based ``str.find`` exactly (0 == absent)."""
+    # rest appears several times below but each occurrence is a cheap
+    # codegen'd string op (no HOF re-eval hazard outside lambdas);
+    # split at the FIRST '://' (substr from instr+3), matching
+    # Python's url.split('://', 1)
+    rest = F.when(
+        F.instr(url, "://") > 0, F.substr(url, F.instr(url, "://") + 3)
+    ).otherwise(url)
+    qpos = F.instr(rest, "?")
+    spos = F.instr(rest, "/")
+    return (
+        F.when(
+            (spos > 0) & ((qpos == 0) | (spos < qpos)),
+            F.substr(rest, spos),
+        )
+        .when(qpos > 0, F.concat(F.lit("/"), F.substr(rest, qpos)))
+        .otherwise(F.lit("/"))
+    )
+
+
 def robots_filter_stage(
     pages: DataFrame,
     robots: DataFrame,
@@ -291,65 +316,90 @@ def robots_filter_stage(
     and deciding per URL (RFC 9309 longest-match, allow wins ties).
 
     Scale shape: ``robots`` is (host, robots_txt) — one small row per
-    host — so the join broadcasts; the decision runs in an Arrow
-    kernel with per-host compiled-regex caching (rules are parsed once
-    per host per batch, not per URL). Hosts with no robots.txt are
-    allowed (the crawler convention for 404)."""
+    host — so the join broadcasts. The dominant crawl case (host has
+    no robots.txt, or a robots.txt whose governing group has no rules
+    for ``agent``) is decided ENTIRELY in SQL: those rows short-circuit
+    to allowed and never enter Python. Only rows of rule-bearing hosts
+    reach the Arrow kernel, where the path is a pre-computed column
+    and each rule's regex is applied VECTORIZED over the whole
+    same-robots row group (pandas str.contains at C level), not in a
+    per-row interpreter loop. Hosts with no robots.txt are allowed
+    (the crawler convention for 404)."""
     from collections.abc import Iterator as _It
 
+    import numpy as np
     import pandas as pd
     import pyspark.sql.types as T
 
-    joined = pages.withColumn("__host", host_col(F.col(url_col))).join(
-        F.broadcast(
-            robots.select(
-                F.col("host").alias("__host"),
-                F.col("robots_txt").alias("__robots"),
-            )
+    # no type hints: postponed-annotation strings break hint inference
+    _has_rules = F.pandas_udf(
+        lambda txts: txts.map(
+            lambda t: t is not None and bool(parse_robots_rules(t, agent))
         ),
-        "__host",
-        "left",
+        "boolean",
     )
+
+    dim = robots.select(
+        F.col("host").alias("__host"),
+        F.col("robots_txt").alias("__robots"),
+    ).withColumn("__has_rules", _has_rules(F.col("__robots")))
+    joined = pages.withColumn("__host", host_col(F.col(url_col))).join(
+        F.broadcast(dim), "__host", "left"
+    )
+    keep = [f.name for f in joined.schema.fields if not f.name.startswith("__")]
     schema = T.StructType(
         [f for f in joined.schema.fields if not f.name.startswith("__")]
         + [T.StructField(out_col, T.BooleanType())]
     )
+
+    # SQL fast path: no robots row, or robots with zero governing rules
+    fast = (
+        joined.filter(F.col("__robots").isNull() | ~F.col("__has_rules"))
+        .select(*keep)
+        .withColumn(out_col, F.lit(True))
+    )
+    slow_in = joined.filter(
+        F.col("__robots").isNotNull() & F.col("__has_rules")
+    ).withColumn("__path", _url_path_col(F.col(url_col)))
 
     def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import re as _re
 
         rules_cache: dict = {}
         for pdf in batches:
-            verdicts = []
-            for url, txt in zip(pdf[url_col], pdf["__robots"]):
-                if txt is None:
-                    verdicts.append(True)
-                    continue
-                if txt not in rules_cache:
-                    rules_cache[txt] = [
-                        (allow, _re.compile(rx), plen)
-                        for allow, rx, plen in parse_robots_rules(txt, agent)
-                    ]
-                rest = url.split("://", 1)[-1]
-                qpos, spos = rest.find("?"), rest.find("/")
-                if spos != -1 and (qpos == -1 or spos < qpos):
-                    path = rest[spos:]  # path (+query) from first '/'
-                elif qpos != -1:
-                    path = "/" + rest[qpos:]  # query with no path
-                else:
-                    path = "/"
-                best = None
-                for allow, rx, plen in rules_cache[txt]:
-                    if rx.search(path):
-                        cand = (plen, allow)
-                        if best is None or cand > best:
-                            best = cand
-                verdicts.append(True if best is None else best[1])
+            n = len(pdf)
+            verdicts = np.ones(n, dtype=bool)
+            if n:
+                paths = pdf["__path"]
+                for txt, idx in pdf.groupby(
+                    "__robots", sort=False
+                ).indices.items():
+                    if txt not in rules_cache:
+                        rules_cache[txt] = [
+                            (allow, _re.compile(rx), plen)
+                            for allow, rx, plen in parse_robots_rules(txt, agent)
+                        ]
+                    sub = paths.iloc[idx]
+                    m_len = np.full(len(idx), -1, dtype=np.int64)
+                    m_allow = np.zeros(len(idx), dtype=bool)
+                    # best = max over matching rules of (pattern_len,
+                    # allow); each rule applies C-vectorized over the
+                    # whole same-robots group
+                    for allow, rx, plen in rules_cache[txt]:
+                        hit = sub.str.contains(rx, regex=True).to_numpy()
+                        upd = hit & (
+                            (plen > m_len)
+                            | ((plen == m_len) & allow & ~m_allow)
+                        )
+                        m_len[upd] = plen
+                        m_allow[upd] = allow
+                    verdicts[idx] = np.where(m_len >= 0, m_allow, True)
             out = pdf.drop(columns=[c for c in pdf.columns if c.startswith("__")])
             out[out_col] = verdicts
             yield out
 
-    return joined.mapInPandas(kernel, schema=schema)
+    slow = slow_in.mapInPandas(kernel, schema=schema)
+    return fast.unionByName(slow)
 
 
 # ---------------------------------------------------------------- web graph

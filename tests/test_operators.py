@@ -58,6 +58,27 @@ def test_exact_dedup(spark, docs_df):
     assert len(out) == len(DOCS) - 1
 
 
+def test_exact_dedup_skew_hash_agg_plan(spark):
+    """One digest holding >= half the corpus (the viral-boilerplate hot
+    case) must go through a partial-aggregating hash agg, never a
+    per-digest window sort that concentrates every copy on one
+    reducer."""
+    hot = [(i, "the same viral boilerplate page body") for i in range(300)]
+    cold = [(1000 + i, f"unique page number {i} content") for i in range(100)]
+    df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    out = exact_dedup(df, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no window operator anywhere; winner selection is a hash aggregate
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    # partial (map-side) aggregation present: two-phase agg shows up as
+    # partial_min / partial_count function calls in the physical plan
+    assert "partial_" in plan
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[0] == 300 and len(rows) == 101
+    assert all(rows[1000 + i] == 1 for i in range(100))
+
+
 def test_ngram_jaccard_hand_value(spark):
     df = spark.createDataFrame([("abcd", "abcd"), ("abcd", "wxyz")], "a string, b string")
     pairs = df.select(
@@ -1064,6 +1085,43 @@ def test_robots_filter_stage(spark):
     rows = {r["payload"]: r["robots_allowed"]
             for r in robots_filter_stage(pages, robots).collect()}
     assert rows == {1: False, 2: True, 3: True}
+
+
+def test_robots_fast_path_skips_python(spark):
+    """Null-robots and no-rules hosts must short-circuit in SQL: the
+    MapInPandas subtree's input filter requires a non-null, rule-
+    bearing robots text, so those rows never enter Python."""
+    from docling_eval_spark.operators.web_ops import robots_filter_stage
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/tmp/x", 1),
+            ("http://norules.example/x", 2),   # robots with no rules
+            ("http://norobots.example/x", 3),  # no robots row at all
+        ],
+        "url string, payload int",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nDisallow: /tmp/"),
+            ("norules.example", "# comments only\nUser-agent: *\nDisallow:"),
+        ],
+        "host string, robots_txt string",
+    )
+    out = robots_filter_stage(pages, robots)
+    rows = {r["payload"]: r["robots_allowed"] for r in out.collect()}
+    assert rows == {1: False, 2: True, 3: True}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # children print below the node: the MapInPandas branch's join is
+    # INNER (Catalyst converts the left-outer once the filter demands
+    # non-null robots — nulls are structurally excluded), and the dim
+    # side is pre-filtered to non-null, rule-bearing robots texts
+    below = plan.split("MapInPandas", 1)[1]
+    assert "Inner" in below
+    assert "isnotnull(robots_txt" in below
+    assert "Filter pythonUDF" in below  # has_rules gate on the dim
+    # and the SQL fast path exists: isnull(__robots) → allowed w/o Python
+    assert "isnull(__robots" in plan.split("MapInPandas", 1)[0]
 
 
 def test_robots_rfc9309_group_merge_and_orphans():
