@@ -19,6 +19,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+import pyspark.sql.functions as F
+
 from docling_eval_spark import pipelines
 from docling_eval_spark.session import get_spark
 
@@ -88,9 +90,16 @@ def main(argv: list[str] | None = None) -> int:
                     gt = read_gt_json(spark, args.gt).filter(
                         "gt_status = 'SUCCESS'"
                     )
+                    # a GT JSONL with duplicate urls would FAN OUT the
+                    # ingested pages through the left join (inflated
+                    # dataset, double-counted evaluate) — keep one
+                    # deterministic row per url (max gt_text)
+                    gt_one = gt.groupBy("url").agg(
+                        F.max("gt_text").alias("gt_text")
+                    )
                     ingested = (
                         ingested.drop("text")
-                        .join(gt.select("url", "gt_text"), "url", "left")
+                        .join(gt_one, "url", "left")
                         .selectExpr(
                             "url", "warc_ts", "html",
                             "gt_text AS text", "lang",

@@ -592,11 +592,15 @@ def script_profile(
     text_col: str = "text",
     sample_chars: int = 2000,
 ) -> DataFrame:
-    """(id, script, script_frac): the dominant Unicode script of the
-    first ``sample_chars`` letters and its fraction among SCRIPTED
-    characters (digits/punct/space excluded) — the script layer real
-    language ID rests on (the stopword ``lang_id`` only resolves
-    Latin-script languages; a crawl is half not-Latin).
+    """(id, script, script_frac): the dominant Unicode script within
+    the first ``sample_chars`` CHARACTERS of the text (the sample is a
+    plain prefix — digits/punct/whitespace count against the budget)
+    and its fraction among the SCRIPTED characters found there
+    (digits/punct/space excluded from the denominator) — the script
+    layer real language ID rests on (the stopword ``lang_id`` only
+    resolves Latin-script languages; a crawl is half not-Latin). A
+    markup- or number-heavy prefix therefore profiles few scripted
+    chars; the DuckDB oracle samples identically.
 
     Pure column algebra over the codepoint array (one pass, no
     shuffle, no UDF); fixed-size sampling caps per-row cost the same

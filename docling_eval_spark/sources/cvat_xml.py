@@ -103,7 +103,11 @@ def _find_box(boxes: list[dict], x: float, y: float) -> int:
     best, area = -1, float("inf")
     for i, b in enumerate(boxes):
         if b["l"] <= x <= b["r"] and b["t"] <= y <= b["b"]:
-            a = abs(b["r"] - b["l"]) * (b["b"] - b["t"])
+            # abs on BOTH extents: a degenerate annotation (r<l or
+            # b<t) must not get a negative area that always wins the
+            # min-area rule (it can't contain the point anyway under
+            # the l<=x<=r, t<=y<=b guard, but keep the area honest)
+            a = abs(b["r"] - b["l"]) * abs(b["b"] - b["t"])
             if a < area:
                 best, area = i, a
     return best

@@ -69,30 +69,52 @@ WARC_PAGES_SCHEMA = T.StructType(
 
 # ---------------------------------------------------------------- parse
 
-def split_gzip_members(data: bytes) -> Iterator[bytes]:
+_GZ_CHUNK = 1 << 16
+
+
+def _split_gzip_members_tagged(data: bytes) -> Iterator[tuple[bytes, str | None]]:
     """Decompress a concatenated-member gzip stream one member at a
-    time (``decompressobj.unused_data`` marks the member boundary).
-    A corrupt member yields what decompressed so far, then resyncs at
-    the next gzip magic if one exists."""
+    time, yielding ``(chunk, error)``. Members are fed to zlib in
+    slices so a mid-stream corruption keeps (salvages) the
+    already-decompressed prefix; the error tag lets the record layer
+    emit a FAILURE row for the member instead of losing it silently.
+    After a corrupt or truncated member, resyncs at the next gzip
+    magic if one exists."""
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out: list[bytes] = []
+        err = None
+        i = pos
         try:
-            chunk = d.decompress(data[pos:])
-            yield chunk
-        except zlib.error:
-            # salvage: emit nothing for this member, resync below
-            chunk = b""
-        if d.unused_data:
-            consumed = n - pos - len(d.unused_data)
+            while i < n and not d.eof:
+                out.append(d.decompress(data[i : i + _GZ_CHUNK]))
+                i += _GZ_CHUNK
+        except zlib.error as e:
+            err = "corrupt gzip member at offset %d: %s" % (pos, e)
+        yield b"".join(out), err
+        if err is None and d.eof:
+            fed = min(i, n) - pos
+            consumed = fed - len(d.unused_data)
             pos += max(consumed, 1)
         else:
+            # corrupt (raised) or truncated (ran out of input before
+            # stream end): skip to the next member boundary
             nxt = data.find(_GZIP_MAGIC, pos + 2)
-            if not d.eof and nxt != -1:
-                pos = nxt
-                continue
-            break
+            if nxt == -1:
+                break
+            pos = nxt
+
+
+def split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Member chunks only (legacy surface): a corrupt member yields
+    what decompressed so far (possibly nothing), then resyncs at the
+    next gzip magic. Use :func:`_split_gzip_members_tagged` when the
+    caller must surface per-member failures."""
+    for chunk, err in _split_gzip_members_tagged(data):
+        if chunk or err is None:
+            yield chunk
 
 
 def _parse_headers(blob: bytes) -> dict:
@@ -186,18 +208,24 @@ def parse_http_response(block: bytes) -> tuple[bytes, str | None, int | None]:
     undo transfer/content codings, and surface the Content-Type
     charset label (the transport layer of the WHATWG encoding sniff)
     plus the HTTP status code — redirect/error pages (3xx/4xx/5xx)
-    must be filterable, not silently ingested as documents. Non-HTTP
-    blocks pass through with no charset/status."""
+    must be filterable, not silently ingested as documents.
+
+    Status semantics: ``None`` means the block is NOT HTTP-wrapped at
+    all (raw payload — legitimately has no status); ``-1`` means the
+    block claims to be HTTP but its status line / header block is
+    unparseable. The distinction matters downstream:
+    ``warc_to_pages(require_2xx=True)`` lets NULL-status raw records
+    through but must not let malformed-status pages ride that branch."""
     if not block.startswith(b"HTTP/"):
         return block, None, None
     sep = block.find(_CRLF + _CRLF)
     if sep == -1:
-        return block, None, None
+        return block, None, -1
     status_line, _, header_blob = block[:sep].partition(_CRLF)
     try:
         status: int | None = int(status_line.split(b" ", 2)[1])
     except (IndexError, ValueError):
-        status = None
+        status = -1
     headers = _parse_headers(header_blob)
     from docling_eval_spark.extraction.charset import charset_from_content_type
 
@@ -239,11 +267,18 @@ def _iter_records(data: bytes) -> Iterator[dict]:
     """WARC bytes (gzip-member or plain) → record dicts — the shared
     prelude of every reader, so member-resync fixes land once."""
     if data[:2] == _GZIP_MAGIC:
-        return (
-            rec
-            for member in split_gzip_members(data)
-            for rec in parse_warc_records(member)
-        )
+
+        def gen() -> Iterator[dict]:
+            for member, err in _split_gzip_members_tagged(data):
+                if member:
+                    yield from parse_warc_records(member)
+                if err:
+                    # the member itself failed to decompress: surface
+                    # a FAILURE record so doc/ok counts reflect the
+                    # loss (salvaged prefix records, if any, precede)
+                    yield {"error": err}
+
+        return gen()
     return parse_warc_records(data)
 
 
@@ -313,8 +348,11 @@ def warc_to_pages(df: DataFrame, require_2xx: bool = True) -> DataFrame:
 
     ``require_2xx`` (default) drops redirect/error responses —
     3xx Location stubs and 404 pages are boilerplate, not documents.
-    Raw (non-HTTP-wrapped) records have no status and always pass.
-    This filter sits directly on the parse stage, before any shuffle."""
+    Raw (non-HTTP-wrapped) records have no status (NULL) and always
+    pass; HTTP blocks whose status line failed to parse carry the
+    ``-1`` sentinel and are DROPPED (they are malformed pages, not
+    raw payloads). This filter sits directly on the parse stage,
+    before any shuffle."""
     cond = F.col("warc_status") == "SUCCESS"
     if require_2xx:
         cond = cond & (

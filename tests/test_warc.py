@@ -101,6 +101,44 @@ def test_warc_corrupt_member_resyncs():
     # the wrecked member contributes no SUCCESS row but does not take
     # down its neighbours — the parser resyncs at the next gzip magic
     assert [r["url"] for r in ok] == [pages[i]["url"] for i in (0, 2, 3)]
+    # ... and the loss is ACCOUNTED: the corrupt member surfaces as a
+    # FAILURE row (doc/ok counts in the manifest reflect it)
+    bad = [r for r in rows if r["warc_status"] == "FAILURE"]
+    assert len(bad) == 1 and "corrupt gzip member" in bad[0]["error"]
+
+
+def test_warc_malformed_status_line_sentinel(spark):
+    from docling_eval_spark.sources.warc import (
+        WARC_PAGES_SCHEMA,
+        parse_http_response,
+        warc_to_pages,
+    )
+
+    # not HTTP-wrapped at all → NULL status (raw payload passes 2xx gate)
+    _, _, s_raw = parse_http_response(b"just raw bytes")
+    assert s_raw is None
+    # HTTP-claiming but unparseable status line → -1 sentinel
+    _, _, s_bad = parse_http_response(b"HTTP/1.1 OOPS\r\nA: b\r\n\r\nx")
+    assert s_bad == -1
+    _, _, s_nosep = parse_http_response(b"HTTP/1.1 200 OK\r\nno-terminator")
+    assert s_nosep == -1
+    # the 2xx gate drops the sentinel but keeps genuine NULLs
+    rows = [
+        {"url": f"http://a/{i}", "warc_ts": None, "html": b"x", "text": None,
+         "lang": None, "http_status": st, "http_charset": None,
+         "warc_path": "p", "record_no": i, "warc_status": "SUCCESS",
+         "error": ""}
+        for i, st in enumerate([200, None, -1, 404])
+    ]
+    df = spark.createDataFrame(rows, WARC_PAGES_SCHEMA)
+    kept = sorted(
+        r["record_no"]
+        for r in warc_to_pages(df).join(
+            df.select("url", "record_no"), "url"
+        ).collect()
+    )
+    # record 0 (200) and record 1 (NULL=raw) pass; -1 and 404 drop
+    assert kept == [0, 1]
 
 
 def test_warc_truncated_record_failure_row():
