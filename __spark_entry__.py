@@ -2099,7 +2099,10 @@ FROM best b JOIN tot t USING (id) WHERE rk = 1
 def _q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) over the
     order→part bipartite edge list; the oracle unrolls the identical
-    5 iterations as chained CTEs."""
+    10 iterations as chained CTEs. 10 > checkpoint_every=8, so the
+    oracle also gates the localCheckpoint lineage-truncation branch
+    (the rank values must be unaffected by the mid-loop
+    materialization)."""
     import pyspark.sql.functions as F
 
     from docling_eval_spark.operators.web_ops import page_rank
@@ -2108,7 +2111,7 @@ def _q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     )
-    ranks = page_rank(edges, iterations=5)
+    ranks = page_rank(edges, iterations=10)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -2793,7 +2796,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": _SQL_HOST_CAP,
         "script_profile": _sql_script_profile(),
         "nfc_digests": _SQL_NFC,
-        "page_rank": _sql_page_rank(),
+        "page_rank": _sql_page_rank(10),
         "asof_latest_error": _SQL_ASOF,
         "asof_dup_ties": _SQL_ASOF_DUP,
         "sessionize": _SQL_SESSIONIZE,

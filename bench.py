@@ -91,6 +91,15 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # a configured checkpoint dir is the scratch-space signal:
+    # duplicate_spans materializes its postings there (write-once
+    # instead of running the hashing kernel twice) — the production
+    # configuration a real pipeline would use
+    import shutil
+    import tempfile
+
+    ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
     qs = dict(entrymod.queries())
     # same package-shipping wrapper as every contract query: the
     # mapInPandas kernel must not depend on another query having
@@ -150,6 +159,7 @@ def main() -> None:
         )
     )
     spark.stop()
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

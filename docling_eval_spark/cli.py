@@ -49,6 +49,19 @@ def main(argv: list[str] | None = None) -> int:
                    choices=pipelines.MODALITIES + ["all"])
     e.add_argument("--output", required=True)
 
+    cl = sub.add_parser(
+        "clean",
+        help="pages parquet → NFC-normalize, exact-dedup, quality-gate, "
+             "script/lang annotate (the web-corpus cleaning composition)",
+    )
+    cl.add_argument("--pages", required=True, help="pages parquet dir")
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--id-col", default="url")
+    cl.add_argument("--quality-min", type=float, default=None,
+                    help="drop rows scoring below this (post-dedup)")
+    cl.add_argument("--no-annotate", action="store_true",
+                    help="skip script/lang annotation columns")
+
     v = sub.add_parser("visualize", help="metric rows → report files")
     v.add_argument("--dataset", required=True)
     v.add_argument("--evaluation", required=True)
@@ -121,6 +134,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = spark.read.parquet(args.output).count()
             print(f"dataset written: {args.output} ({n} documents)")
+        elif args.task == "clean":
+            pages = spark.read.parquet(args.pages)
+            n_in = pages.count()
+            cleaned = pipelines.clean_corpus(
+                pages,
+                id_col=args.id_col,
+                quality_min=args.quality_min,
+                annotate=not args.no_annotate,
+            )
+            cleaned.write.mode("overwrite").parquet(args.output)
+            n_out = spark.read.parquet(args.output).count()
+            print(f"cleaned corpus: {n_in} pages -> {n_out} kept at {args.output}")
         elif args.task == "evaluate":
             mods = pipelines.MODALITIES if args.modality == "all" else [args.modality]
             for m in mods:

@@ -383,7 +383,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 20,
     min_len: int | None = None,
-    postings_path: str | None = None,
+    postings_path: str | None | bool = None,
 ) -> DataFrame:
     """Exact duplicated-substring spans across a corpus (the substring
     dedup of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -407,18 +407,26 @@ def duplicate_spans(
       fold per row — no window, no second repartitioning key.
 
     Cost note: ``posted`` feeds both the dup-hash aggregation and the
-    join probe; with the default lazy plan the hashing kernel runs
-    TWICE (recompute — no executor storage pressure, the safe default
-    at 10^12 rows where postings are ~20x the text bytes). Pass
-    ``postings_path`` to write postings parquet once and read them for
-    both sides — halves kernel CPU when storage for the intermediate
-    exists (the write-once/read-back pattern the rollup pipeline
-    uses).
+    join probe; with a lazy plan the hashing kernel runs TWICE
+    (recompute — no executor storage pressure). Materialization
+    policy: an explicit ``postings_path`` string writes postings
+    parquet there and reads them back for both sides (halves kernel
+    CPU); with the default ``None``, the operator materializes
+    AUTOMATICALLY under the session's checkpoint dir when one is
+    configured (``sc.setCheckpointDir`` — the pipeline's stated
+    scratch space) and falls back to recompute otherwise; pass
+    ``False`` to force recompute even with a checkpoint dir.
     """
     if min_len is None:
         min_len = k
     posted = kgram_hash_positions(df, id_col, text_col, k)
-    if postings_path is not None:
+    if postings_path is None:
+        ckpt = df.sparkSession.sparkContext.getCheckpointDir()
+        if ckpt:
+            import uuid
+
+            postings_path = f"{ckpt}/duplicate_spans_postings_{uuid.uuid4().hex}"
+    if postings_path:
         posted.write.mode("overwrite").parquet(postings_path)
         posted = df.sparkSession.read.parquet(postings_path)
     # ">=2 distinct docs" as min(id) != max(id): plain min/max combine

@@ -463,10 +463,18 @@ def page_rank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint_every: int = 8,
+    tol: float | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (src, dst) edges — the classic
     crawl-quality signal (Page et al. 1999, public). Returns
     (node, rank) for every node appearing as src or dst.
+
+    ``tol``: optional convergence stop — after each iteration the L1
+    delta Σ|rank−prev| is computed (one extra id-equi join + scalar
+    agg per iteration, an ACTION, so only pay it when early stopping
+    is plausible) and iteration ends once delta <= tol. The default
+    ``None`` keeps the fixed-count plan (no per-iteration action; the
+    oracle-matched mode).
 
     Simple-sum formulation: rank = (1-d)/N + d * Σ rank(in)/deg(in);
     dangling mass is NOT redistributed (deterministic, cheaper — one
@@ -502,6 +510,7 @@ def page_rank(
     for it in range(iterations):
         if it > 0 and checkpoint_every and it % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+        prev = ranks
         contribs = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -518,6 +527,19 @@ def page_rank(
                 ).alias("rank"),
             )
         )
+        if tol is not None:
+            # materialize once so the delta probe and the next
+            # iteration share the computed frame instead of doubling
+            # the join tree
+            ranks = ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.alias("a")
+                .join(prev.alias("b"), F.col("a.node") == F.col("b.node"))
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .collect()[0][0]
+            )
+            if delta is not None and delta <= tol:
+                break
     out = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     ed.unpersist()

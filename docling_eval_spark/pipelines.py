@@ -39,6 +39,54 @@ from docling_eval_spark.sources.pages_source import read_pages, write_sharded
 MODALITIES = ["markdown_text", "table_structure", "layout", "reading_order", "bbox_text"]
 
 
+# ------------------------------------------------------------------ clean
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    quality_min: float | None = None,
+    annotate: bool = True,
+) -> DataFrame:
+    """Web-corpus cleaning composition: NFC-normalize → exact dedup →
+    (optional) quality gate → script/lang annotation.
+
+    ORDER MATTERS and this is the canonical one: Unicode
+    normalization runs BEFORE every hash-based dedup so a composed
+    'é' page and its decomposed 'e'+U+0301 twin — same document to a
+    reader, different bytes to md5 — actually collide (UAX #15; same
+    reason CCNet/Gopher pipelines normalize first). The quality gate
+    runs after dedup (scores survivors only); annotation runs last,
+    over the smallest row set, as an id-equi join of the
+    script_profile projection (unique key — no skew).
+
+    Each stage is the already-oracle-gated operator; this function is
+    only the ordering. Returns the cleaned rows with ``dup_count``,
+    ``quality_score`` (when gated), ``script``/``script_frac`` and
+    ``lang_pred`` (when annotated)."""
+    from docling_eval_spark.operators.dedup import exact_dedup
+    from docling_eval_spark.operators.text_analysis import (
+        lang_id,
+        nfc_normalize_stage,
+        quality_score,
+        script_profile,
+    )
+
+    out = nfc_normalize_stage(df, text_col)
+    out = exact_dedup(out, id_col, text_col)
+    if quality_min is not None:
+        scored = quality_score(out, text_col)
+        out = scored.filter(F.col("quality_score") >= quality_min).drop(
+            *[c for c in scored.columns if c.startswith("q_")]
+        )
+    if annotate:
+        prof = script_profile(out, id_col, text_col).withColumnRenamed(
+            "id", id_col
+        )
+        out = out.join(prof, id_col).transform(lambda d: lang_id(d, text_col))
+    return out
+
+
 # ------------------------------------------------------------------ create
 
 

@@ -269,3 +269,46 @@ def test_cli_warc_create_with_gt(tmp_path, monkeypatch):
     assert per_doc.count() == 20
     row = per_doc.agg({"f1_score": "avg"}).collect()[0]
     assert abs(row["avg(f1_score)"] - 1.0) < 1e-9
+
+
+def test_clean_pipeline_nfc_twin_collision(tmp_path, spark):
+    """Pipeline-level proof of the normalize-before-dedup ordering:
+    a composed 'é' page and its decomposed 'e'+U+0301 twin are
+    different bytes (md5 would differ) but MUST collide in exact_dedup
+    once nfc_normalize_stage has run first."""
+    from docling_eval_spark import cli, pipelines
+
+    composed = "café résumé document body with plenty of words here"
+    decomposed = "café résumé document body with plenty of words here"
+    assert composed != decomposed  # genuinely different code points
+    rows = [
+        ("http://a/1", composed),
+        ("http://a/2", decomposed),  # NFC twin of 1 → must collide
+        ("http://a/3", "another entirely different page text body"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    cleaned = pipelines.clean_corpus(df, "url")
+    got = {r["url"]: r for r in cleaned.collect()}
+    # twin collapsed: min-id winner survives with dup_count 2
+    assert set(got) == {"http://a/1", "http://a/3"}
+    assert got["http://a/1"]["dup_count"] == 2
+    # annotation columns present, and the survivor's text is NFC
+    assert got["http://a/1"]["script"] == "latin"
+    assert got["http://a/1"]["lang_pred"] is not None
+    assert got["http://a/1"]["text"] == composed
+    # sanity: WITHOUT normalization the twins do NOT collide — the
+    # ordering is what makes the collision happen
+    from docling_eval_spark.operators.dedup import exact_dedup
+
+    raw = exact_dedup(df, "url")
+    assert raw.count() == 3
+
+    # same flow through the CLI surface
+    pages_dir = str(tmp_path / "pages")
+    df.write.parquet(pages_dir)
+    out_dir = str(tmp_path / "cleaned")
+    assert cli.main(["clean", "--pages", pages_dir, "--output", out_dir]) == 0
+    import pyspark.sql
+    spark2 = pyspark.sql.SparkSession.builder.getOrCreate()
+    assert spark2.read.parquet(out_dir).count() == 2

@@ -956,6 +956,46 @@ def test_duplicate_spans_postings_path(spark, tmp_path):
     assert a == b and len(a) == 2
 
 
+def test_duplicate_spans_auto_materialize_with_checkpoint_dir(spark, tmp_path):
+    """With a session checkpoint dir configured (the scratch-space
+    signal), duplicate_spans materializes postings there by default;
+    postings_path=False forces recompute. Results identical either
+    way."""
+    import os
+
+    from docling_eval_spark.operators.text_analysis import duplicate_spans
+
+    shared = "this exact sentence is repeated verbatim across documents"
+    df = spark.createDataFrame(
+        [(0, f"aa bb. {shared} cc."), (1, f"xx yy. {shared} zz.")],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        auto = sorted(map(tuple, duplicate_spans(df, "doc_id", k=20).collect()))
+        lazy = sorted(
+            map(
+                tuple,
+                duplicate_spans(
+                    df, "doc_id", k=20, postings_path=False
+                ).collect(),
+            )
+        )
+        assert auto == lazy and len(auto) == 2
+        # the postings parquet actually landed under the checkpoint dir
+        # (getCheckpointDir returns file:<base>/<context-uuid>, so walk)
+        hits = [
+            d for _, dirs, _ in os.walk(tmp_path / "ckpt") for d in dirs
+            if d.startswith("duplicate_spans_postings_")
+        ]
+        assert hits
+    finally:
+        if old:
+            sc.setCheckpointDir(old)
+
+
 def test_cut_spans(spark):
     from docling_eval_spark.operators.text_analysis import (
         cut_spans,
@@ -1277,3 +1317,27 @@ def test_page_rank(spark):
     assert {k: round(v, 9) for k, v in ranks.items()} == {
         k: round(v, 9) for k, v in r2.items()
     }
+
+
+def test_page_rank_tolerance_stop(spark):
+    """tol early-stop converges to the same fixed point as a long
+    fixed run, and a tight tol on an already-converged graph stops
+    without burning the full iteration budget (observable via the
+    rank values matching far earlier than the cap)."""
+    from docling_eval_spark.operators.web_ops import page_rank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    fixed = {r["node"]: r["rank"] for r in page_rank(edges, 60).collect()}
+    tolled = {
+        r["node"]: r["rank"]
+        for r in page_rank(edges, 60, tol=1e-10).collect()
+    }
+    for k in fixed:
+        assert abs(fixed[k] - tolled[k]) < 1e-8
+    # a no-edge-change rerun with a loose tol must stop after ~1-2
+    # iterations yet still produce sane ranks (sum ≈ ranks of nodes)
+    loose = {r["node"]: r["rank"] for r in page_rank(edges, 60, tol=0.5).collect()}
+    assert set(loose) == set(fixed)
