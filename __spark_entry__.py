@@ -1593,6 +1593,263 @@ def _q_layout_class_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_greedy_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy label-matched IoU (SURVEY J5; reference
+    layout_evaluator.py:_compute_average_iou_with_labels incl. the
+    weights/ious positional-zip quirk). The fixture makes greedy ORDER
+    matter: every third event contributes a second pred competing for
+    the same gt, so the matched-set sequential semantics are what the
+    oracle gates — DuckDB re-implements the identical greedy fold with
+    list_reduce."""
+    import pandas as pd
+
+    from docling_eval_spark.evaluators.layout import greedy_label_matched_iou
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    e = F.col("event_id")
+    d1 = (e % 5).cast("double")
+    d2 = (2 + e % 7).cast("double")
+    w = (20 + e % 4).cast("double")  # varying widths exercise the quirk
+    gt_item = F.struct(
+        e.alias("ord"),
+        F.col("event_type").alias("label"),
+        (e * 100.0).alias("l"), F.lit(0.0).alias("t"),
+        (e * 100.0 + w).alias("r"), F.lit(10.0).alias("b"),
+    )
+    p1 = F.struct(
+        (e * 2).alias("ord"), F.col("event_type").alias("label"),
+        (e * 100.0 + d1).alias("l"), F.lit(0.0).alias("t"),
+        (e * 100.0 + w + d1).alias("r"), F.lit(10.0).alias("b"),
+    )
+    p2 = F.struct(
+        (e * 2 + 1).alias("ord"), F.col("event_type").alias("label"),
+        (e * 100.0 + d2).alias("l"), F.lit(0.0).alias("t"),
+        (e * 100.0 + w + d2).alias("r"), F.lit(10.0).alias("b"),
+    )
+    pred_arr = F.concat(
+        F.array(p1),
+        F.when(e % 3 == 0, F.array(p2)).otherwise(F.slice(F.array(p2), 1, 0)),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(gt_item)).alias("gts"),
+        F.array_sort(F.flatten(F.collect_list(pred_arr))).alias("preds"),
+    )
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("avg_iou", T.DoubleType()),
+            T.StructField("matched_gt", T.IntegerType()),
+            T.StructField("unmatched_gt", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for uid, gts, preds in zip(pdf["user_id"], pdf["gts"], pdf["preds"]):
+                gb = np.array([[g["l"], g["t"], g["r"], g["b"]] for g in gts])
+                gl = np.array([g["label"] for g in gts])
+                pb = np.array([[p["l"], p["t"], p["r"], p["b"]] for p in preds])
+                pl = np.array([p["label"] for p in preds])
+                m = greedy_label_matched_iou(pb, pl, gb, gl, 0.5)
+                rows.append(
+                    {
+                        "user_id": uid,
+                        "avg_iou": m["average_iou"],
+                        "matched_gt": m["matched_gt"],
+                        "unmatched_gt": m["unmatched_gt"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    # rounding via F.round (HALF_UP, the oracle-convention twin of
+    # DuckDB round) — NOT Python round (banker's)
+    return per_user.mapInPandas(kernel, schema=schema).withColumn(
+        "avg_iou", F.round("avg_iou", 6)
+    )
+
+
+def _sql_greedy_iou() -> str:
+    """DuckDB twin of the greedy fold.
+
+    DuckDB 1.0 ``list_reduce`` mis-threads the accumulator when the
+    lambda body contains CASE/IF or a struct-typed accumulator (probed
+    empirically), so the fold state is a BRANCH-FREE tag-encoded
+    ``DOUBLE[][]``: entries ``[0, gt_ord]`` = matched, ``[1, iou]`` =
+    match iou (in match order), ``[2, w]`` = pred weight (in pred
+    order), ``[3, gt_ord, iou]`` = per-pred candidate (precomputed
+    OUTSIDE the fold — candidates don't depend on the matched set;
+    only the first-unmatched pick does). Each pred element is its own
+    self-processed seed state (list_reduce seeds with element 1); the
+    lambda picks the first candidate not yet matched via pure list
+    algebra (filter / slice / flatten-transform / concat)."""
+
+    def iou(g: str, x: str) -> str:
+        inter = (
+            f"greatest(0, least({x}.r, {g}.r) - greatest({x}.l, {g}.l))"
+            f" * greatest(0, least({x}.b, {g}.b) - greatest({x}.t, {g}.t))"
+        )
+        union = (
+            f"(({x}.r-{x}.l)*({x}.b-{x}.t) + ({g}.r-{g}.l)*({g}.b-{g}.t)"
+            f" - {inter})"
+        )
+        return (
+            f"CASE WHEN {union} > 0 THEN {inter} / greatest({union}, 1e-12)"
+            f" ELSE 0.0 END"
+        )
+
+    # per-pred ordered candidate list (CASE is fine in plain
+    # list_filter/list_transform lambdas — the bug is reduce-specific)
+    cand = (
+        "list_transform(list_filter(gts, g -> g.label = p.label AND "
+        + iou("g", "p")
+        + " >= 0.5), g -> [3.0, CAST(g.ord AS DOUBLE), "
+        + iou("g", "p")
+        + "])"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id AS e, event_type,
+         CAST(event_id % 5 AS DOUBLE) AS d1,
+         CAST(2 + event_id % 7 AS DOUBLE) AS d2,
+         CAST(20 + event_id % 4 AS DOUBLE) AS w
+  FROM events WHERE event_id < 2000
+),
+items AS (
+  SELECT user_id,
+         {{'ord': e, 'label': event_type,
+           'l': e*100.0, 't': 0.0, 'r': e*100.0 + w, 'b': 10.0}} AS g,
+         {{'ord': e*2, 'label': event_type,
+           'l': e*100.0 + d1, 't': 0.0, 'r': e*100.0 + w + d1, 'b': 10.0}} AS p1,
+         CASE WHEN e % 3 = 0 THEN
+           [{{'ord': e*2 + 1, 'label': event_type,
+              'l': e*100.0 + d2, 't': 0.0, 'r': e*100.0 + w + d2, 'b': 10.0}}]
+         ELSE [] END AS p2
+  FROM ev
+),
+user_gts AS (
+  SELECT user_id, list_sort(list(g)) AS gts, count(*) AS n_gt
+  FROM items GROUP BY user_id
+),
+pred_rows AS (
+  SELECT user_id, unnest(list_concat([p1], p2)) AS p FROM items
+),
+pred_elems AS (
+  SELECT r.user_id, r.p.ord AS ord,
+         list_concat(
+           list_concat([[2.0, abs((r.p.r - r.p.l) * (r.p.b - r.p.t))]],
+             flatten(list_transform(list_slice({cand}, 1, 1),
+                                    c -> [[0.0, c[2]], [1.0, c[3]]]))),
+           {cand}) AS elem
+  FROM (SELECT user_id, p FROM pred_rows) r JOIN user_gts USING (user_id)
+),
+folded AS (
+  SELECT user_id,
+         list_reduce(list(elem ORDER BY ord), (acc, x) ->
+           list_concat(
+             list_concat(acc, list_filter(x, p -> p[1] = 2)),
+             flatten(list_transform(
+               list_slice(list_filter(x, p -> p[1] = 3 AND NOT list_contains(
+                 list_transform(list_filter(acc, q -> q[1] = 0), q -> q[2]),
+                 p[2])), 1, 1),
+               p -> [[0.0, p[2]], [1.0, p[3]]])))) AS s
+  FROM pred_elems GROUP BY user_id
+),
+agg AS (
+  SELECT f.user_id,
+         list_transform(list_filter(f.s, p -> p[1] = 1), p -> p[2]) AS ious,
+         list_transform(list_filter(f.s, p -> p[1] = 2), p -> p[2]) AS ws,
+         len(list_filter(f.s, p -> p[1] = 0)) AS n_matched,
+         g.n_gt
+  FROM folded f JOIN user_gts g USING (user_id)
+)
+SELECT user_id,
+       round(CASE WHEN list_sum(ws) > 0 AND len(ious) > 0
+             THEN list_sum(list_transform(generate_series(1, len(ious)),
+                                          i -> ws[i] * ious[i]))
+                  / list_sum(ws)
+             ELSE 0.0 END, 6) AS avg_iou,
+       CAST(len(ious) AS INTEGER) AS matched_gt,
+       CAST(n_gt - n_matched AS INTEGER) AS unmatched_gt
+FROM agg
+"""
+
+
+def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM quality score (CCNet-style perplexity filter,
+    Wenzek et al. 2020), self-trained on the documents corpus; the
+    oracle recomputes the identical model and the identical BIGINT
+    micro-nat sums (integer-exact, so no cross-engine float hazard in
+    the compared columns)."""
+    from docling_eval_spark.operators.ngram_lm import ngram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_lm_score(d, "doc_id").select("id", "n_grams", "lm_micro_sum")
+
+
+_SQL_NGRAM_LM = r"""
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS norm
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substring(norm, CAST(i AS INTEGER), 3) AS gram
+  FROM docs, LATERAL unnest(range(1, length(norm) - 1)) AS t(i)
+  WHERE length(norm) >= 3
+),
+tri AS (SELECT gram, count(*) AS c3 FROM grams GROUP BY gram),
+ctx AS (
+  SELECT substring(gram, 1, 2) AS cx, sum(c3) AS c2 FROM tri GROUP BY 1
+),
+model AS (
+  SELECT gram, round(ln(CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE)), 6) AS logp
+  FROM tri JOIN ctx ON substring(gram, 1, 2) = cx
+),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CAST(round(m.logp * 1e6) AS BIGINT)) AS micro
+  FROM grams g JOIN model m USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.micro, 0) AS BIGINT) AS lm_micro_sum
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per p USING (doc_id)
+"""
+
+
+def _q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact semi-join (operators/bloom.py): the
+    broadcast bitmap must be a strict superset filter, so the final
+    result equals the plain semi join the oracle computes."""
+    from docling_eval_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_partkey").alias("k")
+    )
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 5)
+        .select(F.col("p_partkey").alias("k"))
+    )
+    return bloom_semi_join(li, small, "k").select(
+        "l_orderkey", "l_linenumber", "k"
+    )
+
+
+_SQL_BLOOM_SEMI = """
+SELECT l_orderkey, l_linenumber, l_partkey AS k
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 5)
+"""
+
+
 def _sql_corpus_ap_cte() -> str:
     """Shared CTE chain computing the per-(label, thr) AP table in
     DuckDB (same IoU-threshold doubles as layout.IOU_THRESHOLDS via
@@ -2723,6 +2980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otsl_roundtrip_teds": _with_pkg(_q_otsl_roundtrip_teds),
         "corpus_map": _with_pkg(_q_corpus_map),
         "layout_class_ap": _with_pkg(_q_layout_class_ap),
+        "greedy_iou": _with_pkg(_q_greedy_iou),
+        "ngram_lm": _with_pkg(_q_ngram_lm),
+        "bloom_semi": _with_pkg(_q_bloom_semi),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
         "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
@@ -2783,6 +3043,9 @@ def oracle_sql() -> dict[str, str]:
         "otsl_roundtrip_teds": _SQL_OTSL_ROUNDTRIP,
         "corpus_map": _sql_corpus_map(),
         "layout_class_ap": _sql_layout_class_ap(),
+        "greedy_iou": _sql_greedy_iou(),
+        "ngram_lm": _SQL_NGRAM_LM,
+        "bloom_semi": _SQL_BLOOM_SEMI,
         "teds_known_distance": _SQL_TEDS_KNOWN,
         "gopher_quality": _SQL_GOPHER,
         "repetition_bigrams": _SQL_REPETITION,

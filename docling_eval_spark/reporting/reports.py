@@ -73,13 +73,120 @@ def histogram_svg(stats_row: dict[str, Any], title: str = "") -> str:
     )
 
 
+# 5x7 bitmap font (classic LCD-style glyph shapes, public domain
+# folklore) for rasterized plot labels — each glyph is 7 rows of 5
+# bits, MSB = leftmost column. Subset: what metric labels use.
+_FONT_5X7: dict[str, tuple[int, ...]] = {
+    " ": (0, 0, 0, 0, 0, 0, 0),
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    "a": (0x00, 0x00, 0x0E, 0x01, 0x0F, 0x11, 0x0F),
+    "b": (0x10, 0x10, 0x16, 0x19, 0x11, 0x11, 0x1E),
+    "c": (0x00, 0x00, 0x0E, 0x10, 0x10, 0x11, 0x0E),
+    "d": (0x01, 0x01, 0x0D, 0x13, 0x11, 0x11, 0x0F),
+    "e": (0x00, 0x00, 0x0E, 0x11, 0x1F, 0x10, 0x0E),
+    "f": (0x06, 0x09, 0x08, 0x1C, 0x08, 0x08, 0x08),
+    "g": (0x00, 0x0F, 0x11, 0x11, 0x0F, 0x01, 0x0E),
+    "h": (0x10, 0x10, 0x16, 0x19, 0x11, 0x11, 0x11),
+    "i": (0x04, 0x00, 0x0C, 0x04, 0x04, 0x04, 0x0E),
+    "j": (0x02, 0x00, 0x06, 0x02, 0x02, 0x12, 0x0C),
+    "k": (0x10, 0x10, 0x12, 0x14, 0x18, 0x14, 0x12),
+    "l": (0x0C, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "m": (0x00, 0x00, 0x1A, 0x15, 0x15, 0x11, 0x11),
+    "n": (0x00, 0x00, 0x16, 0x19, 0x11, 0x11, 0x11),
+    "o": (0x00, 0x00, 0x0E, 0x11, 0x11, 0x11, 0x0E),
+    "p": (0x00, 0x00, 0x1E, 0x11, 0x1E, 0x10, 0x10),
+    "q": (0x00, 0x00, 0x0D, 0x13, 0x0F, 0x01, 0x01),
+    "r": (0x00, 0x00, 0x16, 0x19, 0x10, 0x10, 0x10),
+    "s": (0x00, 0x00, 0x0E, 0x10, 0x0E, 0x01, 0x1E),
+    "t": (0x08, 0x08, 0x1C, 0x08, 0x08, 0x09, 0x06),
+    "u": (0x00, 0x00, 0x11, 0x11, 0x11, 0x13, 0x0D),
+    "v": (0x00, 0x00, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "w": (0x00, 0x00, 0x11, 0x11, 0x15, 0x15, 0x0A),
+    "x": (0x00, 0x00, 0x11, 0x0A, 0x04, 0x0A, 0x11),
+    "y": (0x00, 0x00, 0x11, 0x11, 0x0F, 0x01, 0x0E),
+    "z": (0x00, 0x00, 0x1F, 0x02, 0x04, 0x08, 0x1F),
+    "_": (0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x1F),
+    "-": (0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    ".": (0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    ",": (0x00, 0x00, 0x00, 0x00, 0x0C, 0x04, 0x08),
+    ":": (0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x0C, 0x00),
+    "(": (0x02, 0x04, 0x08, 0x08, 0x08, 0x04, 0x02),
+    ")": (0x08, 0x04, 0x02, 0x02, 0x02, 0x04, 0x08),
+    "%": (0x18, 0x19, 0x02, 0x04, 0x08, 0x13, 0x03),
+}
+
+
+def _raster_text(img, x: int, y: int, text: str, rgb=(0, 0, 0)) -> None:
+    """Blit ``text`` into an (H, W, 3) uint8 array at (x, y) using the
+    5x7 font (unknown glyphs render as the '-' placeholder)."""
+    h, w = img.shape[:2]
+    for ch in text.lower():
+        rows = _FONT_5X7.get(ch, _FONT_5X7["-"])
+        for ry, bits in enumerate(rows):
+            for rx in range(5):
+                if bits & (1 << (4 - rx)):
+                    px, py = x + rx, y + ry
+                    if 0 <= px < w and 0 <= py < h:
+                        img[py, px] = rgb
+        x += 6
+
+
+def histogram_png(stats_row: dict[str, Any], title: str = "") -> bytes:
+    """Histogram as a standalone raster PNG — the reference's
+    matplotlib figure (`evaluators/stats.py:52-73`: bar chart +
+    mean/median/std/total title) rasterized with numpy and encoded by
+    the in-repo PNG encoder; no plotting library in the container, so
+    bars, axis and the 5x7-font title are drawn directly."""
+    import numpy as np
+
+    from docling_eval_spark.operators.png_codec import png_encode
+
+    hist = stats_row["hist"]
+    w, h, pad = 640, 320, 40
+    img = np.full((h, w, 3), 255, dtype=np.uint8)
+    peak = max(hist) or 1
+    bar_w = (w - 2 * pad) / max(len(hist), 1)
+    for i, c in enumerate(hist):
+        bh = int(round((h - 2 * pad) * c / peak))
+        if bh <= 0:
+            continue
+        x0 = int(round(pad + i * bar_w))
+        x1 = int(round(pad + (i + 1) * bar_w)) - 1
+        y0, y1 = h - pad - bh, h - pad
+        img[y0:y1, x0:x1] = (72, 120, 168)  # fill (matches the SVG)
+        img[y0:y1, x0] = 0  # black edges, as plt.bar(edgecolor=black)
+        img[y0:y1, x1 - 1] = 0
+        img[y0, x0:x1] = 0
+    img[h - pad, pad : w - pad] = 0  # x axis
+    img[pad : h - pad + 1, pad - 1] = 0  # y axis
+    label = (
+        f"{title} (mean: {stats_row['mean']:.2f}, median: "
+        f"{stats_row['median']:.2f}, std: {stats_row['std']:.2f}, "
+        f"total: {stats_row['total']})"
+    )
+    _raster_text(img, pad, 12, label)
+    _raster_text(img, w // 2 - 15, h - 14, "score")
+    return png_encode(img)
+
+
 def write_metric_report(
     df: DataFrame, value_col: str, out_dir: str, metric_name: str
 ) -> dict[str, Any]:
-    """compute_stats → {name}.json + {name}.md + {name}.svg (the
-    reference's evaluate/visualize sink pair, `cli/main.py:252-310` +
-    `70-112`). Stats run in scale_mode over 3-decimal-quantized values
-    (same contract as evaluate()'s rollups): the report path must not
+    """compute_stats → {name}.json + {name}.md + {name}.svg +
+    {name}.png (the reference's evaluate/visualize sink pair,
+    `cli/main.py:252-310` + `70-112`; the .png matches the
+    reference's matplotlib figure format via the in-repo rasterizer).
+    Stats run in scale_mode over 3-decimal-quantized values (same
+    contract as evaluate()'s rollups): the report path must not
     buffer every per-doc value in one percentile() task at corpus
     scale."""
     quantized = df.select(F.round(F.col(value_col), 3).alias(value_col))
@@ -91,6 +198,7 @@ def write_metric_report(
     (out / f"{metric_name}.json").write_text(json.dumps(row, default=list))
     (out / f"{metric_name}.md").write_text(stats_to_table_text(row, metric_name))
     (out / f"{metric_name}.svg").write_text(histogram_svg(row, metric_name))
+    (out / f"{metric_name}.png").write_bytes(histogram_png(row, metric_name))
     return row
 
 

@@ -271,12 +271,18 @@ def test_cli_warc_create_with_gt(tmp_path, monkeypatch):
     assert abs(row["avg(f1_score)"] - 1.0) < 1e-9
 
 
-def test_clean_pipeline_nfc_twin_collision(tmp_path, spark):
+def test_clean_pipeline_nfc_twin_collision(tmp_path, spark, monkeypatch):
     """Pipeline-level proof of the normalize-before-dedup ordering:
     a composed 'é' page and its decomposed 'e'+U+0301 twin are
     different bytes (md5 would differ) but MUST collide in exact_dedup
     once nfc_normalize_stage has run first."""
+    import pyspark.sql
+
     from docling_eval_spark import cli, pipelines
+
+    # cli.main stops its session on exit; under pytest that session IS
+    # the shared fixture session — neutralize stop for this test
+    monkeypatch.setattr(pyspark.sql.SparkSession, "stop", lambda self: None)
 
     composed = "café résumé document body with plenty of words here"
     decomposed = "café résumé document body with plenty of words here"

@@ -186,6 +186,17 @@ def test_reports(spark, tmp_path):
     svg = (tmp_path / "score.svg").read_text()
     assert svg.startswith("<svg") and "rect" in svg
     assert "| 10.00 |" not in stats_to_table_text(row, "x").splitlines()[0]
+    # standalone raster plot (reference stats.py:52-73 matplotlib
+    # figure parity): decodes via the in-repo codec, right size, has
+    # bar fill + black text/axes pixels
+    from docling_eval_spark.operators.png_codec import png_decode
+
+    img = png_decode((tmp_path / "score.png").read_bytes())
+    assert img.shape == (320, 640, 3)
+    blue = (
+        (img[:, :, 0] == 72) & (img[:, :, 1] == 120) & (img[:, :, 2] == 168)
+    ).sum()
+    assert blue > 500 and (img.sum(axis=2) == 0).sum() > 300
 
     cmp_df = spark.createDataFrame(
         [("u1", "same", "same"), ("u2", "a", "b")],

@@ -1341,3 +1341,45 @@ def test_page_rank_tolerance_stop(spark):
     # iterations yet still produce sane ranks (sum ≈ ranks of nodes)
     loose = {r["node"]: r["rank"] for r in page_rank(edges, 60, tol=0.5).collect()}
     assert set(loose) == set(fixed)
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Char-trigram LM score vs a hand-rolled Python twin on a tiny
+    corpus (model self-trained on the same docs)."""
+    import math
+
+    from docling_eval_spark.operators.ngram_lm import ngram_lm_score
+
+    rows = [(0, "abcabc"), (1, "abcd"), (2, "zz")]  # doc 2: no trigram
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in ngram_lm_score(df, "doc_id").collect()}
+
+    # python twin
+    texts = {i: t for i, t in rows}
+    tri: dict = {}
+    for t in texts.values():
+        for i in range(len(t) - 2):
+            g = t[i : i + 3]
+            tri[g] = tri.get(g, 0) + 1
+    ctx: dict = {}
+    for g, c in tri.items():
+        ctx[g[:2]] = ctx.get(g[:2], 0) + c
+    logp = {g: round(math.log(c / ctx[g[:2]]), 6) for g, c in tri.items()}
+    for i, t in texts.items():
+        grams = [t[j : j + 3] for j in range(len(t) - 2)]
+        assert got[i]["n_grams"] == len(grams)
+        if grams:
+            micro = sum(int(round(logp[g] * 1e6)) for g in grams)
+            assert got[i]["lm_micro_sum"] == micro
+            assert abs(got[i]["lm_score"] - micro / (1e6 * len(grams))) < 1e-9
+        else:
+            assert got[i]["lm_micro_sum"] == 0
+            assert got[i]["lm_score"] is None
+    # the mojibake-detector property: a doc whose trigrams are corpus-
+    # typical scores higher than one full of corpus-rare trigrams
+    corpus = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(20)]
+    corpus += [(100, "the quick brown fox jumps over the lazy dog again"),
+               (101, "zq xv kj wq pf zx qq vv jj kk pp zz xx qv")]
+    df2 = spark.createDataFrame(corpus, "doc_id long, text string")
+    s = {r["id"]: r["lm_score"] for r in ngram_lm_score(df2, "doc_id").collect()}
+    assert s[100] > s[101]

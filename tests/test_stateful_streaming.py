@@ -75,3 +75,63 @@ def test_stream_sessionization_matches_batch(spark, tmp_path):
     for uid, rows in oracle_by_user.items():
         emitted = [r for r in got if r["user_id"] == uid]
         assert len(emitted) >= len(rows) - 1
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Streaming exact-dedup: a page duplicated WITHIN a batch emits
+    once; a page duplicated ACROSS two availableNow runs (same
+    checkpoint → persisted state) is suppressed on the second run."""
+    from docling_eval_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "pages"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "url string, text string"
+    seen_ids: set[str] = set()
+
+    def run():
+        # durable parquet sink: the memory sink can't recover from a
+        # checkpoint, and cross-batch state needs run 2 to resume it
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            dedup_stream(stream, "url", "text")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            r for r in spark.read.parquet(out).collect()
+            if r["id"] not in seen_ids
+        ]
+        seen_ids.update(r["id"] for r in rows)
+        return rows
+
+    batch1 = [
+        ("u1", "alpha page body text"),
+        ("u2", "alpha page body text"),   # within-batch dup of u1
+        ("u3", "beta page body text"),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    got1 = run()
+    texts1 = sorted(r["text"] for r in got1)
+    assert texts1 == ["alpha page body text", "beta page body text"]
+    assert all(r["id"] in ("u1", "u2", "u3") for r in got1)
+
+    batch2 = [
+        ("u4", "alpha page body text"),   # CROSS-batch dup → suppressed
+        ("u5", "gamma new page body"),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    got2 = run()
+    # only the genuinely new digest appears; the cross-batch dup never
+    # re-emits (state survived via the checkpoint)
+    assert [r["text"] for r in got2] == ["gamma new page body"]
+    assert got2[0]["id"] == "u5"
