@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "corpus_map",
     "teds_known_distance",
+    "ngram_lm",
+    "page_rank",
 ]
 
 WARM_PASSES = 3

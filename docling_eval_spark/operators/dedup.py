@@ -66,7 +66,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     (``min(id)`` rather than line_dedup's ``min(struct(...))``: the
     atomic column keeps the agg in HashAggregate; struct buffers force
     a SortAggregate fallback.) Winners then join back to the source on
-    the *unique* id column, which cannot skew."""
+    the *unique* id column, which cannot skew.
+
+    Precondition: ``id_col`` must be unique across rows (it is the
+    join-back key — a duplicated id would fan out). Rows whose id is
+    NULL never win and are dropped (min() ignores nulls; an inner
+    join on a null key matches nothing)."""
     winners = (
         df.select(
             F.md5(_norm(text_col)).alias("__digest"), F.col(id_col)
