@@ -65,27 +65,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     which is what the previous per-digest ``row_number()`` window did.
     (``min(id)`` rather than line_dedup's ``min(struct(...))``: the
     atomic column keeps the agg in HashAggregate; struct buffers force
-    a SortAggregate fallback.) Winners then join back to the source on
-    the *unique* id column, which cannot skew.
+    a SortAggregate fallback.) Winners join back on (digest, id) and a
+    final first-per-digest agg collapses the case where the winning id
+    itself occurs more than once in the group (re-fetched URLs in a
+    crawl — ids are NOT assumed unique). That collapse is also
+    hash-aggregated and cannot skew: by then at most the winning id's
+    multiplicity remains per digest, not the group's copy count.
 
-    Precondition: ``id_col`` must be unique across rows (it is the
-    join-back key — a duplicated id would fan out). Rows whose id is
-    NULL never win and are dropped (min() ignores nulls; an inner
-    join on a null key matches nothing)."""
+    Rows whose id is NULL never win and are dropped (min() ignores
+    nulls; an inner join on a null key matches nothing). A
+    pre-existing ``dup_count`` column is replaced (same contract as
+    the old ``withColumn``)."""
+    if "dup_count" in df.columns:
+        df = df.drop("dup_count")
+    wd = df.withColumn("__digest", F.md5(_norm(text_col)))
     winners = (
-        df.select(
-            F.md5(_norm(text_col)).alias("__digest"), F.col(id_col)
-        )
-        .groupBy("__digest")
+        wd.groupBy(F.col("__digest").alias("__wdigest"))
         .agg(
             F.min(F.col(id_col)).alias("__win_id"),
             F.count("*").alias("dup_count"),
         )
-        .select("__win_id", "dup_count")
     )
-    return df.join(
-        winners, F.col(id_col) == F.col("__win_id"), "inner"
-    ).drop("__win_id")
+    joined = wd.join(
+        winners,
+        (F.col("__digest") == F.col("__wdigest"))
+        & (F.col(id_col) == F.col("__win_id")),
+        "inner",
+    ).drop("__wdigest", "__win_id")
+    payload = [c for c in joined.columns if c != "__digest"]
+    return (
+        joined.groupBy("__digest")
+        .agg(*[F.first(c).alias(c) for c in payload])
+        .drop("__digest")
+    )
 
 
 # ---------------------------------------------------------------- shingles

@@ -86,6 +86,7 @@ def ngram_lm_score(
     text_col: str = "text",
     model: DataFrame | None = None,
     floor_logp: float = -20.0,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """(id, n_grams, lm_micro_sum, lm_score): trigram conditional
     log-prob stats per document under ``model`` (default: a model
@@ -100,14 +101,23 @@ def ngram_lm_score(
     the column cross-engine oracles should compare). ``lm_score`` =
     lm_micro_sum / (1e6 · n_grams) is the human-readable mean
     log-prob (raw double; final-digit rounding of a .5-tie quotient is
-    engine-dependent, so it stays unrounded)."""
+    engine-dependent, so it stays unrounded).
+
+    ``broadcast_model`` (default True) force-broadcasts the model —
+    right whenever the trigram vocab is small relative to the corpus
+    (ASCII-dominant text: ≤ a few million rows). For unbounded
+    charsets (CJK-heavy crawls approach charset³ distinct trigrams)
+    pass False and let Spark's size-based planning pick a shuffle
+    join instead of collecting an oversized model to the driver."""
     if model is None:
         model = trigram_model(df, text_col)
+    if broadcast_model:
+        model = F.broadcast(model)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(_grams_of(_norm(text_col), 3)).alias("gram"),
     )
-    scored = grams.join(F.broadcast(model), "gram", "left").select(
+    scored = grams.join(model, "gram", "left").select(
         "id",
         F.coalesce(
             F.col("logp"), F.lit(round(floor_logp, 6))

@@ -377,6 +377,25 @@ def kgram_hash_positions(
     )
 
 
+def _clean_local_scratch(base: str) -> None:
+    """Best-effort removal of a local/file: scratch dir (previous
+    duplicate_spans postings dumps); remote URIs are left alone —
+    Spark never garbage-collects foreign parquet in a checkpoint dir,
+    so without this every call would leak one full dump."""
+    import os
+    import shutil
+
+    path = base
+    if path.startswith("file://"):
+        path = path[7:]
+    elif path.startswith("file:"):
+        path = path[5:]
+    if "://" in path:
+        return  # hdfs/s3/... — caller manages remote scratch
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -416,6 +435,15 @@ def duplicate_spans(
     configured (``sc.setCheckpointDir`` — the pipeline's stated
     scratch space) and falls back to recompute otherwise; pass
     ``False`` to force recompute even with a checkpoint dir.
+
+    Auto-materialization notes: (a) building the returned frame runs
+    an EAGER write job (the postings dump, ~20x the text bytes) —
+    cost moves from first action to construction; (b) each call
+    best-effort DELETES the previous call's dump under the shared
+    ``duplicate_spans_postings/`` scratch subdir before writing its
+    own (local/file: checkpoint dirs only), so the scratch volume
+    holds at most one dump — consume a returned frame before calling
+    again, or pass explicit per-call ``postings_path``s.
     """
     if min_len is None:
         min_len = k
@@ -425,7 +453,9 @@ def duplicate_spans(
         if ckpt:
             import uuid
 
-            postings_path = f"{ckpt}/duplicate_spans_postings_{uuid.uuid4().hex}"
+            base = f"{ckpt}/duplicate_spans_postings"
+            _clean_local_scratch(base)
+            postings_path = f"{base}/{uuid.uuid4().hex}"
     if postings_path:
         posted.write.mode("overwrite").parquet(postings_path)
         posted = df.sparkSession.read.parquet(postings_path)

@@ -324,7 +324,16 @@ def robots_filter_stage(
     and each rule's regex is applied VECTORIZED over the whole
     same-robots row group (pandas str.contains at C level), not in a
     per-row interpreter loop. Hosts with no robots.txt are allowed
-    (the crawler convention for 404)."""
+    (the crawler convention for 404).
+
+    Cost trade, explicit: the fast/slow union reads the ``pages``
+    source TWICE (disjoint filters over the same subtree; the robots
+    dim is tiny and re-broadcast). Against a columnar store with the
+    url column pruned, two scans are far cheaper than one scan that
+    routes every row through Python — but if the input is an
+    expensive non-reusable computation, ``.persist()`` it before
+    calling this stage (the stage itself cannot manage a cache whose
+    lifetime outlives its return value)."""
     from collections.abc import Iterator as _It
 
     import numpy as np
@@ -508,7 +517,14 @@ def page_rank(
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for it in range(iterations):
-        if it > 0 and checkpoint_every and it % checkpoint_every == 0:
+        # in tol mode every iteration already checkpoints below — a
+        # second checkpoint here would re-materialize for nothing
+        if (
+            tol is None
+            and it > 0
+            and checkpoint_every
+            and it % checkpoint_every == 0
+        ):
             ranks = ranks.localCheckpoint(eager=True)
         prev = ranks
         contribs = (
@@ -530,7 +546,8 @@ def page_rank(
         if tol is not None:
             # materialize once so the delta probe and the next
             # iteration share the computed frame instead of doubling
-            # the join tree
+            # the join tree (this also covers the checkpoint_every
+            # lineage guard — every tol iteration checkpoints)
             ranks = ranks.localCheckpoint(eager=True)
             delta = (
                 ranks.alias("a")
@@ -538,6 +555,13 @@ def page_rank(
                 .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
                 .collect()[0][0]
             )
+            # prev (last iteration's checkpoint) is dead after the
+            # probe — release its blocks instead of waiting for GC,
+            # bounding executor storage at two rank-frame copies
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass
             if delta is not None and delta <= tol:
                 break
     out = ranks.localCheckpoint(eager=True)

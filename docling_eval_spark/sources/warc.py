@@ -93,6 +93,11 @@ def _split_gzip_members_tagged(data: bytes) -> Iterator[tuple[bytes, str | None]
                 i += _GZ_CHUNK
         except zlib.error as e:
             err = "corrupt gzip member at offset %d: %s" % (pos, e)
+        if err is None and not d.eof:
+            # input exhausted before the stream end: zlib does not
+            # raise for truncation, but the loss is just as real —
+            # tag it so the record layer emits a FAILURE row
+            err = "truncated gzip member at offset %d" % pos
         yield b"".join(out), err
         if err is None and d.eof:
             fed = min(i, n) - pos

@@ -27,7 +27,9 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-_WS = r"[ \t\n\r\f\v]+"
+# the SAME normalization as the batch twin — imported, not re-inlined,
+# so the streaming digest can never drift from exact_dedup's
+from docling_eval_spark.operators.dedup import _norm
 
 DEDUP_OUT_SCHEMA = T.StructType(
     [
@@ -73,9 +75,7 @@ def dedup_stream(
     (digest, id, text); later copies of the same normalized text are
     suppressed, including ACROSS micro-batches."""
     keyed = pages.select(
-        F.md5(F.trim(F.regexp_replace(F.col(text_col), _WS, " "))).alias(
-            "digest"
-        ),
+        F.md5(_norm(text_col)).alias("digest"),
         F.col(id_col).cast("string").alias("id"),
         F.col(text_col).alias("text"),
     ).groupBy("digest")

@@ -987,10 +987,16 @@ def test_duplicate_spans_auto_materialize_with_checkpoint_dir(spark, tmp_path):
         # the postings parquet actually landed under the checkpoint dir
         # (getCheckpointDir returns file:<base>/<context-uuid>, so walk)
         hits = [
-            d for _, dirs, _ in os.walk(tmp_path / "ckpt") for d in dirs
-            if d.startswith("duplicate_spans_postings_")
+            os.path.join(root, d)
+            for root, dirs, _ in os.walk(tmp_path / "ckpt")
+            for d in dirs
+            if d == "duplicate_spans_postings"
         ]
-        assert hits
+        assert hits and os.listdir(hits[0])
+        # a second call cleans the first call's dump (scratch holds at
+        # most one) — count the uuid dirs under the scratch base
+        duplicate_spans(df, "doc_id", k=20).collect()
+        assert len(os.listdir(hits[0])) == 1
     finally:
         if old:
             sc.setCheckpointDir(old)
@@ -1383,3 +1389,34 @@ def test_ngram_lm_score_hand_computed(spark):
     df2 = spark.createDataFrame(corpus, "doc_id long, text string")
     s = {r["id"]: r["lm_score"] for r in ngram_lm_score(df2, "doc_id").collect()}
     assert s[100] > s[101]
+
+
+def test_exact_dedup_duplicate_and_null_ids(spark):
+    """Ids are NOT assumed unique (re-fetched URLs): a duplicated
+    winning id must not fan out, and a winner of one digest must not
+    resurrect same-id rows of OTHER digests. NULL-id rows drop."""
+    rows = [
+        ("u1", "text A"), ("u1", "text B"),  # same id, two digests
+        ("u2", "text A"),                     # loses digest A to u1
+        ("u3", "text C"), ("u3", "text C"),  # dup id INSIDE one digest
+        (None, "text D"),                     # null id → dropped
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = exact_dedup(df, "url").collect()
+    got = sorted((r["url"], r["text"], r["dup_count"]) for r in out)
+    assert got == [
+        ("u1", "text A", 2),
+        ("u1", "text B", 1),
+        ("u3", "text C", 2),
+    ]
+    # idempotent re-run over already-deduped output (dup_count present)
+    out_df = exact_dedup(df, "url")
+    again = sorted(
+        (r["url"], r["text"], r["dup_count"])
+        for r in exact_dedup(out_df, "url").collect()
+    )
+    assert again == [
+        ("u1", "text A", 1),
+        ("u1", "text B", 1),
+        ("u3", "text C", 1),
+    ]

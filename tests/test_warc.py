@@ -433,3 +433,30 @@ def test_cdx_index_point_fetch(spark, tmp_path):
     )
     frow = fetch_warc_records(spark, bad, str(wdir)).collect()[0]
     assert frow["warc_status"] == "FAILURE" and frow["url"] == "http://x.example/"
+
+
+def test_warc_truncated_gzip_member_failure_row():
+    """A .warc.gz cut off mid-member (no zlib error — truncation does
+    not raise) must still surface as a FAILURE row, not vanish."""
+    from docling_eval_spark.sources.warc import _gzip_member, warc_record_bytes
+
+    pages = _fixture_pages(2)
+    members = [
+        _gzip_member(
+            warc_record_bytes(
+                "response",
+                p["html"],
+                {
+                    "WARC-Target-URI": p["url"],
+                    "WARC-Date": "2017-03-22T17:43:04Z",
+                },
+            )
+        )
+        for p in pages
+    ]
+    stream = members[0] + members[1][: len(members[1]) // 2]  # cut mid-member
+    rows = warc_file_to_pages(stream)
+    ok = [r for r in rows if r["warc_status"] == "SUCCESS"]
+    bad = [r for r in rows if r["warc_status"] == "FAILURE"]
+    assert [r["url"] for r in ok] == [pages[0]["url"]]
+    assert any("truncated gzip member" in r["error"] for r in bad)
