@@ -1780,6 +1780,36 @@ FROM agg
 """
 
 
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline (pipelines.clean_corpus,
+    CLI `clean`): NFC normalization THEN exact dedup — the ordering
+    that makes composed/decomposed Unicode twins collide. The oracle
+    recomputes the same composition over DuckDB's nfc_normalize."""
+    from docling_eval_spark import pipelines
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = pipelines.clean_corpus(d, "doc_id", annotate=False)
+    return cleaned.select(
+        F.col("doc_id").alias("id"),
+        "dup_count",
+        F.md5("text").alias("nfc_md5"),
+    )
+
+
+_SQL_CLEAN_CORPUS = r"""
+WITH n AS (
+  SELECT doc_id, nfc_normalize(text) AS text FROM documents
+),
+d AS (
+  SELECT md5(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))) AS dg,
+         min(doc_id) AS id, count(*) AS dup_count
+  FROM n GROUP BY 1
+)
+SELECT d.id, d.dup_count, md5(n.text) AS nfc_md5
+FROM d JOIN n ON n.doc_id = d.id
+"""
+
+
 def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram LM quality score (CCNet-style perplexity filter,
     Wenzek et al. 2020), self-trained on the documents corpus; the
@@ -2982,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_class_ap": _with_pkg(_q_layout_class_ap),
         "greedy_iou": _with_pkg(_q_greedy_iou),
         "ngram_lm": _with_pkg(_q_ngram_lm),
+        "clean_corpus": _with_pkg(_q_clean_corpus),
         "bloom_semi": _with_pkg(_q_bloom_semi),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
@@ -3045,6 +3076,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_class_ap": _sql_layout_class_ap(),
         "greedy_iou": _sql_greedy_iou(),
         "ngram_lm": _SQL_NGRAM_LM,
+        "clean_corpus": _SQL_CLEAN_CORPUS,
         "bloom_semi": _SQL_BLOOM_SEMI,
         "teds_known_distance": _SQL_TEDS_KNOWN,
         "gopher_quality": _SQL_GOPHER,
