@@ -2731,6 +2731,59 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components (min-label propagation,
+    6 unrolled iterations) over the minhash near-dup pair graph — the
+    transitive-closure apply step that turns similar PAIRS into
+    dedup GROUPS. The oracle recomputes the identical pair graph
+    (bit-for-bit minhash signatures) and unrolls the same 6
+    label-propagation iterations as CTEs."""
+    from docling_eval_spark.operators.dedup import minhash_dedup_pairs
+    from docling_eval_spark.operators.web_ops import connected_components
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dup = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = minhash_dedup_pairs(dup, "doc_id", threshold=0.7)
+    return connected_components(
+        pairs, "id_l", "id_r", iterations=6
+    ).select("node", "component")
+
+
+def _sql_near_dup_components(iterations: int = 6) -> str:
+    prev = "c0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""c{i} AS (
+  SELECT node, min(component) AS component FROM (
+    SELECT u.b AS node, c.component FROM und u JOIN {prev} c ON c.node = u.a
+    UNION ALL SELECT node, component FROM {prev}
+  ) GROUP BY node
+)"""
+        )
+        prev = f"c{i}"
+    chain = ",\n".join(iters)
+    # AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by
+    # default, which would recompute the minhash pair graph once per
+    # unrolled iteration — force one evaluation
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_l, id_r FROM ({_sql_minhash_pairs()})
+),
+und AS MATERIALIZED (
+  SELECT id_l AS a, id_r AS b FROM pairs
+  UNION ALL SELECT id_r AS a, id_l AS b FROM pairs
+),
+c0 AS (SELECT DISTINCT a AS node, a AS component FROM und),
+{chain}
+SELECT node, component FROM {prev}
+"""
+
+
 def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental minhash dedup: NEW docs (ids +100000, same texts —
     guaranteed est=1.0 self-collisions plus organic near-dups) against
@@ -3005,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_md5": _with_pkg(_q_extract_md5),
         "extract_match_stats": _with_pkg(_q_extract_match_stats),
         "minhash_pairs": _with_pkg(_q_minhash_pairs),
+        "near_dup_components": _with_pkg(_q_near_dup_components),
         "simhash": _with_pkg(_q_simhash),
         "bbox_text_metrics": _with_pkg(_q_bbox_text_metrics),
         "otsl_roundtrip_teds": _with_pkg(_q_otsl_roundtrip_teds),
@@ -3069,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_md5": _SQL_EXTRACT_MD5,
         "extract_match_stats": _SQL_EXTRACT_MATCH,
         "minhash_pairs": _sql_minhash_pairs(),
+        "near_dup_components": _sql_near_dup_components(),
         "simhash": _SQL_SIMHASH,
         "bbox_text_metrics": _SQL_BBOX_TEXT,
         "otsl_roundtrip_teds": _SQL_OTSL_ROUNDTRIP,

@@ -467,6 +467,55 @@ def extract_links(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Connected components by min-label propagation over an
+    undirected edge list — the "pairs → clusters" apply step of
+    near-dup dedup (MinHash/SimHash emit similar PAIRS; keeping one
+    doc per duplicate GROUP needs the transitive closure). Returns
+    (node, component) where component = the minimum node id reachable
+    within ``iterations`` hops; labels converge once iterations ≥ the
+    largest component's diameter (near-dup clusters are small and
+    clique-like, so single digits suffice; pass more for long chains).
+
+    Scale shape per iteration — identical to :func:`page_rank`'s loop
+    and the Pregel-style label propagation it approximates (public
+    technique, e.g. Kiveris et al. 2014 "Connected Components in
+    MapReduce"): ONE equi-join of labels against the symmetrized edge
+    list + ONE map-side-combining min aggregation; no collect, no
+    driver state, lineage truncated every ``checkpoint_every``
+    iterations. Duplicate edges are harmless (min is idempotent), so
+    no distinct pass is spent on the edge list."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    comps = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for it in range(iterations):
+        if it > 0 and checkpoint_every and it % checkpoint_every == 0:
+            comps = comps.localCheckpoint(eager=True)
+        contrib = und.join(comps, und["a"] == comps["node"]).select(
+            F.col("b").alias("node"), "component"
+        )
+        comps = (
+            contrib.unionByName(comps.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+    out = comps.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
 def page_rank(
     edges: DataFrame,
     iterations: int = 5,

@@ -1420,3 +1420,35 @@ def test_exact_dedup_duplicate_and_null_ids(spark):
         ("u1", "text B", 1),
         ("u3", "text C", 1),
     ]
+
+
+def test_connected_components(spark):
+    from docling_eval_spark.operators.web_ops import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain → component 1
+         (10, 11), (11, 12), (10, 12),    # clique → component 10
+         (20, 21), (21, 20)],             # dup/reversed edges → 20
+        "src long, dst long",
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, iterations=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+    # partitioning invariance
+    got2 = {r["node"]: r["component"]
+            for r in connected_components(
+                edges.repartition(7), iterations=4).collect()}
+    assert got2 == got
+    # a long chain needs iterations >= diameter: 6 hops, 3 iterations
+    # is NOT enough (documented contract), 6 is
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    partial = {r["node"]: r["component"]
+               for r in connected_components(chain, iterations=2).collect()}
+    assert partial[6] != 0  # not yet converged
+    full = {r["node"]: r["component"]
+            for r in connected_components(chain, iterations=6).collect()}
+    assert set(full.values()) == {0}
