@@ -1780,6 +1780,42 @@ FROM agg
 """
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf·idf terms (Sparck Jones 1972) — integer
+    micro-scores, so the oracle compares exact BIGINTs, never floats."""
+    from docling_eval_spark.operators.text_analysis import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, "doc_id", k=3)
+
+
+_SQL_TFIDF = r"""
+WITH terms AS (
+  SELECT doc_id AS id, lower(t) AS term
+  FROM documents,
+       LATERAL unnest(list_filter(
+         string_split_regex(trim(text), '[ \t\n\r\f\v]+'), x -> x <> ''
+       )) AS u(t)
+),
+tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY id, term),
+dfreq AS (
+  SELECT term,
+         CAST(round(ln((SELECT count(DISTINCT doc_id) FROM documents) * 1.0
+                       / count(DISTINCT id)) * 1e6) AS BIGINT) AS idf_micro
+  FROM terms GROUP BY term
+),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf * d.idf_micro AS score_micro,
+         row_number() OVER (
+           PARTITION BY tf.id ORDER BY tf.tf * d.idf_micro DESC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN dfreq d USING (term)
+)
+SELECT id, term, CAST(rank AS INTEGER) AS rank, score_micro
+FROM scored WHERE rank <= 3
+"""
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning pipeline (pipelines.clean_corpus,
     CLI `clean`): NFC normalization THEN exact dedup — the ordering
@@ -3067,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_iou": _with_pkg(_q_greedy_iou),
         "ngram_lm": _with_pkg(_q_ngram_lm),
         "clean_corpus": _with_pkg(_q_clean_corpus),
+        "tfidf_top_terms": _with_pkg(_q_tfidf_top_terms),
         "bloom_semi": _with_pkg(_q_bloom_semi),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
@@ -3132,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_iou": _sql_greedy_iou(),
         "ngram_lm": _SQL_NGRAM_LM,
         "clean_corpus": _SQL_CLEAN_CORPUS,
+        "tfidf_top_terms": _SQL_TFIDF,
         "bloom_semi": _SQL_BLOOM_SEMI,
         "teds_known_distance": _SQL_TEDS_KNOWN,
         "gopher_quality": _SQL_GOPHER,

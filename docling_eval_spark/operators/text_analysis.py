@@ -377,6 +377,61 @@ def kgram_hash_positions(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, term, rank, score_micro): each document's top-``k`` terms
+    by tf·idf (Sparck Jones 1972, public) — the keyword-extraction /
+    topic-fingerprint primitive of a training-data pipeline.
+
+    Engine-exact scoring: score_micro = tf × round(ln(N/df)·1e6) — an
+    exact BIGINT product (the idf is quantized ONCE per term, so the
+    ranking and the emitted score are reproducible bit-for-bit in any
+    engine; no float comparisons anywhere). Ties break by (score
+    desc, term asc) — fully deterministic.
+
+    Scale shape: one explode + (id, term) hash agg for tf; a slim
+    (term, df) hash agg for document frequency (vocab-bounded, like
+    the trigram model) joined back BROADCAST; the final top-k is a
+    rank window partitioned by doc id — per-partition state is one
+    document's vocabulary, never corpus-scale."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda x: F.lower(x))
+    terms = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = (
+        terms.select("id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf_micro",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6).cast("long"),
+        )
+    )
+    scored = tf.join(F.broadcast(dfreq.select("term", "idf_micro")), "term").select(
+        "id",
+        "term",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "rank", "score_micro")
+    )
+
+
 def _clean_local_scratch(base: str) -> None:
     """Best-effort removal of a local/file: scratch dir (previous
     duplicate_spans postings dumps); remote URIs are left alone —

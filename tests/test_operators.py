@@ -1452,3 +1452,29 @@ def test_connected_components(spark):
     full = {r["node"]: r["component"]
             for r in connected_components(chain, iterations=6).collect()}
     assert set(full.values()) == {0}
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from docling_eval_spark.operators.text_analysis import tfidf_top_terms
+
+    rows = [
+        (0, "apple apple banana common common common"),
+        (1, "banana cherry common common"),
+        (2, "cherry cherry cherry common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", k=2).collect()
+    got = {(r["id"], r["rank"]): (r["term"], r["score_micro"]) for r in out}
+    idf = lambda dfreq: int(round(math.log(3 / dfreq) * 1e6))  # noqa: E731
+    # doc 0: apple tf2×idf(1) beats banana tf1×idf(2); common idf=0
+    assert got[(0, 1)] == ("apple", 2 * idf(1))
+    assert got[(0, 2)] == ("banana", idf(2))
+    # doc 2: cherry tf3×idf(2) top; 'common' scores 0 (idf ln(1)=0)
+    assert got[(2, 1)] == ("cherry", 3 * idf(2))
+    assert got[(2, 2)] == ("common", 0)
+    # deterministic tie-break: doc 1 banana vs cherry same tf and df →
+    # same score; 'banana' < 'cherry' alphabetically
+    assert got[(1, 1)] == ("banana", idf(2))
+    assert got[(1, 2)] == ("cherry", idf(2))
