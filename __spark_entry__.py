@@ -1786,7 +1786,7 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.text_analysis import tfidf_top_terms
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return tfidf_top_terms(d, "doc_id", k=3)
+    return tfidf_top_terms(d, "doc_id", k=3, broadcast_df=True)
 
 
 _SQL_TFIDF = r"""

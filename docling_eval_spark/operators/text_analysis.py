@@ -383,6 +383,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     k: int = 3,
     lowercase: bool = True,
+    broadcast_df: bool = False,
 ) -> DataFrame:
     """(id, term, rank, score_micro): each document's top-``k`` terms
     by tf·idf (Sparck Jones 1972, public) — the keyword-extraction /
@@ -394,11 +395,18 @@ def tfidf_top_terms(
     engine; no float comparisons anywhere). Ties break by (score
     desc, term asc) — fully deterministic.
 
-    Scale shape: one explode + (id, term) hash agg for tf; a slim
-    (term, df) hash agg for document frequency (vocab-bounded, like
-    the trigram model) joined back BROADCAST; the final top-k is a
-    rank window partitioned by doc id — per-partition state is one
-    document's vocabulary, never corpus-scale."""
+    Scale shape: ONE explode + (id, term) hash agg produces tf, and
+    document frequency is DERIVED from tf (count of tf rows per term
+    = docs containing the term) — the tf exchange is reused for both
+    consumers (ReusedExchange), so the corpus is exploded and
+    shuffled exactly once. The final top-k is a rank window
+    partitioned by doc id — per-partition state is one document's
+    vocabulary, never corpus-scale. ``broadcast_df`` force-broadcasts
+    the (term, idf) side: unlike the trigram model's charset³-bounded
+    vocab, WORD vocabulary grows with the corpus (Heaps' law — URLs,
+    typos, numbers), so the default leaves the join choice to Spark's
+    size-based planning; set True only when the vocabulary is known
+    small."""
     from pyspark.sql import Window
 
     toks = tokens_col(text_col)
@@ -406,18 +414,21 @@ def tfidf_top_terms(
         toks = F.transform(toks, lambda x: F.lower(x))
     terms = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # N counts every document (empty-text docs too), so it scans the
+    # id spine, not tf
     n_docs = df.select(F.col(id_col)).distinct().count()
     dfreq = (
-        terms.select("id", "term")
-        .distinct()
-        .groupBy("term")
+        tf.groupBy("term")
         .agg(F.count("*").alias("df"))
         .withColumn(
             "idf_micro",
             F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6).cast("long"),
         )
     )
-    scored = tf.join(F.broadcast(dfreq.select("term", "idf_micro")), "term").select(
+    dim = dfreq.select("term", "idf_micro")
+    if broadcast_df:
+        dim = F.broadcast(dim)
+    scored = tf.join(dim, "term").select(
         "id",
         "term",
         (F.col("tf") * F.col("idf_micro")).alias("score_micro"),

@@ -472,7 +472,6 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 8,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Connected components by min-label propagation over an
     undirected edge list — the "pairs → clusters" apply step of
@@ -488,9 +487,16 @@ def connected_components(
     technique, e.g. Kiveris et al. 2014 "Connected Components in
     MapReduce"): ONE equi-join of labels against the symmetrized edge
     list + ONE map-side-combining min aggregation; no collect, no
-    driver state, lineage truncated every ``checkpoint_every``
-    iterations. Duplicate edges are harmless (min is idempotent), so
-    no distinct pass is spent on the edge list."""
+    driver state. Duplicate edges are harmless (min is idempotent),
+    so no distinct pass is spent on the edge list.
+
+    The label frame is DOUBLE-referenced each iteration (join probe +
+    self-union), which would double the logical plan per iteration if
+    left lazy — so every iteration eagerly localCheckpoints the slim
+    (node, component) frame and releases the previous one, bounding
+    both plan depth and executor storage at O(1) (the same fix
+    :func:`page_rank`'s tol mode applies to its double-referenced
+    rank frame)."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -499,21 +505,25 @@ def connected_components(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    for it in range(iterations):
-        if it > 0 and checkpoint_every and it % checkpoint_every == 0:
-            comps = comps.localCheckpoint(eager=True)
+    for _ in range(iterations):
         contrib = und.join(comps, und["a"] == comps["node"]).select(
             F.col("b").alias("node"), "component"
         )
+        prev = comps
         comps = (
             contrib.unionByName(comps.select("node", "component"))
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
-    out = comps.localCheckpoint(eager=True)
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
     und.unpersist()
-    return out
+    return comps
 
 
 def page_rank(

@@ -1441,7 +1441,7 @@ def test_connected_components(spark):
             for r in connected_components(
                 edges.repartition(7), iterations=4).collect()}
     assert got2 == got
-    # a long chain needs iterations >= diameter: 6 hops, 3 iterations
+    # a long chain needs iterations >= diameter: 6 hops, 2 iterations
     # is NOT enough (documented contract), 6 is
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "src long, dst long"
