@@ -1816,6 +1816,62 @@ FROM scored WHERE rank <= 3
 """
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination scan (Brown et al. 2020 App. C style
+    token-8-gram overlap): every 50th document plays the benchmark
+    set, so those docs come back fully covered (n_hits == n_grams) and
+    the rest show only organic boilerplate overlap. The oracle
+    recomputes both Horner hash levels bit-for-bit."""
+    from docling_eval_spark.operators.text_analysis import contamination_check
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_check(d, bench, "doc_id", n=8)
+
+
+_SQL_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(
+           string_split_regex(trim(text), '[ \t\n\r\f\v]+'), x -> x <> ''
+         ), x -> lower(x)) AS tk
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(tk, t -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(unicode(substring(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+           (a, b) -> (a * 1000003 + b) % 2147483647)) AS hs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 8 THEN
+           list_transform(range(1, len(hs) - 6), i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_slice(hs, i, i + 7)),
+             (a, b) -> (a * 1000003 + b) % 2147483647))
+         ELSE [] END AS gs
+  FROM th
+),
+bench AS (
+  SELECT DISTINCT u.g FROM grams, LATERAL unnest(gs) AS u(g)
+  WHERE doc_id % 50 = 0
+),
+hits AS (
+  SELECT x.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, u.g FROM grams, LATERAL unnest(gs) AS u(g)) x
+  JOIN bench b ON b.g = x.g
+  GROUP BY x.doc_id
+)
+SELECT g.doc_id AS id,
+       CAST(len(g.gs) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM grams g LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning pipeline (pipelines.clean_corpus,
     CLI `clean`): NFC normalization THEN exact dedup — the ordering
@@ -3104,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm": _with_pkg(_q_ngram_lm),
         "clean_corpus": _with_pkg(_q_clean_corpus),
         "tfidf_top_terms": _with_pkg(_q_tfidf_top_terms),
+        "contamination": _with_pkg(_q_contamination),
         "bloom_semi": _with_pkg(_q_bloom_semi),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
@@ -3170,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm": _SQL_NGRAM_LM,
         "clean_corpus": _SQL_CLEAN_CORPUS,
         "tfidf_top_terms": _SQL_TFIDF,
+        "contamination": _SQL_CONTAMINATION,
         "bloom_semi": _SQL_BLOOM_SEMI,
         "teds_known_distance": _SQL_TEDS_KNOWN,
         "gopher_quality": _SQL_GOPHER,

@@ -443,6 +443,88 @@ def tfidf_top_terms(
     )
 
 
+def token_ngram_hash_col(text_col: str, n: int = 8) -> Column:
+    """Array of polynomial hashes of each ``n``-token window of the
+    lowercased whitespace tokens (with multiplicity, in order). Two
+    Horner levels, both mod 2³¹−1 with the shared base: per-token over
+    code points, then per-window over token hashes — every integer is
+    engine-portable (the DuckDB twin recomputes them bit-for-bit).
+    Docs shorter than ``n`` tokens have no windows (empty array)."""
+    from docling_eval_spark.functions import let_col
+
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+
+    def over_tok_hashes(th: Column) -> Column:
+        sz = F.size(th)
+        idxs = F.when(
+            sz >= n, F.sequence(F.lit(1), sz - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        window_hash = lambda i: F.aggregate(  # noqa: E731
+            F.slice(th, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
+        )
+        return F.transform(idxs, window_hash)
+
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
+        ),
+    )
+    return let_col(tok_hashes, over_tok_hashes)
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """(id, n_grams, n_hits): per training document, how many of its
+    ``n``-token windows appear anywhere in the benchmark set — the
+    test-set decontamination scan every serious training pipeline
+    runs before training (the n-gram overlap check of GPT-2/GPT-3-
+    style dedup, Brown et al. 2020 Appendix C — public method).
+
+    Scale shape: the benchmark side collapses to a DISTINCT gram-hash
+    set (benchmark suites are tiny next to the corpus → broadcast by
+    default; pass ``broadcast_bench=False`` for oversized benchmark
+    sets) and the corpus side is one explode + LEFT-SEMI join +
+    per-doc count — the corpus shuffles only on its own id. Windows
+    keep multiplicity, so ``n_hits`` counts contaminated POSITIONS
+    (n_hits == n_grams ⇒ the document is fully covered by benchmark
+    text)."""
+    btc = bench_text_col or text_col
+    bench_set = (
+        bench.select(F.explode(token_ngram_hash_col(btc, n)).alias("g"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_set = F.broadcast(bench_set)
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        token_ngram_hash_col(text_col, n).alias("gs"),
+    )
+    spine = grams.select("id", F.size("gs").alias("n_grams"))
+    hits = (
+        grams.select("id", F.explode("gs").alias("g"))
+        .join(bench_set, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return spine.join(hits, "id", "left").select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+
+
 def _clean_local_scratch(base: str) -> None:
     """Best-effort removal of a local/file: scratch dir (previous
     duplicate_spans postings dumps); remote URIs are left alone —

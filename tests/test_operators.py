@@ -1478,3 +1478,26 @@ def test_tfidf_top_terms_hand_computed(spark):
     # same score; 'banana' < 'cherry' alphabetically
     assert got[(1, 1)] == ("banana", idf(2))
     assert got[(1, 2)] == ("cherry", idf(2))
+
+
+def test_contamination_check(spark):
+    from docling_eval_spark.operators.text_analysis import contamination_check
+
+    docs = spark.createDataFrame([
+        (0, "a b c d e f g h i j"),   # 3 windows, first = bench doc
+        (1, "a b c d e f g h"),       # identical to the bench doc
+        (2, "q w e r t y u i o p"),   # disjoint
+        (3, "too short"),             # < 8 tokens → no windows
+        (4, "A B C D E F G H"),       # case-folded duplicate of bench
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string"
+    )
+    got = {r["id"]: (r["n_grams"], r["n_hits"])
+           for r in contamination_check(docs, bench, "doc_id").collect()}
+    assert got == {0: (3, 1), 1: (1, 1), 2: (3, 0), 3: (0, 0), 4: (1, 1)}
+    # broadcast off → same answer through a shuffle join
+    got2 = {r["id"]: (r["n_grams"], r["n_hits"])
+            for r in contamination_check(
+                docs, bench, "doc_id", broadcast_bench=False).collect()}
+    assert got2 == got
