@@ -1816,6 +1816,73 @@ FROM scored WHERE rank <= 3
 """
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing sample: per-source keep fractions
+    via the portable md5→poly-hash uniform; the oracle replays the
+    identical threshold test."""
+    from docling_eval_spark.operators.web_ops import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    fr = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
+    return stratified_sample(d, "source", "doc_id", fr, default_fraction=0.4)
+
+
+_SQL_STRATIFIED = r"""
+WITH u AS (
+  SELECT doc_id, source,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 33),
+               i -> CAST(unicode(substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) AS BIGINT))),
+           (a, b) -> (a * 1000003 + b) % 2147483647) / 2147483647.0 AS uu
+  FROM documents
+)
+SELECT doc_id, source FROM u
+WHERE uu < CASE source
+  WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25
+  WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75
+  ELSE 0.4 END
+"""
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window training chunks (32 tokens, 8 overlap) —
+    the LM data-packing step; oracle rebuilds the identical windows
+    with range/list_slice."""
+    from docling_eval_spark.operators.text_analysis import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, "doc_id", chunk_tokens=32, overlap=8).select(
+        "id", "chunk_idx", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+_SQL_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk, CAST(u.s AS INTEGER) AS s,
+         CAST((u.s - 1) / 24 AS INTEGER) AS chunk_idx
+  FROM toks,
+       LATERAL unnest(range(1, 2 + CAST(floor((len(tk) - 1) / 24.0) AS INTEGER) * 24, 24)) AS u(s)
+  WHERE len(tk) > 0
+),
+win AS (
+  SELECT doc_id, chunk_idx, list_slice(tk, s, s + 31) AS w
+  FROM starts
+)
+SELECT doc_id AS id, chunk_idx,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       md5(array_to_string(w, ' ')) AS chunk_md5
+FROM win
+WHERE chunk_idx = 0 OR len(w) > 8
+"""
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination scan (Brown et al. 2020 App. C style
     token-8-gram overlap): every 50th document plays the benchmark
@@ -3161,6 +3228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _with_pkg(_q_clean_corpus),
         "tfidf_top_terms": _with_pkg(_q_tfidf_top_terms),
         "contamination": _with_pkg(_q_contamination),
+        "chunk_documents": _with_pkg(_q_chunk_documents),
+        "stratified_sample": _with_pkg(_q_stratified_sample),
         "bloom_semi": _with_pkg(_q_bloom_semi),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
@@ -3228,6 +3297,8 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _SQL_CLEAN_CORPUS,
         "tfidf_top_terms": _SQL_TFIDF,
         "contamination": _SQL_CONTAMINATION,
+        "chunk_documents": _SQL_CHUNKS,
+        "stratified_sample": _SQL_STRATIFIED,
         "bloom_semi": _SQL_BLOOM_SEMI,
         "teds_known_distance": _SQL_TEDS_KNOWN,
         "gopher_quality": _SQL_GOPHER,

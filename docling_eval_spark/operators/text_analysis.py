@@ -525,6 +525,67 @@ def contamination_check(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_text): fixed-token-window
+    training chunks with overlap — the packing step that turns
+    variable-length documents into model-ready sequences (standard LM
+    data prep; stride = chunk_tokens − overlap).
+
+    Pure column algebra: tokenize once (let-bound), slice the token
+    array per window, explode. Windows start at 1, 1+stride, … and
+    the LAST window is whatever remains (shorter than chunk_tokens,
+    never empty); a document shorter than one chunk yields exactly
+    one chunk = itself. Chunk text is the space-join of its tokens
+    (whitespace-normalized by construction). No shuffle at all —
+    embarrassingly parallel over rows."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def over_toks(tk: Column) -> Column:
+        sz = F.size(tk)
+        starts = F.when(
+            sz > 0,
+            F.sequence(
+                F.lit(1),
+                # last start: the largest 1+k*stride <= sz
+                F.lit(1) + F.floor((sz - 1) / stride).cast("int") * stride,
+                F.lit(stride),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.filter(
+            F.transform(
+                starts,
+                lambda s, i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.slice(tk, s, chunk_tokens).alias("toks"),
+                ),
+            ),
+            # drop a trailing all-overlap window fully contained in the
+            # previous chunk (when sz <= previous start + chunk - 1)
+            lambda c: (c["chunk_idx"] == 0)
+            | (F.size(c["toks"]) > overlap),
+        )
+
+    toks = tokens_col(text_col)
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(let_col(toks, over_toks)).alias("c"),
+    )
+    return chunks.select(
+        "id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("c.toks").cast("long").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    )
+
+
 def _clean_local_scratch(base: str) -> None:
     """Best-effort removal of a local/file: scratch dir (previous
     duplicate_spans postings dumps); remote URIs are left alone —

@@ -467,6 +467,44 @@ def extract_links(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing step
+    (hold web at 30 %, books at 100 %, …) of training-data curation.
+    A row survives iff ``u(id) < fraction[key]`` where ``u`` is an
+    engine-portable uniform in [0,1): the polynomial hash (same
+    base/modulus as the fingerprint family) of the row id's md5 hex
+    string. No randomness, no shuffle, no per-key state — a pure
+    filter, reproducible bit-for-bit in any engine and stable across
+    reruns/partitionings (the property ``sample()``/Bernoulli RNG
+    sampling lacks). Keys absent from ``fractions`` keep
+    ``default_fraction`` of their rows."""
+    from itertools import chain as _chain
+
+    fmap = F.create_map(
+        *_chain.from_iterable(
+            (F.lit(k), F.lit(float(v))) for k, v in fractions.items()
+        )
+    )
+    frac = F.coalesce(
+        F.element_at(fmap, F.col(key_col)), F.lit(float(default_fraction))
+    )
+    md5s = F.md5(F.col(id_col).cast("string"))
+    u = F.aggregate(
+        F.split(md5s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * 1_000_003 + F.ascii(ch), F.lit((1 << 31) - 1)
+        ),
+    ) / float((1 << 31) - 1)
+    return df.filter(u < frac)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

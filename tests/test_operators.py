@@ -1501,3 +1501,53 @@ def test_contamination_check(spark):
             for r in contamination_check(
                 docs, bench, "doc_id", broadcast_bench=False).collect()}
     assert got2 == got
+
+
+def test_chunk_documents(spark):
+    from docling_eval_spark.operators.text_analysis import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(0, toks), (1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", chunk_tokens=4, overlap=1)
+    got = {(r["id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in out.collect()}
+    # stride 3: windows @1(4) @4(4) @7(4) @10(1<=overlap → dropped)
+    assert got[(0, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(0, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(0, 2)] == (4, "t6 t7 t8 t9")
+    assert (0, 3) not in got
+    # short doc → one chunk = itself; empty doc → no chunks
+    assert got[(1, 0)] == (3, "a b c")
+    assert not any(k[0] == 2 for k in got)
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    assert got[(0, 0)][1].split()[-1:] == got[(0, 1)][1].split()[:1]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_stratified_sample(spark):
+    from docling_eval_spark.operators.web_ops import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = stratified_sample(df, "src", "doc_id", {"a": 0.25, "b": 1.0})
+    got = out.groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in got}
+    assert counts["b"] == 1000                  # fraction 1.0 keeps all
+    assert 180 <= counts["a"] <= 320            # ~25% of 1000
+    # deterministic: same rows independent of partitioning
+    a1 = sorted(r["doc_id"] for r in out.collect())
+    a2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13), "src", "doc_id", {"a": 0.25, "b": 1.0}
+        ).collect()
+    )
+    assert a1 == a2
+    # fraction 0 drops the stratum; default_fraction governs others
+    z = stratified_sample(df, "src", "doc_id", {"a": 0.0},
+                          default_fraction=0.0)
+    assert z.count() == 0
