@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "teds_known_distance",
     "ngram_lm",
     "page_rank",
+    "tfidf_top_terms",
+    "contamination",
+    "chunk_documents",
 ]
 
 WARM_PASSES = 3
