@@ -450,8 +450,6 @@ def token_ngram_hash_col(text_col: str, n: int = 8) -> Column:
     code points, then per-window over token hashes — every integer is
     engine-portable (the DuckDB twin recomputes them bit-for-bit).
     Docs shorter than ``n`` tokens have no windows (empty array)."""
-    from docling_eval_spark.functions import let_col
-
     toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
 
     def over_tok_hashes(th: Column) -> Column:
@@ -495,33 +493,37 @@ def contamination_check(
     Scale shape: the benchmark side collapses to a DISTINCT gram-hash
     set (benchmark suites are tiny next to the corpus → broadcast by
     default; pass ``broadcast_bench=False`` for oversized benchmark
-    sets) and the corpus side is one explode + LEFT-SEMI join +
-    per-doc count — the corpus shuffles only on its own id. Windows
-    keep multiplicity, so ``n_hits`` counts contaminated POSITIONS
-    (n_hits == n_grams ⇒ the document is fully covered by benchmark
-    text)."""
+    sets); the corpus side is ONE pass — the expensive two-level
+    hashing evaluates exactly once per document (``n_grams`` comes
+    from the cheap token count, not a second hash evaluation), then
+    explode_outer → broadcast left join → one per-id aggregation.
+    Windows keep multiplicity, so ``n_hits`` counts contaminated
+    POSITIONS (n_hits == n_grams ⇒ the document is fully covered by
+    benchmark text)."""
     btc = bench_text_col or text_col
     bench_set = (
         bench.select(F.explode(token_ngram_hash_col(btc, n)).alias("g"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_bench:
         bench_set = F.broadcast(bench_set)
-    grams = docs.select(
+    rows = docs.select(
         F.col(id_col).alias("id"),
-        token_ngram_hash_col(text_col, n).alias("gs"),
+        # window count = max(0, T - n + 1): derived from the cheap
+        # token split so the hash expression is referenced ONCE
+        F.greatest(
+            F.size(tokens_col(text_col)) - (n - 1), F.lit(0)
+        ).alias("n_grams"),
+        F.explode_outer(token_ngram_hash_col(text_col, n)).alias("g"),
     )
-    spine = grams.select("id", F.size("gs").alias("n_grams"))
-    hits = (
-        grams.select("id", F.explode("gs").alias("g"))
-        .join(bench_set, "g", "left_semi")
+    return (
+        rows.join(bench_set, "g", "left")
         .groupBy("id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return spine.join(hits, "id", "left").select(
-        "id",
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        .agg(
+            F.first("n_grams").cast("long").alias("n_grams"),
+            F.count("__hit").cast("long").alias("n_hits"),
+        )
     )
 
 

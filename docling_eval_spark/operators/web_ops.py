@@ -494,14 +494,16 @@ def stratified_sample(
     frac = F.coalesce(
         F.element_at(fmap, F.col(key_col)), F.lit(float(default_fraction))
     )
+    # single source of truth for the portable polynomial hash — the
+    # same base/modulus every fingerprint/oracle pair already shares
+    from docling_eval_spark.operators.text_analysis import _FP_BASE, _FP_MOD
+
     md5s = F.md5(F.col(id_col).cast("string"))
     u = F.aggregate(
         F.split(md5s, ""),
         F.lit(0).cast("long"),
-        lambda acc, ch: F.pmod(
-            acc * 1_000_003 + F.ascii(ch), F.lit((1 << 31) - 1)
-        ),
-    ) / float((1 << 31) - 1)
+        lambda acc, ch: F.pmod(acc * _FP_BASE + F.ascii(ch), F.lit(_FP_MOD)),
+    ) / float(_FP_MOD)
     return df.filter(u < frac)
 
 
