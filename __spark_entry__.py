@@ -2205,6 +2205,47 @@ FROM c GROUP BY id
 """
 
 
+def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup PAIRS → dedup CLUSTERS: connected components
+    (4 unrolled iterations) over the LSH-bucketed cosine pair graph —
+    the same transitive-closure apply step near_dup_components runs on
+    the text-minhash graph, here over the embedding modality."""
+    from docling_eval_spark.operators.web_ops import connected_components
+
+    pairs = _q_near_dup_pairs(spark, sf_dir)
+    return connected_components(pairs, "id_l", "id_r", iterations=4).select(
+        "node", "component"
+    )
+
+
+def _sql_embedding_dup_clusters(iterations: int = 4) -> str:
+    prev = "c0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""c{i} AS (
+  SELECT node, min(component) AS component FROM (
+    SELECT u.b AS node, c.component FROM und u JOIN {prev} c ON c.node = u.a
+    UNION ALL SELECT node, component FROM {prev}
+  ) GROUP BY node
+)"""
+        )
+        prev = f"c{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_l, id_r FROM ({_sql_near_dup_pairs()})
+),
+und AS MATERIALIZED (
+  SELECT id_l AS a, id_r AS b FROM pairs
+  UNION ALL SELECT id_r AS a, id_l AS b FROM pairs
+),
+c0 AS (SELECT DISTINCT a AS node, a AS component FROM und),
+{chain}
+SELECT node, component FROM {prev}
+"""
+
+
 def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs (hyperplane-LSH bucketed
     self-join + exact cosine verify). Input doubles each vector with a
@@ -3235,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _with_pkg(_q_gopher_quality),
         "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
         "near_dup_pairs": _with_pkg(_q_near_dup_pairs),
+        "embedding_dup_clusters": _with_pkg(_q_embedding_dup_clusters),
         "canonical_urls": _with_pkg(_q_canonical_urls),
         "host_stats": _with_pkg(_q_host_stats),
         "line_dedup": _with_pkg(_q_line_dedup),
@@ -3304,6 +3346,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _SQL_GOPHER,
         "repetition_bigrams": _SQL_REPETITION,
         "near_dup_pairs": _sql_near_dup_pairs(),
+        "embedding_dup_clusters": _sql_embedding_dup_clusters(),
         "canonical_urls": _SQL_CANON_URLS,
         "host_stats": _SQL_HOST_STATS,
         "line_dedup": _SQL_LINE_DEDUP,
