@@ -1,0 +1,78 @@
+"""Bucketed tables — shuffle-free co-located joins (SURVEY §4 scale
+strategy; the "pre-shuffle once, join forever" pattern).
+
+The GT↔prediction equi-join (J1) and every id-keyed enrichment join
+re-shuffles both sides on every run. At 100 TB that exchange IS the
+job. Spark's answer is bucketing: write both tables `bucketBy(N, key)`
+via ``saveAsTable`` (bucketing metadata lives in the catalog, so plain
+``.parquet()`` writes cannot carry it), and every later equi-join on
+the key matches bucket layouts and elides BOTH exchanges — the join
+runs map-side, bucket i against bucket i.
+
+Rules that make the elision actually fire (all encoded here):
+- both sides bucketed by the SAME column set into the SAME bucket
+  count (or an integer multiple; Spark then coalesces);
+- ``spark.sql.sources.bucketing.enabled`` on (default) and the join
+  key equal to the bucket key (a superset works; a subset does not);
+- no bucket-destroying transform (repartition, coalesce) between scan
+  and join.
+
+Sorted buckets (``sortBy``) additionally let sort-merge join skip its
+sort. The write itself costs one shuffle — paid ONCE at ingest, then
+amortized over every downstream join; that is the trade the
+100 TB north-rule design wants for the hot (url-keyed) tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog table bucketed (and optionally
+    sorted) by ``bucket_col``. Idempotent under ``overwrite`` even
+    after a crashed prior write: a managed-table LOCATION can outlive
+    its catalog entry (LOCATION_ALREADY_EXISTS), so overwrite drops
+    the entry AND clears an orphaned local location first."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        for prefix in ("file://", "file:"):
+            if wh.startswith(prefix):
+                wh = wh[len(prefix):]
+                break
+        if wh and "://" not in wh:
+            import shutil
+            from pathlib import Path
+
+            loc = Path(wh) / table.lower()
+            if loc.exists():
+                shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — bucketing metadata rides along, so joins on the
+    bucket key plan without exchanges."""
+    return spark.table(table)
+
+
+def cobucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list[str]
+) -> DataFrame:
+    """Equi-join two co-bucketed catalog tables on their bucket key.
+    With matching bucket specs this plans WITHOUT any Exchange on
+    either side (asserted by the test suite) — the 100 TB shape where
+    the shuffle was paid once at write time."""
+    return read_table(spark, left_table).join(read_table(spark, right_table), on)
