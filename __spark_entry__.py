@@ -1816,6 +1816,50 @@ FROM scored WHERE rank <= 3
 """
 
 
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate (RFC 9309) through the full production stage —
+    broadcast robots dim, SQL no-robots fast path, vectorized rule
+    kernel. The fixture restricts every robots.txt to one plain
+    prefix Disallow (even-numbered hosts disallow /private; odd hosts
+    have NO robots row), which makes the decision SQL-expressible:
+    allowed ⟺ NOT (even host AND /private path). Wildcards/longest-
+    match/allow-ties stay pytest-gated (not SQL-expressible)."""
+    from docling_eval_spark.operators.web_ops import robots_filter_stage
+
+    e = F.col("event_id")
+    pages = (
+        _t(spark, sf_dir, "events")
+        .filter(e < 2000)
+        .select(
+            "event_id",
+            F.concat(
+                F.lit("http://h"),
+                (e % 20).cast("string"),
+                F.lit(".example/"),
+                F.when(e % 3 == 0, F.lit("private/")).otherwise(
+                    F.lit("public/")
+                ),
+                F.lit("page"),
+                e.cast("string"),
+            ).alias("url"),
+        )
+    )
+    robots = spark.range(0, 20, 2).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.lit("User-agent: *\nDisallow: /private").alias("robots_txt"),
+    )
+    return robots_filter_stage(pages, robots).select("event_id", "robots_allowed")
+
+
+_SQL_ROBOTS_GATE = """
+SELECT event_id,
+       NOT ((event_id % 20) % 2 = 0 AND event_id % 3 = 0) AS robots_allowed
+FROM events WHERE event_id < 2000
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixing sample: per-source keep fractions
     via the portable md5→poly-hash uniform; the oracle replays the
@@ -3271,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _with_pkg(_q_contamination),
         "chunk_documents": _with_pkg(_q_chunk_documents),
         "stratified_sample": _with_pkg(_q_stratified_sample),
+        "robots_gate": _with_pkg(_q_robots_gate),
         "bloom_semi": _with_pkg(_q_bloom_semi),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
@@ -3341,6 +3386,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,
+        "robots_gate": _SQL_ROBOTS_GATE,
         "bloom_semi": _SQL_BLOOM_SEMI,
         "teds_known_distance": _SQL_TEDS_KNOWN,
         "gopher_quality": _SQL_GOPHER,

@@ -53,7 +53,13 @@ def write_bucketed(
             import shutil
             from pathlib import Path
 
-            loc = Path(wh) / table.lower()
+            # default db: <wh>/<tbl>; qualified db.tbl: <wh>/<db>.db/<tbl>
+            parts = table.lower().split(".")
+            loc = (
+                Path(wh) / parts[0]
+                if len(parts) == 1
+                else Path(wh) / f"{parts[-2]}.db" / parts[-1]
+            )
             if loc.exists():
                 shutil.rmtree(loc, ignore_errors=True)
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
