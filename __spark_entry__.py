@@ -1931,13 +1931,16 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination scan (Brown et al. 2020 App. C style
     token-8-gram overlap): every 50th document plays the benchmark
     set, so those docs come back fully covered (n_hits == n_grams) and
-    the rest show only organic boilerplate overlap. The oracle
-    recomputes both Horner hash levels bit-for-bit."""
+    the rest show only organic boilerplate overlap. Runs the PORTABLE
+    token-hash path (per-code-point polynomial) so the oracle
+    recomputes both Horner hash levels bit-for-bit; production
+    defaults to the xxhash64 token hash (bench times
+    contamination_prod separately, the simhash precedent)."""
     from docling_eval_spark.operators.text_analysis import contamination_check
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 50 == 0)
-    return contamination_check(d, bench, "doc_id", n=8)
+    return contamination_check(d, bench, "doc_id", n=8, portable=True)
 
 
 _SQL_CONTAMINATION = r"""
