@@ -1934,8 +1934,9 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest show only organic boilerplate overlap. Runs the PORTABLE
     token-hash path (per-code-point polynomial) so the oracle
     recomputes both Horner hash levels bit-for-bit; production
-    defaults to the xxhash64 token hash (bench times
-    contamination_prod separately, the simhash precedent)."""
+    defaults to the xxhash64 token hash in a ~2^43 field (measured
+    time-equal on this corpus — window fold dominates — so it gets no
+    separate bench entry; see token_ngram_hash_col's docstring)."""
     from docling_eval_spark.operators.text_analysis import contamination_check
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")

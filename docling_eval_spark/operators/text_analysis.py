@@ -133,6 +133,10 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 _FP_BASE = 1_000_003
 # 2^31-1: acc*base+ord stays within a long under ANSI mode
 _FP_MOD = (1 << 31) - 1
+# largest prime with (M-1)*(base+1) < 2^63 — the widest field the
+# ANSI-safe Horner fold admits; used by non-portable hash paths where
+# collision rate matters more than cross-engine reproducibility
+_NGRAM_PROD_MOD = 9_223_335_143_489
 
 
 def fingerprint_table(
@@ -457,12 +461,16 @@ def token_ngram_hash_col(
     the per-code-point polynomial fold (mod 2³¹−1, shared base) whose
     integers any engine reproduces — the DuckDB oracle runs that
     path. Same windowing either way; contamination semantics are
-    hash-set membership, so the mode only changes the (collision-
-    negligible) hash space. Measured on the ~1 KB synthetic docs the
-    two modes time EQUAL (window fold + explode dominate; alternating
-    3-rep medians 4.8 s vs 5.3 s at sf0.1/8 cores) — the xxhash64
-    path pays off on long documents where per-char folding is the
-    O(chars) term."""
+    hash-set membership, so the modes differ only in hash space: the
+    prod field is ~2⁴³ (the largest prime the ANSI-safe Horner bound
+    ``(M−1)·(base+1) < 2⁶³`` admits — per-window false-hit odds
+    |bench|/2⁴³, negligible even for 10M-gram benchmark suites),
+    while the portable field is the engines' shared 2³¹−1. Measured
+    on the ~1 KB synthetic docs the two modes TIME equal (window fold
+    + explode dominate; alternating 3-rep medians 4.8 s vs 5.3 s at
+    sf0.1/8 cores) — the xxhash64 path pays off on long documents
+    where per-char folding is the O(chars) term."""
+    mod = _FP_MOD if portable else _NGRAM_PROD_MOD
     toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
 
     def over_tok_hashes(th: Column) -> Column:
@@ -473,7 +481,7 @@ def token_ngram_hash_col(
         window_hash = lambda i: F.aggregate(  # noqa: E731
             F.slice(th, i, n),
             F.lit(0).cast("long"),
-            lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
+            lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(mod)),
         )
         return F.transform(idxs, window_hash)
 
@@ -487,10 +495,12 @@ def token_ngram_hash_col(
             ),
         )
     else:
-        # one JVM hash per token; fold stays within long range under
-        # ANSI via pmod to the Mersenne field before combining
+        # one JVM hash per token, folded into the LARGE prime field
+        # (not the 31-bit portable one — no cross-engine constraint
+        # on this path, and the bigger field keeps gram collisions
+        # negligible)
         tok_hashes = F.transform(
-            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_FP_MOD))
+            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_NGRAM_PROD_MOD))
         )
     return let_col(tok_hashes, over_tok_hashes)
 

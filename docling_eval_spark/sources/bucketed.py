@@ -53,12 +53,16 @@ def write_bucketed(
             import shutil
             from pathlib import Path
 
-            # default db: <wh>/<tbl>; qualified db.tbl: <wh>/<db>.db/<tbl>
+            # the DEFAULT database's location IS the warehouse root,
+            # so `tbl`, `default.tbl` and `spark_catalog.default.tbl`
+            # all live at <wh>/<tbl>; only a non-default db nests as
+            # <wh>/<db>.db/<tbl>
             parts = table.lower().split(".")
+            db = parts[-2] if len(parts) > 1 else "default"
             loc = (
-                Path(wh) / parts[0]
-                if len(parts) == 1
-                else Path(wh) / f"{parts[-2]}.db" / parts[-1]
+                Path(wh) / parts[-1]
+                if db == "default"
+                else Path(wh) / f"{db}.db" / parts[-1]
             )
             if loc.exists():
                 shutil.rmtree(loc, ignore_errors=True)
