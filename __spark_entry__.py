@@ -3272,7 +3272,30 @@ def _with_pkg(
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is load-bearing: the correctness driver gates the
+    # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
+    # the 16 queries without a CORRECTNESS_r04 row lead (positions
+    # 1-16), then the previously-green set in its original order;
+    # positions 51-66 (all driver-green in r04) rotate back into the
+    # window next round. Every entry keeps its oracle regardless of
+    # position — scripts/check_oracles.py verifies ALL of them.
     return {
+        "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
+        "near_dup_pairs": _with_pkg(_q_near_dup_pairs),
+        "embedding_dup_clusters": _with_pkg(_q_embedding_dup_clusters),
+        "canonical_urls": _with_pkg(_q_canonical_urls),
+        "host_stats": _with_pkg(_q_host_stats),
+        "line_dedup": _with_pkg(_q_line_dedup),
+        "winnow_fps": _with_pkg(_q_winnow_fps),
+        "duplicate_spans": _with_pkg(_q_duplicate_spans),
+        "dedup_clean": _with_pkg(_q_dedup_clean),
+        "host_cap": _with_pkg(_q_host_cap),
+        "script_profile": _with_pkg(_q_script_profile),
+        "nfc_digests": _with_pkg(_q_nfc_digests),
+        "page_rank": _with_pkg(_q_page_rank),
+        "asof_latest_error": _with_pkg(_q_asof_latest_error),
+        "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
+        "sessionize": _with_pkg(_q_sessionize),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -3323,22 +3346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi": _with_pkg(_q_bloom_semi),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
-        "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
-        "near_dup_pairs": _with_pkg(_q_near_dup_pairs),
-        "embedding_dup_clusters": _with_pkg(_q_embedding_dup_clusters),
-        "canonical_urls": _with_pkg(_q_canonical_urls),
-        "host_stats": _with_pkg(_q_host_stats),
-        "line_dedup": _with_pkg(_q_line_dedup),
-        "winnow_fps": _with_pkg(_q_winnow_fps),
-        "duplicate_spans": _with_pkg(_q_duplicate_spans),
-        "dedup_clean": _with_pkg(_q_dedup_clean),
-        "host_cap": _with_pkg(_q_host_cap),
-        "script_profile": _with_pkg(_q_script_profile),
-        "nfc_digests": _with_pkg(_q_nfc_digests),
-        "page_rank": _with_pkg(_q_page_rank),
-        "asof_latest_error": _with_pkg(_q_asof_latest_error),
-        "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
-        "sessionize": _with_pkg(_q_sessionize),
     }
 
 

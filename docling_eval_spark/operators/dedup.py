@@ -1,9 +1,11 @@
 """Deduplication operator family for web-corpus scale.
 
-- exact_dedup        — hash-groupBy on normalized-text digest with a
-  min-struct aggregate (map-side combinable; skew-safe on
-  boilerplate-identical hot digests), winners joined back on the
-  unique id (deterministic min-id winner per group).
+- exact_dedup        — hash-groupBy on normalized-text digest with an
+  atomic ``min(id)`` aggregate (stays in HashAggregate; map-side
+  combinable; skew-safe on boilerplate-identical hot digests),
+  winners joined back null-safely on (digest, id) — ids are NOT
+  assumed unique — and collapsed to ONE deterministic survivor row
+  per digest via ``min_by`` over a total order on the payload.
 - ngram_jaccard      — character n-gram Jaccard similarity between
   candidate pairs (exact set intersection over distinct shingles).
 - minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH:
@@ -65,17 +67,27 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     which is what the previous per-digest ``row_number()`` window did.
     (``min(id)`` rather than line_dedup's ``min(struct(...))``: the
     atomic column keeps the agg in HashAggregate; struct buffers force
-    a SortAggregate fallback.) Winners join back on (digest, id) and a
-    final first-per-digest agg collapses the case where the winning id
-    itself occurs more than once in the group (re-fetched URLs in a
-    crawl — ids are NOT assumed unique). That collapse is also
-    hash-aggregated and cannot skew: by then at most the winning id's
+    a SortAggregate fallback.) Winners join back NULL-SAFELY on
+    (digest, id) — ids are NOT assumed unique (re-fetched URLs in a
+    crawl) — and a final per-digest ``min_by`` collapse picks ONE
+    survivor when the winning id itself occurs more than once in the
+    group. The collapse orders by a struct over every *orderable*
+    payload column (map-typed columns can't be compared and are
+    excluded from the ordering key, though they ride along in the
+    surviving row), so the survivor is a deterministic total-order
+    pick: identical digest guarantees identical text but NOT identical
+    sibling columns (e.g. differing ``warc_ts``), and re-runs under
+    different partitionings must emit the same row. The collapse
+    still partial-aggregates map-side (SortAggregate with a struct
+    buffer) and cannot skew: by then at most the winning id's
     multiplicity remains per digest, not the group's copy count.
 
-    Rows whose id is NULL never win and are dropped (min() ignores
-    nulls; an inner join on a null key matches nothing). A
-    pre-existing ``dup_count`` column is replaced (same contract as
-    the old ``withColumn``)."""
+    Rows whose id is NULL never beat a non-null id (``min()`` ignores
+    nulls), but a digest group whose ids are ALL null survives: the
+    null-safe join matches ``win_id IS NULL`` to the group's null-id
+    rows and the collapse keeps one of them. A pre-existing
+    ``dup_count`` column is replaced (same contract as the old
+    ``withColumn``)."""
     if "dup_count" in df.columns:
         df = df.drop("dup_count")
     wd = df.withColumn("__digest", F.md5(_norm(text_col)))
@@ -89,14 +101,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     joined = wd.join(
         winners,
         (F.col("__digest") == F.col("__wdigest"))
-        & (F.col(id_col) == F.col("__win_id")),
+        & F.col(id_col).eqNullSafe(F.col("__win_id")),
         "inner",
     ).drop("__wdigest", "__win_id")
     payload = [c for c in joined.columns if c != "__digest"]
+    dtypes = dict(joined.dtypes)
+    orderable = [c for c in payload if "map<" not in dtypes[c]]
+    if not orderable:  # every payload column map-typed: no total order
+        return (
+            joined.groupBy("__digest")
+            .agg(*[F.first(c).alias(c) for c in payload])
+            .drop("__digest")
+        )
     return (
         joined.groupBy("__digest")
-        .agg(*[F.first(c).alias(c) for c in payload])
-        .drop("__digest")
+        .agg(
+            F.min_by(
+                F.struct(*payload), F.struct(*orderable)
+            ).alias("__row")
+        )
+        .select("__row.*")
     )
 
 

@@ -621,23 +621,44 @@ def chunk_documents(
     )
 
 
-def _clean_local_scratch(base: str) -> None:
-    """Best-effort removal of a local/file: scratch dir (previous
-    duplicate_spans postings dumps); remote URIs are left alone —
-    Spark never garbage-collects foreign parquet in a checkpoint dir,
-    so without this every call would leak one full dump."""
-    import os
-    import shutil
-
+def _local_scratch_path(base: str) -> str | None:
+    """Filesystem path for a local/file: scratch URI, else None
+    (hdfs/s3/... — caller manages remote scratch)."""
     path = base
     if path.startswith("file://"):
         path = path[7:]
     elif path.startswith("file:"):
         path = path[5:]
     if "://" in path:
-        return  # hdfs/s3/... — caller manages remote scratch
-    if os.path.isdir(path):
-        shutil.rmtree(path, ignore_errors=True)
+        return None
+    return path
+
+
+# Postings dumps written by THIS process under a session checkpoint
+# dir. They are deleted at interpreter exit, NOT per-call: an earlier
+# call's returned frame is lazily backed by its dump, so deleting a
+# sibling eagerly would invalidate any still-unconsumed frame. Spark
+# never garbage-collects foreign parquet in a checkpoint dir, so
+# without the exit hook every call would leak one full dump.
+_SCRATCH_DUMPS: list[str] = []
+
+
+def _clean_scratch_dumps() -> None:
+    import shutil
+
+    while _SCRATCH_DUMPS:
+        shutil.rmtree(_SCRATCH_DUMPS.pop(), ignore_errors=True)
+
+
+def _register_scratch_dump(base: str) -> None:
+    path = _local_scratch_path(base)
+    if path is None:
+        return
+    if not _SCRATCH_DUMPS:
+        import atexit
+
+        atexit.register(_clean_scratch_dumps)
+    _SCRATCH_DUMPS.append(path)
 
 
 def duplicate_spans(
@@ -682,12 +703,15 @@ def duplicate_spans(
 
     Auto-materialization notes: (a) building the returned frame runs
     an EAGER write job (the postings dump, ~20x the text bytes) —
-    cost moves from first action to construction; (b) each call
-    best-effort DELETES the previous call's dump under the shared
-    ``duplicate_spans_postings/`` scratch subdir before writing its
-    own (local/file: checkpoint dirs only), so the scratch volume
-    holds at most one dump — consume a returned frame before calling
-    again, or pass explicit per-call ``postings_path``s.
+    cost moves from first action to construction; (b) every call
+    writes its OWN uuid subdir under ``duplicate_spans_postings/`` and
+    never touches a sibling's — an earlier call's returned frame stays
+    valid (it lazily re-reads its own dump). Dumps this process wrote
+    to a local/file: checkpoint dir are removed at interpreter exit
+    (atexit); remote scratch and explicit ``postings_path``s are the
+    caller's to manage. Long-lived driver processes making many calls
+    should pass explicit paths (or ``False``) to bound scratch volume
+    before exit.
     """
     if min_len is None:
         min_len = k
@@ -697,9 +721,10 @@ def duplicate_spans(
         if ckpt:
             import uuid
 
-            base = f"{ckpt}/duplicate_spans_postings"
-            _clean_local_scratch(base)
-            postings_path = f"{base}/{uuid.uuid4().hex}"
+            postings_path = (
+                f"{ckpt}/duplicate_spans_postings/{uuid.uuid4().hex}"
+            )
+            _register_scratch_dump(postings_path)
     if postings_path:
         posted.write.mode("overwrite").parquet(postings_path)
         posted = df.sparkSession.read.parquet(postings_path)

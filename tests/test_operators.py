@@ -993,10 +993,23 @@ def test_duplicate_spans_auto_materialize_with_checkpoint_dir(spark, tmp_path):
             if d == "duplicate_spans_postings"
         ]
         assert hits and os.listdir(hits[0])
-        # a second call cleans the first call's dump (scratch holds at
-        # most one) — count the uuid dirs under the scratch base
+        # a second call gets its OWN uuid dir and must NOT delete the
+        # first call's dump — an unconsumed frame from call 1 stays
+        # readable after call 2 (both dumps are cleaned at interpreter
+        # exit via the module's atexit hook)
+        from docling_eval_spark.operators import text_analysis as ta
+
+        first_frame = duplicate_spans(df, "doc_id", k=20)  # unconsumed
         duplicate_spans(df, "doc_id", k=20).collect()
-        assert len(os.listdir(hits[0])) == 1
+        assert len(os.listdir(hits[0])) >= 3
+        assert sorted(map(tuple, first_frame.collect())) == auto
+        # exit hook is registered and removes exactly this process's
+        # dumps when invoked
+        n_dumps = len([p for p in ta._SCRATCH_DUMPS if str(tmp_path) in p])
+        assert n_dumps == 3
+        ta._clean_scratch_dumps()
+        assert not ta._SCRATCH_DUMPS
+        assert len(os.listdir(hits[0])) == 0
     finally:
         if old:
             sc.setCheckpointDir(old)
@@ -1394,32 +1407,63 @@ def test_ngram_lm_score_hand_computed(spark):
 def test_exact_dedup_duplicate_and_null_ids(spark):
     """Ids are NOT assumed unique (re-fetched URLs): a duplicated
     winning id must not fan out, and a winner of one digest must not
-    resurrect same-id rows of OTHER digests. NULL-id rows drop."""
+    resurrect same-id rows of OTHER digests. A digest group whose ids
+    are ALL null survives (null-safe winner join); null ids never beat
+    a non-null id."""
     rows = [
         ("u1", "text A"), ("u1", "text B"),  # same id, two digests
         ("u2", "text A"),                     # loses digest A to u1
         ("u3", "text C"), ("u3", "text C"),  # dup id INSIDE one digest
-        (None, "text D"),                     # null id → dropped
+        (None, "text D"),                     # all-null group → kept
+        (None, "text A"),                     # null loses to u1
     ]
     df = spark.createDataFrame(rows, "url string, text string")
     out = exact_dedup(df, "url").collect()
-    got = sorted((r["url"], r["text"], r["dup_count"]) for r in out)
+    got = sorted(
+        ((r["url"] or ""), r["text"], r["dup_count"]) for r in out
+    )
     assert got == [
-        ("u1", "text A", 2),
+        ("", "text D", 1),
+        ("u1", "text A", 3),
         ("u1", "text B", 1),
         ("u3", "text C", 2),
     ]
     # idempotent re-run over already-deduped output (dup_count present)
     out_df = exact_dedup(df, "url")
     again = sorted(
-        (r["url"], r["text"], r["dup_count"])
+        ((r["url"] or ""), r["text"], r["dup_count"])
         for r in exact_dedup(out_df, "url").collect()
     )
     assert again == [
+        ("", "text D", 1),
         ("u1", "text A", 1),
         ("u1", "text B", 1),
         ("u3", "text C", 1),
     ]
+
+
+def test_exact_dedup_survivor_row_deterministic(spark):
+    """When the winning id is duplicated and the sibling columns
+    differ (same text, different warc_ts — the re-fetched-URL case),
+    the surviving row must be the same total-order pick on every run
+    regardless of input partitioning."""
+    rows = [
+        ("u1", "same page text", f"2024-01-{d:02d}", f"w{d}")
+        for d in (9, 3, 27, 3, 14)
+    ] + [("u2", "same page text", "2024-02-01", "w99")]
+    schema = "url string, text string, warc_ts string, shard string"
+
+    def run(nparts):
+        df = spark.createDataFrame(rows, schema).repartition(nparts)
+        return sorted(
+            (r["url"], r["warc_ts"], r["shard"], r["dup_count"])
+            for r in exact_dedup(df, "url").collect()
+        )
+
+    a, b, c = run(1), run(7), run(32)
+    assert a == b == c
+    # the pick is the struct-min: earliest warc_ts, then shard
+    assert a == [("u1", "2024-01-03", "w3", 6)]
 
 
 def test_connected_components(spark):
