@@ -521,8 +521,11 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
+                    # w=64 (the single-block max_hamming=0 case): the
+                    # all-ones mask doesn't fit a signed long literal;
+                    # two's-complement -1 IS that mask
                     F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-                        F.lit((1 << w) - 1)
+                        F.lit((1 << w) - 1 if w < 64 else -1).cast("long")
                     )
                     for off, w in zip(offsets, widths)
                 ]

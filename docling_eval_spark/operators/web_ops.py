@@ -311,6 +311,7 @@ def robots_filter_stage(
     agent: str = "*",
     url_col: str = "url",
     out_col: str = "robots_allowed",
+    snapshot: bool = False,
 ) -> DataFrame:
     """Append a ``robots_allowed`` flag by joining per-host robots.txt
     and deciding per URL (RFC 9309 longest-match, allow wins ties).
@@ -330,10 +331,15 @@ def robots_filter_stage(
     source TWICE (disjoint filters over the same subtree; the robots
     dim is tiny and re-broadcast). Against a columnar store with the
     url column pruned, two scans are far cheaper than one scan that
-    routes every row through Python — but if the input is an
-    expensive non-reusable computation, ``.persist()`` it before
-    calling this stage (the stage itself cannot manage a cache whose
-    lifetime outlives its return value)."""
+    routes every row through Python — but the two scans MUST observe
+    the same rows. If the upstream is non-deterministic (sampling,
+    uuid ids, a re-listed object store), pass ``snapshot=True``: the
+    joined frame is ``localCheckpoint``-ed eagerly so both branches
+    provably read one materialized snapshot (costs one write of the
+    full payload to executor-local storage). For an expensive but
+    deterministic upstream, ``.persist()`` before calling remains the
+    cheaper option (cache lifetime stays under the caller's
+    control)."""
     from collections.abc import Iterator as _It
 
     import numpy as np
@@ -355,6 +361,8 @@ def robots_filter_stage(
     joined = pages.withColumn("__host", host_col(F.col(url_col))).join(
         F.broadcast(dim), "__host", "left"
     )
+    if snapshot:  # pin ONE evaluation for the fast/slow branch pair
+        joined = joined.localCheckpoint(eager=True)
     keep = [f.name for f in joined.schema.fields if not f.name.startswith("__")]
     schema = T.StructType(
         [f for f in joined.schema.fields if not f.name.startswith("__")]

@@ -28,6 +28,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _table_is_external(spark: SparkSession, table: str) -> bool:
+    """True iff ``table`` exists and is EXTERNAL — its data must
+    survive a DROP, so the overwrite path must never rmtree it."""
+    try:
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    except Exception:  # table absent (the common overwrite-fresh case)
+        return False
+    for r in desc:
+        if r["col_name"] == "Type":
+            return r["data_type"].strip().upper() == "EXTERNAL"
+    return False
+
+
+def _looks_like_managed_table_dir(loc) -> bool:
+    """Managed parquet table layout: only part files, commit markers,
+    and hidden/temp entries. Anything else means the path is not ours
+    to delete (an unrelated directory that happens to sit at the
+    name-derived location)."""
+    import os
+
+    try:
+        names = os.listdir(loc)
+    except OSError:
+        return False
+    allowed = ("part-", "_SUCCESS", ".", "_temporary", "_committed", "_started")
+    return all(n.startswith(allowed) for n in names)
+
+
+def _path_owned_by_live_table(spark: SparkSession, db: str, loc) -> bool:
+    """True iff some still-cataloged table in ``db`` resolves to
+    ``loc`` — then the directory is NOT an orphan and must stay."""
+    import os
+
+    target = os.path.realpath(str(loc))
+    try:
+        tables = spark.catalog.listTables(db)
+    except Exception:
+        return False
+    for t in tables:
+        name = f"{t.database}.{t.name}" if t.database else t.name
+        try:
+            desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        except Exception:
+            continue
+        for r in desc:
+            if r["col_name"] == "Location":
+                p = r["data_type"]
+                for prefix in ("file://", "file:"):
+                    if p.startswith(prefix):
+                        p = p[len(prefix):]
+                        break
+                if os.path.realpath(p) == target:
+                    return True
+    return False
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -40,16 +96,26 @@ def write_bucketed(
     sorted) by ``bucket_col``. Idempotent under ``overwrite`` even
     after a crashed prior write: a managed-table LOCATION can outlive
     its catalog entry (LOCATION_ALREADY_EXISTS), so overwrite drops
-    the entry AND clears an orphaned local location first."""
+    the entry AND clears an orphaned local location first.
+
+    The orphan cleanup deletes ONLY within Spark's own drop semantics:
+    if the pre-existing table is EXTERNAL (DROP intentionally keeps
+    its data), or another live catalog table owns the name-derived
+    path, or the directory's contents don't look like a managed
+    parquet table (part files + commit markers only), nothing is
+    removed — a genuine collision then surfaces as Spark's own
+    LOCATION_ALREADY_EXISTS instead of a silent delete of foreign
+    data."""
     spark = df.sparkSession
     if mode == "overwrite":
+        was_external = _table_is_external(spark, table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         wh = spark.conf.get("spark.sql.warehouse.dir", "")
         for prefix in ("file://", "file:"):
             if wh.startswith(prefix):
                 wh = wh[len(prefix):]
                 break
-        if wh and "://" not in wh:
+        if wh and "://" not in wh and not was_external:
             import shutil
             from pathlib import Path
 
@@ -64,7 +130,11 @@ def write_bucketed(
                 if db == "default"
                 else Path(wh) / f"{db}.db" / parts[-1]
             )
-            if loc.exists():
+            if (
+                loc.exists()
+                and _looks_like_managed_table_dir(loc)
+                and not _path_owned_by_live_table(spark, db, loc)
+            ):
                 shutil.rmtree(loc, ignore_errors=True)
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:

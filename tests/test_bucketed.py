@@ -71,3 +71,79 @@ def test_bucketed_aggregation_no_exchange(spark):
     got = {r["k"]: r["s"] for r in agg.collect()}
     assert got[0] == sum(i for i in range(500) if i % 50 == 0)
     assert len(got) == 50
+
+
+def test_overwrite_never_deletes_external_table_data(spark, tmp_path):
+    """DROP of an EXTERNAL table keeps its data by Spark semantics;
+    write_bucketed's overwrite cleanup must honor that — even when the
+    external location happens to be readable local parquet."""
+    ext = tmp_path / "ext_data"
+    spark.range(0, 10).selectExpr("id AS k", "id * 7 AS v").write.parquet(
+        str(ext)
+    )
+    # USING parquet + LOCATION = external table in the in-memory
+    # catalog (no Hive needed); Type shows EXTERNAL in DESCRIBE
+    spark.sql(f"CREATE TABLE bkt_ext USING parquet LOCATION '{ext}'")
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    write_bucketed(df, "bkt_ext", "k", n_buckets=4)
+    # the new managed table is live with the new contents...
+    assert read_table(spark, "bkt_ext").count() == 100
+    # ...and the external data directory was left untouched
+    assert spark.read.parquet(str(ext)).count() == 10
+    spark.sql("DROP TABLE IF EXISTS bkt_ext")
+
+
+def test_overwrite_never_deletes_unrelated_directory(spark):
+    """A directory at the name-derived warehouse path that is NOT a
+    managed parquet layout (here: holds a user file) must survive; the
+    collision then surfaces as Spark's own location error instead of a
+    silent delete."""
+    import os
+
+    import pytest
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    loc = os.path.join(wh, "bkt_squatter")
+    os.makedirs(loc, exist_ok=True)
+    marker = os.path.join(loc, "precious.txt")
+    with open(marker, "w") as fh:
+        fh.write("not spark's data")
+    try:
+        df = spark.range(0, 10).selectExpr("id AS k")
+        with pytest.raises(Exception):
+            write_bucketed(df, "bkt_squatter", "k", n_buckets=2)
+        with open(marker) as fh:
+            assert fh.read() == "not spark's data"
+    finally:
+        import shutil
+
+        spark.sql("DROP TABLE IF EXISTS bkt_squatter")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_overwrite_still_clears_crashed_orphan(spark):
+    """The original contract stands: an orphaned managed-table layout
+    (part files without a catalog entry — the crashed-write case) is
+    cleared so overwrite stays idempotent."""
+    df = spark.range(0, 50).selectExpr("id AS k", "id AS v")
+    write_bucketed(df, "bkt_orphan", "k", n_buckets=2)
+    # simulate the crash: catalog entry gone, files left behind
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    loc = os.path.join(wh, "bkt_orphan")
+    spark.sql("DROP TABLE bkt_orphan")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-00000-stale.parquet"), "w") as fh:
+        fh.write("stale")
+    write_bucketed(df, "bkt_orphan", "k", n_buckets=2)
+    assert read_table(spark, "bkt_orphan").count() == 50
+    spark.sql("DROP TABLE IF EXISTS bkt_orphan")

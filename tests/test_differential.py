@@ -1,0 +1,121 @@
+"""Differential prod-vs-portable hash-path tests (VERDICT r4 #3).
+
+``simhash`` and ``token_ngram_hash_col``/``contamination_check`` each
+ship two token-hash modes: the PRODUCTION default (JVM ``xxhash64``)
+and a PORTABLE polynomial twin the DuckDB oracle can recompute
+bit-for-bit. The oracle gate only ever exercises the portable path;
+these tests close the asymmetry by running BOTH paths over the real
+sf0.01 documents corpus and asserting the *decisions* agree.
+
+What "agree" means differs by operator:
+
+- contamination: hash-set MEMBERSHIP of exact n-gram matches — a true
+  8-gram hit collides in both fields by construction and false hits
+  are ~|bench|/field (≤2⁻³¹ per window); the full (id, n_grams,
+  n_hits) row set must be identical.
+- simhash: an APPROXIMATE sketch — different token-hash functions
+  legitimately disagree on borderline Hamming-2/3 pairs (measured at
+  sf0.01: 14 pairs common, 3 prod-only, 9 portable-only, every
+  disagreement at distance ≥2). The invariants that must hold under
+  ANY hash choice: (a) identical normalized text ⇒ Hamming 0 under
+  both paths (the converse fails — unrelated docs can coincide on all
+  64 majority signs under one hash), and (b) documents that ARE
+  near-duplicates by construction (one appended token) pair under
+  both paths.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_contamination_prod_portable_same_decisions(spark):
+    from docling_eval_spark.operators.text_analysis import contamination_check
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+
+    def run(portable):
+        return sorted(
+            (r["id"], r["n_grams"], r["n_hits"])
+            for r in contamination_check(
+                docs, bench, "doc_id", n=8, portable=portable
+            ).collect()
+        )
+
+    prod, portable = run(False), run(True)
+    assert prod == portable
+    # the decision is non-trivial on this corpus: the planted benchmark
+    # docs are fully covered, others are not all zero or all hit
+    full = [r for r in prod if r[1] > 0 and r[1] == r[2]]
+    assert len(full) >= len([r for r in prod if r[0] % 50 == 0]) // 2
+    assert any(r[2] == 0 for r in prod)
+
+
+def test_simhash_prod_portable_decision_invariants(spark):
+    from docling_eval_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant ground-truth near-dups: 20 docs re-issued under new ids
+    # with ONE extra token — a one-token edit flips few simhash bits,
+    # so BOTH paths must pair each copy with its original
+    planted = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zqxj")).alias("text"),
+        )
+    )
+    # and 10 VERBATIM copies — exact duplicates for the d=0 invariant
+    exact_copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted).unionByName(exact_copies)
+
+    def pairs_at(portable, max_hamming):
+        sh = simhash(corpus, "doc_id", portable=portable)
+        p = simhash_near_pairs(sh, max_hamming=max_hamming)
+        return {
+            tuple(sorted((r["id_l"], r["id_r"]))) for r in p.collect()
+        }
+
+    # one appended token flips |margin|<=1 bits; on the corpus's short
+    # docs (11-87 tokens) the measured planted distances reach 8 under
+    # both paths, so the ground-truth check runs at d<=10 — the point
+    # is BOTH paths make the same "these are near-dups" call, not the
+    # web-production d<=3 cutoff (which needs longer documents)
+    prod10, port10 = pairs_at(False, 10), pairs_at(True, 10)
+    wanted = {(i, i + 1_000_000) for i in range(20)}
+    assert wanted <= prod10, sorted(wanted - prod10)
+    assert wanted <= port10, sorted(wanted - port10)
+
+    # exact token-sequence duplicates ⇒ Hamming 0 under ANY token
+    # hash, so they must appear in BOTH paths' d=0 pair sets. (The d=0
+    # sets themselves are NOT hash-invariant: unrelated docs whose 64
+    # majority votes happen to share signs collide under one hash but
+    # not the other — sign coincidence, not duplication.)
+    from docling_eval_spark.operators.dedup import _norm
+
+    by_digest = (
+        corpus.select("doc_id", F.md5(_norm("text")).alias("d"))
+        .groupBy("d")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    exact_pairs = {
+        tuple(sorted((a, b)))
+        for r in by_digest
+        for i, a in enumerate(r["ids"])
+        for b in r["ids"][i + 1 :]
+    }
+    assert exact_pairs, "fixture lost its exact duplicates"
+    prod0, port0 = pairs_at(False, 0), pairs_at(True, 0)
+    assert exact_pairs <= prod0, sorted(exact_pairs - prod0)[:5]
+    assert exact_pairs <= port0, sorted(exact_pairs - port0)[:5]

@@ -1223,6 +1223,36 @@ def test_robots_filter_query_only_url(spark):
     assert rows == {1: True, 2: False, 3: False}
 
 
+def test_robots_filter_snapshot_nondeterministic_upstream(spark):
+    """snapshot=True pins ONE evaluation of a non-deterministic
+    upstream across the fast/slow branch pair: every input row must
+    come out exactly once, with a self-consistent (url, flag) pair —
+    without the snapshot the two complementary scans could each draw
+    DIFFERENT rows (duplicating or losing urls between branches)."""
+    from docling_eval_spark.operators.web_ops import robots_filter_stage
+
+    base = spark.range(0, 400).selectExpr(
+        "id",
+        # rand() makes the url column non-deterministic: each scan of
+        # this frame re-draws which host (rule-bearing b.example or
+        # robots-less a.example) a row lands on
+        "concat('http://', CASE WHEN rand() < 0.5 THEN 'a' ELSE 'b' END,"
+        " '.example/p', CAST(id AS STRING)) AS url",
+    )
+    robots = spark.createDataFrame(
+        [("b.example", "User-agent: *\nDisallow: /p1")],
+        "host string, robots_txt string",
+    )
+    out = robots_filter_stage(base, robots, snapshot=True).collect()
+    assert len(out) == 400
+    assert len({r["id"] for r in out}) == 400  # no dup/loss across branches
+    for r in out:  # flag agrees with the url the snapshot fixed
+        expected = not (
+            "b.example" in r["url"] and r["url"].split(".example")[1].startswith("/p1")
+        )
+        assert r["robots_allowed"] is expected, (r["url"], r["robots_allowed"])
+
+
 def test_cap_per_key_scale_mode_salted_plan(spark):
     from docling_eval_spark.operators.web_ops import cap_per_key
 

@@ -135,3 +135,118 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     # re-emits (state survived via the checkpoint)
     assert [r["text"] for r in got2] == ["gamma new page body"]
     assert got2[0]["id"] == "u5"
+
+
+def test_stream_dedup_multichunk_group(spark, tmp_path):
+    """The kernel streams its Arrow chunks (hot-digest skew safety):
+    force multi-chunk groups via a tiny maxRecordsPerBatch and assert
+    the winner/count semantics are unchanged."""
+    from docling_eval_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "pages"
+    schema = "url string, text string"
+    # 64 copies of one digest + 1 of another, 1 file → with
+    # maxRecordsPerBatch=7 the hot group arrives in ≥9 chunks
+    rows = [(f"u{i:03d}", "hot boilerplate text") for i in range(64)]
+    rows.append(("z00", "unique cold text"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        name = "dedup_chunked"
+        q = (
+            dedup_stream(stream, "url", "text")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["id"], r["text"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        # exactly one survivor per digest; the hot digest's winner is
+        # the first-arrived row of the coalesced single-file batch
+        assert got == [("u000", "hot boilerplate text"), ("z00", "unique cold text")]
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_stream_dedup_state_ttl(spark, tmp_path):
+    """Opt-in state TTL (continuous-crawl mode, processing-time
+    trigger — availableNow never terminates with pending timeouts,
+    see dedup_stream docstring): a digest unseen for longer than the
+    TTL is forgotten, so its next sighting re-emits; a digest seen
+    within the TTL stays suppressed. Margins are wide (TTL 5 s vs
+    ~1 s of scheduling slop) to keep the wall-clock assertions
+    honest."""
+    import time
+
+    from docling_eval_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "pages"
+    schema = "url string, text string"
+
+    def append(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    append([("u1", "ttl page alpha")])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    name = "ttl_sink"
+    q = (
+        dedup_stream(stream, "url", "text", state_ttl_ms=5000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+
+        def sink():
+            return sorted(
+                (r["id"], r["text"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            )
+
+        def wait_for(n, secs=45):
+            t0 = time.time()
+            while time.time() - t0 < secs:
+                s = sink()
+                if len(s) >= n:
+                    return s
+                time.sleep(0.3)
+            return sink()
+
+        assert wait_for(1) == [("u1", "ttl page alpha")]
+
+        # let alpha's state expire (empty 300 ms batches keep firing
+        # pending timeouts), then admit a fresh digest
+        time.sleep(8)
+        append([("u2", "ttl page beta")])
+        assert wait_for(2) == [
+            ("u1", "ttl page alpha"),
+            ("u2", "ttl page beta"),
+        ]
+
+        # alpha expired → re-emits; beta ~1 s old (TTL 5 s) → suppressed
+        time.sleep(1.0)
+        append([("u3", "ttl page alpha"), ("u4", "ttl page beta")])
+        got = wait_for(3)
+        assert got == [
+            ("u1", "ttl page alpha"),
+            ("u2", "ttl page beta"),
+            ("u3", "ttl page alpha"),
+        ]
+    finally:
+        q.stop()
