@@ -29,6 +29,22 @@ fixed-order timings confound drift with regressions):
 
 Every timed run forces materialization through the noop sink (count()
 lets Catalyst prune computed columns and under-measures).
+
+Drift control (VERDICT r4 #7): a CANARY — fixed pure-JVM work whose
+plan can never change (range → xxhash64 → one keyed agg) — is timed
+inside every warm pass. Its warm median tracks the HOST's speed that
+day, so cross-round comparisons divide out thermal/frequency drift:
+compare `queries_warm_med_per_canary` (dimensionless, query-time in
+canary units) across rounds, or equivalently multiply a raw r(N)/r(N-1)
+ratio by canary(N-1)/canary(N). r4's uniform 1.23× "slowdown" on
+untouched plans was exactly this drift.
+
+Bucketed-join evidence (VERDICT r4 #6): the same orders⋈lineitem
+equi-join + agg is timed co-bucketed (catalog tables bucketed on the
+join key — zero join exchanges, plan-asserted) vs unbucketed parquet,
+with auto-broadcast off so the join plans the way a 100 TB pair would.
+The one-time bucketed INGEST cost is also reported — that's the
+pay-once shuffle the layout amortizes over every later join.
 """
 
 from __future__ import annotations
@@ -91,6 +107,92 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _canary(spark):
+    """Fixed pure-JVM work, plan-stable forever: one codegen'd hash
+    scan + one keyed exchange. No repo code, no input tables — its
+    wall time measures the HOST, not the engine."""
+    import pyspark.sql.functions as F
+
+    return (
+        spark.range(0, 50_000_000)
+        .selectExpr("id % 1024 AS k", "xxhash64(id) AS h")
+        .groupBy("k")
+        .agg(F.expr("bit_xor(h)").alias("s"))  # overflow-free under ANSI
+    )
+
+
+def _bucketed_join_bench(spark, sf_dir: str, reps: int = 3) -> dict:
+    """orders⋈lineitem on the order key + agg, co-bucketed catalog
+    tables vs raw parquet, auto-broadcast off. Returns medians, the
+    one-time ingest cost, and the plans' exchange counts."""
+    import statistics
+
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.sources.bucketed import read_table, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+    def workload(o, li):
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.monotonic()
+        write_bucketed(orders, "bench_orders_b", "o_orderkey", n_buckets=32)
+        write_bucketed(lineitem, "bench_lineitem_b", "l_orderkey", n_buckets=32)
+        ingest_sec = round(time.monotonic() - t0, 3)
+
+        def exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange hashpartitioning")
+
+        bucketed_df = workload(
+            read_table(spark, "bench_orders_b"),
+            read_table(spark, "bench_lineitem_b"),
+        )
+        unbucketed_df = workload(orders, lineitem)
+        samples: dict[str, list[float]] = {"bucketed": [], "unbucketed": []}
+        for _ in range(reps):  # alternate to spread drift evenly
+            for tag, df_fn in (
+                ("unbucketed", lambda: workload(orders, lineitem)),
+                (
+                    "bucketed",
+                    lambda: workload(
+                        read_table(spark, "bench_orders_b"),
+                        read_table(spark, "bench_lineitem_b"),
+                    ),
+                ),
+            ):
+                t0 = time.monotonic()
+                _force(df_fn())
+                samples[tag].append(time.monotonic() - t0)
+        return {
+            "bucketed_warm_med": round(statistics.median(samples["bucketed"]), 3),
+            "unbucketed_warm_med": round(
+                statistics.median(samples["unbucketed"]), 3
+            ),
+            "ingest_sec": ingest_sec,
+            "bucketed_join_exchanges": exchanges(bucketed_df),
+            "unbucketed_join_exchanges": exchanges(unbucketed_df),
+            "reps": reps,
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        for t in ("bench_orders_b", "bench_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -123,8 +225,13 @@ def main() -> None:
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))
         cold[name] = round(time.monotonic() - t0, 3)
+    canary_samples: list[float] = []
     for p in range(WARM_PASSES):
         time.sleep(COOLDOWN_SEC)
+        # canary first in each pass: one host-speed sample per pass
+        t0 = time.monotonic()
+        _force(_canary(spark))
+        canary_samples.append(time.monotonic() - t0)
         order = BENCH_QUERIES if p % 2 == 0 else list(reversed(BENCH_QUERIES))
         for name in order:
             t0 = time.monotonic()
@@ -141,6 +248,24 @@ def main() -> None:
         for q, v in warm_samples.items()
     }
 
+    canary_med = round(statistics.median(canary_samples), 3)
+    canary_spread = (
+        round(
+            100.0
+            * (max(canary_samples) - min(canary_samples))
+            / canary_med,
+            1,
+        )
+        if canary_med > 0
+        else 0.0
+    )
+    per_canary = {
+        q: round(v / canary_med, 3) if canary_med > 0 else None
+        for q, v in warm_med.items()
+    }
+
+    bucketed = _bucketed_join_bench(spark, sf_dir)
+
     extract_sec = cold["extract_match_stats"]
     total = round(sum(cold.values()), 3)
     print(
@@ -154,6 +279,10 @@ def main() -> None:
                 "queries_spread_pct": spread_pct,
                 "value_warm_med": round(sum(warm_med.values()), 3),
                 "warm_passes": WARM_PASSES,
+                "canary_warm_med": canary_med,
+                "canary_spread_pct": canary_spread,
+                "queries_warm_med_per_canary": per_canary,
+                "bucketed_join": bucketed,
                 "sf": sf,
                 "cpus": cpus,
                 "extraction_docs": n_docs,
