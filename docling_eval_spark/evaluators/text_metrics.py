@@ -159,11 +159,23 @@ def meteor_exact(true_txt: str, pred_txt: str) -> float:
     return meteor_tokens(tokenize(true_txt), tokenize(pred_txt))
 
 
-def meteor_tokens(ref: list[str], hyp: list[str]) -> float:
+def meteor_tokens(
+    ref: list[str], hyp: list[str], synonym_key_fn=None
+) -> float:
+    """``synonym_key_fn`` overrides the stage-3 vocabulary: token →
+    hashable group key (None = outside vocabulary). Default is the
+    bundled static table; an environment WITH WordNet can pass
+    ``lambda t: first-synset-id`` to recover full NLTK semantics —
+    and the §F10 residual measurement passes the bundled table
+    EXTENDED with known WordNet-only pairs to measure exactly what
+    the subset misses."""
     if not ref or not hyp:
         return 0.0
     from docling_eval_spark.evaluators.porter import porter_stem
     from docling_eval_spark.evaluators.synonyms import synonym_key
+
+    if synonym_key_fn is None:
+        synonym_key_fn = synonym_key
 
     # staged alignment (NLTK meteor: exact → Porter stem → WordNet
     # synsets; WordNet is offline-unavailable, so stage 3 uses the
@@ -192,7 +204,7 @@ def meteor_tokens(ref: list[str], hyp: list[str]) -> float:
 
     stage(lambda t: t)
     stage(porter_stem)
-    stage(synonym_key)
+    stage(synonym_key_fn)
     m = len(matches)
     if m == 0:
         return 0.0

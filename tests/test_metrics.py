@@ -258,3 +258,57 @@ def test_meteor_synonym_stage():
     ) == pytest.approx(0.8535, abs=5e-5)
     # two unknown tokens (both map to no synonym group) must NOT align
     assert meteor_exact("flibber jabber", "wocket gromp") == 0.0
+
+
+def test_meteor_wordnet_residual_bound():
+    """F10 residual, MEASURED (VERDICT r4 #9): sentences engineered so
+    some aligned pairs are WordNet synonyms ABSENT from the bundled
+    table. The pluggable synonym_key_fn simulates WordNet by extending
+    the bundled table with those known pairs; the per-sentence residual
+    (simulated-WordNet METEOR − shipped METEOR) is pinned here and
+    committed in COVERAGE.md §F10. The analytic worst case is the last
+    fixture: EVERY content word a WordNet-only synonym → shipped 0.0 vs
+    ~1.0 (residual 0.9922 at 4 tokens, → 1 − 0.5/m³ as m grows)."""
+    from docling_eval_spark.evaluators.synonyms import SYNONYM_GROUP, synonym_key
+    from docling_eval_spark.evaluators.text_metrics import meteor_tokens, tokenize
+
+    # pairs sharing a WordNet synset (ordinary dictionary knowledge)
+    # and deliberately NOT in the bundled table
+    wordnet_only = [
+        ["gift", "present"], ["sofa", "couch"], ["jump", "leap"],
+        ["sick", "ill"], ["forest", "wood"], ["middle", "center"],
+    ]
+    base = max(SYNONYM_GROUP.values()) + 1
+    extra = {w: base + i for i, grp in enumerate(wordnet_only) for w in grp}
+    for w in extra:  # the residual is only meaningful if truly absent
+        assert w not in SYNONYM_GROUP, w
+
+    def wn_key(t):
+        k = synonym_key(t)
+        return k if k is not None else extra.get(t.lower())
+
+    fixtures = [  # (ref, hyp, shipped, simulated-WordNet)
+        ("he gave her a gift on her birthday",
+         "he gave her a present on her birthday", 0.8648, 0.9990),
+        ("the sick child slept on the sofa",
+         "the ill kid slept on the couch", 0.6914, 0.9985),
+        ("they walked through the forest to the middle of the valley",
+         "they walked through the wood to the center of the valley",
+         0.8030, 0.9996),
+        ("the big dog can jump over the fence quickly",
+         "the large dog can leap over the fence quickly", 0.8819, 0.9993),
+        ("gift sofa jump sick", "present couch leap ill", 0.0, 0.9922),
+    ]
+    max_residual = 0.0
+    for ref, hyp, want_shipped, want_wn in fixtures:
+        rt, ht = tokenize(ref), tokenize(hyp)
+        shipped = meteor_tokens(rt, ht)
+        wn = meteor_tokens(rt, ht, synonym_key_fn=wn_key)
+        assert shipped == pytest.approx(want_shipped, abs=5e-5)
+        assert wn == pytest.approx(want_wn, abs=5e-5)
+        assert wn >= shipped  # subset table can only lower the score
+        max_residual = max(max_residual, wn - shipped)
+    assert max_residual == pytest.approx(0.9922, abs=5e-4)
+    # realistic-sentence bound (non-degenerate fixtures): ≤ 0.31
+    realistic = max(w - s for _, _, s, w in fixtures[:-1])
+    assert realistic == pytest.approx(0.3071, abs=5e-4)
