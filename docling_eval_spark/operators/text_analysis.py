@@ -624,14 +624,9 @@ def chunk_documents(
 def _local_scratch_path(base: str) -> str | None:
     """Filesystem path for a local/file: scratch URI, else None
     (hdfs/s3/... — caller manages remote scratch)."""
-    path = base
-    if path.startswith("file://"):
-        path = path[7:]
-    elif path.startswith("file:"):
-        path = path[5:]
-    if "://" in path:
-        return None
-    return path
+    from docling_eval_spark.functions.uri import local_path_of
+
+    return local_path_of(base)
 
 
 # Postings dumps written by THIS process under a session checkpoint
@@ -640,6 +635,12 @@ def _local_scratch_path(base: str) -> str | None:
 # sibling eagerly would invalidate any still-unconsumed frame. Spark
 # never garbage-collects foreign parquet in a checkpoint dir, so
 # without the exit hook every call would leak one full dump.
+# Crash caveat: a SIGKILL'd driver leaks its dumps — but they live
+# under sc.getCheckpointDir()'s PER-CONTEXT uuid subdir, exactly like
+# Spark's own RDD checkpoints from the dead run; whatever policy
+# reclaims a dead context's checkpoint dir reclaims these with it
+# (no cross-process cleanup could do better: another live driver's
+# context dir must never be touched).
 _SCRATCH_DUMPS: list[str] = []
 
 

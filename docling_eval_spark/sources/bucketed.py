@@ -58,8 +58,14 @@ def _looks_like_managed_table_dir(loc) -> bool:
 
 def _path_owned_by_live_table(spark: SparkSession, db: str, loc) -> bool:
     """True iff some still-cataloged table in ``db`` resolves to
-    ``loc`` — then the directory is NOT an orphan and must stay."""
+    ``loc`` — then the directory is NOT an orphan and must stay.
+
+    A table that cannot be described is treated as OWNING the path
+    (return True → nothing is deleted): failing open here would let a
+    describe hiccup authorize an rmtree of live data."""
     import os
+
+    from docling_eval_spark.functions.uri import local_path_of
 
     target = os.path.realpath(str(loc))
     try:
@@ -67,19 +73,19 @@ def _path_owned_by_live_table(spark: SparkSession, db: str, loc) -> bool:
     except Exception:
         return False
     for t in tables:
-        name = f"{t.database}.{t.name}" if t.database else t.name
+        # backtick-quote: names needing quoting (`my-table`) must not
+        # fall out of the ownership check via a parse error
+        name = (
+            f"`{t.database}`.`{t.name}`" if t.database else f"`{t.name}`"
+        )
         try:
             desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
         except Exception:
-            continue
+            return True  # can't prove it's NOT the owner → keep files
         for r in desc:
             if r["col_name"] == "Location":
-                p = r["data_type"]
-                for prefix in ("file://", "file:"):
-                    if p.startswith(prefix):
-                        p = p[len(prefix):]
-                        break
-                if os.path.realpath(p) == target:
+                p = local_path_of(r["data_type"])
+                if p is not None and os.path.realpath(p) == target:
                     return True
     return False
 
@@ -110,12 +116,10 @@ def write_bucketed(
     if mode == "overwrite":
         was_external = _table_is_external(spark, table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        for prefix in ("file://", "file:"):
-            if wh.startswith(prefix):
-                wh = wh[len(prefix):]
-                break
-        if wh and "://" not in wh and not was_external:
+        from docling_eval_spark.functions.uri import local_path_of
+
+        wh = local_path_of(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh and not was_external:
             import shutil
             from pathlib import Path
 

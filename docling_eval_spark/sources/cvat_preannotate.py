@@ -175,10 +175,13 @@ def write_cvat_preannotations(
     under ``tasks_dir``; returns (bucket_id, n_images, n_boxes, file)
     — one row per task written.
 
-    Expected columns: ``image_name`` (unique per page image),
-    ``page_width``/``page_height`` (image pixel dims), ``label``,
-    ``l``/``t``/``r``/``b`` (top-left-origin pixel coords) — exactly
-    what `read_cvat_annotations` yields, so write∘read round-trips.
+    Expected columns: ``image_col`` (unique per page image; renamed to
+    ``image_name`` internally and in the output XML),
+    ``page_width``/``page_height`` (image pixel dims; if box rows
+    disagree for one image the max wins — one ``<image>`` element per
+    name, never two), ``label``, ``l``/``t``/``r``/``b``
+    (top-left-origin pixel coords) — exactly what
+    `read_cvat_annotations` yields, so write∘read round-trips.
     Optional ``box_id`` fixes the per-image box order (z_order);
     otherwise boxes order by (t, l, r, b, label).
 
@@ -191,6 +194,8 @@ def write_cvat_preannotations(
     import os
 
     os.makedirs(tasks_dir, exist_ok=True)
+    if image_col != "image_name":  # kernel + join key use one name
+        boxes = boxes.withColumnRenamed(image_col, "image_name")
     has_box_id = "box_id" in boxes.columns
     order = (
         [F.col("box_id").asc()]
@@ -198,21 +203,30 @@ def write_cvat_preannotations(
         else [F.col(c).asc() for c in ("t", "l", "r", "b", "label")]
     )
 
+    # ONE id per image NAME (CVAT rejects duplicate frames): if box
+    # rows disagree on an image's dims (mixed upstream render DPIs),
+    # the max wins deterministically rather than forking the image
+    # into two <image> elements
     images = (
-        boxes.select(image_col, "page_width", "page_height")
-        .distinct()
+        boxes.groupBy("image_name")
+        .agg(
+            F.max("page_width").alias("page_width"),
+            F.max("page_height").alias("page_height"),
+        )
         .withColumn(
             "__img_id",
-            F.row_number().over(Window.orderBy(F.col(image_col).asc())),
+            F.row_number().over(Window.orderBy(F.col("image_name").asc())),
         )
         .withColumn(
             "bucket_id",
             ((F.col("__img_id") - 1) / bucket_size).cast("int"),
         )
     )
-    w_img = Window.partitionBy(image_col).orderBy(*order)
-    ordered = boxes.withColumn("__z", F.row_number().over(w_img) - 1).join(
-        images.select(image_col, "__img_id", "bucket_id"), image_col
+    w_img = Window.partitionBy("image_name").orderBy(*order)
+    ordered = (
+        boxes.drop("page_width", "page_height")
+        .withColumn("__z", F.row_number().over(w_img) - 1)
+        .join(images, "image_name")
     )
 
     def write_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -252,7 +266,7 @@ def write_cvat_preannotations(
             }
         )
 
-    cols = [image_col, "page_width", "page_height", "label",
+    cols = ["image_name", "page_width", "page_height", "label",
             "l", "t", "r", "b", "__z", "__img_id", "bucket_id"]
     return (
         ordered.select(*cols)

@@ -86,14 +86,19 @@ def _make_dedup_fn(state_ttl_ms: int | None):
         # Stream the chunks: winner = first row of the first non-empty
         # chunk, count accumulates per chunk — the group is never
         # materialized whole (hot-digest skew safety).
+        have_winner = False
         winner_id: str | None = None
         winner_text: str | None = None
         n = 0
         for chunk in batches:
-            if winner_id is None and len(chunk):
+            if not have_winner and len(chunk):
                 first = chunk.iloc[0]
-                winner_id = str(first["id"])
+                rid = first["id"]
+                # preserve a NULL id (the batch twin keeps all-null-id
+                # groups with NULL id; never fabricate the str 'None')
+                winner_id = None if pd.isna(rid) else str(rid)
                 winner_text = first["text"]
+                have_winner = True
             n += len(chunk)
         if state.exists:
             first_id, seen = state.get

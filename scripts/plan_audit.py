@@ -41,9 +41,22 @@ import __spark_entry__ as entrymod  # noqa: E402
 from docling_eval_spark.session import get_spark  # noqa: E402
 
 
+def drain_listener_bus(spark) -> None:
+    """The app status store is fed by an ASYNC listener queue; a
+    snapshot taken right after save() returns can miss stragglers and
+    misattribute them to the next query. Block until the bus is empty
+    before every snapshot."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty()
+    except Exception:  # older signature takes a timeout in millis
+        bus.waitUntilEmpty(30_000)
+
+
 def stage_totals(ui: str, app: str) -> dict[str, int]:
     """Cumulative bytes across all stages the app has run so far —
-    snapshot before/after a query and diff."""
+    snapshot before/after a query and diff (call drain_listener_bus
+    first)."""
     with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as fh:
         data = json.load(fh)
     return {
@@ -111,8 +124,10 @@ def main() -> None:
         row_python_total += a["row_python"]
         scans = "; ".join(a["scans"]) or "—"
         pushed = len(a["pushed"])
+        drain_listener_bus(spark)
         before = stage_totals(ui, app)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        drain_listener_bus(spark)
         after = stage_totals(ui, app)
         m = {k: after[k] - before[k] for k in before}
         rows.append(

@@ -119,6 +119,29 @@ def test_preannotate_default_order_without_box_id(spark, tmp_path):
     assert outs[0] == [(0, "picture"), (1, "table"), (2, "text")]
 
 
+def test_preannotate_custom_image_col_and_dim_conflict(spark, tmp_path):
+    """image_col != default must work end-to-end (review regression:
+    the kernel once hardcoded 'image_name'); conflicting dims for one
+    image collapse to ONE <image> element (max dims), never two."""
+    tasks = str(tmp_path / "tasks")
+    df = spark.createDataFrame(
+        [
+            ("p1.png", 800.0, 1000.0, "text", 0, 1.0, 2.0, 3.0, 4.0),
+            ("p1.png", 800.0, 1001.0, "table", 1, 5.0, 6.0, 7.0, 8.0),
+        ],
+        "img string, page_width double, page_height double, "
+        "label string, box_id int, l double, t double, r double, b double",
+    )
+    summary = write_cvat_preannotations(
+        df, tasks, bucket_size=10, image_col="img"
+    ).collect()
+    assert [(r["n_images"], r["n_boxes"]) for r in summary] == [(1, 2)]
+    back = read_cvat_annotations(spark, f"{tasks}/*.xml").collect()
+    assert len(back) == 2  # no box duplication across forked ids
+    assert {r["image_name"] for r in back} == {"p1.png"}
+    assert {r["page_height"] for r in back} == {1001.0}  # max wins
+
+
 def test_project_properties_shape(tmp_path):
     props = cvat_project_properties()
     by_name = {p["name"]: p for p in props}

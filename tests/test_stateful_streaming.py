@@ -240,13 +240,24 @@ def test_stream_dedup_state_ttl(spark, tmp_path):
         ]
 
         # alpha expired → re-emits; beta ~1 s old (TTL 5 s) → suppressed
+        # — UNLESS the host stalls the micro-batch past beta's TTL
+        # (loaded CI). Measure the actual batch latency and only hold
+        # the suppression assertion when beta was provably in-window.
+        t_beta_seen = time.time()  # beta's state (re)armed by now
         time.sleep(1.0)
         append([("u3", "ttl page alpha"), ("u4", "ttl page beta")])
-        got = wait_for(3)
-        assert got == [
+        wait_for(3)
+        time.sleep(1.5)  # let any (incorrect) 4th row land too
+        got = sink()
+        batch_lag = time.time() - t_beta_seen
+        assert got[:3] == [
             ("u1", "ttl page alpha"),
             ("u2", "ttl page beta"),
             ("u3", "ttl page alpha"),
         ]
+        if batch_lag < 4.0:  # comfortably inside beta's 5 s TTL
+            assert len(got) == 3, got
+        else:  # stall ate the TTL: u4 re-emitting is then CORRECT
+            assert len(got) in (3, 4), got
     finally:
         q.stop()
