@@ -2179,6 +2179,46 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-BoW linear quality classifier (CCNet /
+    GPT-3 CC-filtering shape): seeded milli-unit weight table, BIGINT
+    score fold, integer threshold decision — zero shuffle, and DuckDB
+    recomputes the hash + fold + decision bit-for-bit."""
+    from docling_eval_spark.operators.text_analysis import quality_lr_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_lr_score(d, "doc_id")
+
+
+def _sql_quality_lr() -> str:
+    from docling_eval_spark.operators.text_analysis import lr_weights
+
+    wlist = ", ".join(str(w) for w in lr_weights())
+    return rf"""
+WITH w AS (SELECT [{wlist}] AS wv),
+toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(
+           string_split_regex(trim(text), '[ \t\n\r\f\v]+'), x -> x <> ''
+         ), x -> lower(x)) AS tk
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk,
+      t -> wv[1 + CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(unicode(substring(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             (a, b) -> (a * 1000003 + b) % 2147483647) % 256 AS INTEGER)])),
+      (a, b) -> a + b) AS score_milli
+  FROM toks, w
+)
+SELECT doc_id AS id, n_tokens, score_milli,
+       (score_milli >= 0 AND n_tokens > 0) AS keep
+FROM sc
+"""
+
+
 _SQL_GOPHER = r"""
 WITH tk AS (
   SELECT doc_id, text AS t,
@@ -3346,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi": _with_pkg(_q_bloom_semi),
         "teds_known_distance": _with_pkg(_q_teds_known_distance),
         "gopher_quality": _with_pkg(_q_gopher_quality),
+        "quality_lr": _with_pkg(_q_quality_lr),
     }
 
 
@@ -3401,6 +3442,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi": _SQL_BLOOM_SEMI,
         "teds_known_distance": _SQL_TEDS_KNOWN,
         "gopher_quality": _SQL_GOPHER,
+        "quality_lr": _sql_quality_lr(),
         "repetition_bigrams": _SQL_REPETITION,
         "near_dup_pairs": _sql_near_dup_pairs(),
         "embedding_dup_clusters": _sql_embedding_dup_clusters(),

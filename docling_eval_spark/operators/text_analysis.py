@@ -1019,3 +1019,84 @@ def nfc_normalize_stage(
             yield pdf[[f.name for f in schema.fields]]
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+# ------------------------------------------------------- linear classifier
+
+
+def lr_weights(dim: int = 256, seed: int = 7) -> list[int]:
+    """Deterministic milli-unit weight table for ``quality_lr_score``
+    — the stand-in for a TRAINED fastText/logistic quality model
+    (container has no training data; a real deployment passes its own
+    weights). Values in [-1000, 1000] milli-units, seeded Knuth-style
+    so both engines (and the committed oracle SQL) agree on every
+    entry."""
+    return [
+        ((seed * 1_000_003 + i * 2_654_435_761) % 2001) - 1000
+        for i in range(dim)
+    ]
+
+
+def quality_lr_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    weights: list[int] | None = None,
+    bias_milli: int = 0,
+    thresh_milli: int = 0,
+) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier — the scoring
+    half of the fastText-style quality filter every LLM data pipeline
+    runs (CCNet / GPT-3 Common-Crawl filtering: score each document
+    with a linear model over hashed token features, keep above a
+    threshold). The TRAINING half happens offline; this stage applies
+    the resulting weight vector at corpus scale.
+
+    Scale shape: ZERO shuffle — the weight vector rides into the plan
+    as a broadcast-free literal array (a few KB), each document folds
+    its own tokens (``F.aggregate``, sequential per row), and the
+    decision is one narrow map over the corpus. Integer milli-unit
+    arithmetic end-to-end (BIGINT sums; the [[round4-state]] oracle
+    rule: never hash a float quotient across engines), so the DuckDB
+    twin is value-exact:
+
+    - token bucket = per-code-point polynomial fold mod 2^31-1
+      (the portable hash family shared with winnowing/contamination),
+      then mod ``len(weights)``;
+    - ``score_milli`` = bias + Σ weights[bucket(tok)] over tokens
+      (with multiplicity, in order — BIGINT, exact);
+    - ``keep`` = score_milli >= thresh_milli * n_tokens (per-token
+      mean threshold in pure integer form: empty docs fail).
+
+    A sigmoid probability is deliberately NOT emitted: it adds no
+    information to the keep decision (monotone) and a float column
+    would break integer-exact cross-engine comparison; callers who
+    want it compute ``sigmoid(score_milli / 1000 / n_tokens)``."""
+    if weights is None:
+        weights = lr_weights()
+    dim = len(weights)
+    w_arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+
+    def tok_bucket(t: Column) -> Column:
+        h = F.aggregate(
+            F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
+        )
+        return F.pmod(h, F.lit(dim)).cast("int")
+
+    score = F.aggregate(
+        toks,
+        F.lit(int(bias_milli)).cast("long"),
+        lambda acc, t: acc + F.element_at(w_arr, tok_bucket(t) + 1),
+    )
+    n_tok = F.size(tokens_col(text_col)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        score.alias("score_milli"),
+        (
+            (score >= F.lit(int(thresh_milli)) * n_tok) & (n_tok > 0)
+        ).alias("keep"),
+    )

@@ -106,7 +106,7 @@ def main() -> None:
         shuffle_partitions=8,
         extra_conf={
             "spark.ui.enabled": "true",
-            # 66 queries x up to ~40 stages (page_rank) must all stay
+            # 67 queries x up to ~40 stages (page_rank) must all stay
             # visible for the before/after diffs
             "spark.ui.retainedStages": "20000",
         },

@@ -1625,3 +1625,47 @@ def test_stratified_sample(spark):
     z = stratified_sample(df, "src", "doc_id", {"a": 0.0},
                           default_fraction=0.0)
     assert z.count() == 0
+
+
+def test_quality_lr_score(spark):
+    """Hashed-BoW linear classifier: hand-computed integer scores,
+    custom weights/bias/threshold, empty-doc fail, zero-shuffle plan."""
+    from docling_eval_spark.operators.text_analysis import (
+        lr_weights,
+        quality_lr_score,
+    )
+
+    # dim=1: every token maps to bucket 0, so the score is just
+    # w0 * n_tokens + bias — hand-checkable
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_tokens"], r["score_milli"], r["keep"])
+        for r in quality_lr_score(
+            df, "doc_id", weights=[5], bias_milli=-7, thresh_milli=2
+        ).collect()
+    }
+    assert out == {
+        1: (3, 8, True),    # 3*5-7=8 >= 2*3=6
+        2: (1, -2, False),  # 5-7=-2 < 2
+        3: (0, -7, False),  # empty doc always fails
+        4: (0, -7, False),  # whitespace-only == empty
+    }
+    # default weights are deterministic and milli-bounded
+    w = lr_weights()
+    assert len(w) == 256 and all(-1000 <= x <= 1000 for x in w)
+    assert w == lr_weights()
+    # case-folding: tokens hash lowercased
+    d2 = spark.createDataFrame([(1, "Word"), (2, "word")], "doc_id long, text string")
+    s = {r["id"]: r["score_milli"] for r in quality_lr_score(d2, "doc_id").collect()}
+    assert s[1] == s[2]
+    # zero shuffle: one narrow map
+    plan = (
+        quality_lr_score(df, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
