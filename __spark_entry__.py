@@ -3316,8 +3316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
     # the 16 queries without a CORRECTNESS_r04 row lead (positions
     # 1-16), then the previously-green set in its original order;
-    # positions 51-66 (all driver-green in r04) rotate back into the
-    # window next round. Every entry keeps its oracle regardless of
+    # positions 51-67 (simhash..gopher_quality: driver-green in r04;
+    # quality_lr: new, oracle-verified locally at both SFs) rotate to
+    # the front next round. Every entry keeps its oracle regardless of
     # position — scripts/check_oracles.py verifies ALL of them.
     return {
         "repetition_bigrams": _with_pkg(_q_repetition_bigrams),

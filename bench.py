@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "contamination",
     "chunk_documents",
+    "quality_lr",
 ]
 
 WARM_PASSES = 3
