@@ -18,10 +18,21 @@ def local_path_of(uri: str) -> str | None:
 
     Handles all three local spellings Spark emits: ``/p``,
     ``file:/p`` (single slash — Hadoop Path.toString), and
-    ``file:///p``."""
+    ``file:///p`` — plus the RFC 8089 authority form
+    ``file://localhost/p``. A non-localhost authority
+    (``file://nas01/p``) names a REMOTE host: that is not a local
+    path, so it returns None rather than the cwd-relative garbage a
+    naive prefix strip would yield."""
     path = uri
     if path.startswith("file://"):
-        path = path[7:]
+        rest = path[7:]
+        if rest.startswith("/") or rest == "":
+            path = rest
+        else:
+            authority, sep, tail = rest.partition("/")
+            if not sep or authority.lower() != "localhost":
+                return None
+            path = "/" + tail
     elif path.startswith("file:"):
         path = path[5:]
     if "://" in path:

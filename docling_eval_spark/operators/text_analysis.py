@@ -139,6 +139,27 @@ _FP_MOD = (1 << 31) - 1
 _NGRAM_PROD_MOD = 9_223_335_143_489
 
 
+def horner_fold(codes: Column, mod: int = _FP_MOD) -> Column:
+    """Horner hash fold over a long-array column — THE portable hash
+    family every DuckDB oracle replays (winnowing, contamination,
+    ngram_lm, quality_lr). One rule, one place: any change to the
+    base/mod/fold must go through here so the fingerprint sites and
+    their oracles cannot silently fork."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(mod)),
+    )
+
+
+def portable_char_hash(s: Column, mod: int = _FP_MOD) -> Column:
+    """Per-code-point portable hash of a string column
+    (split('') → ascii → Horner fold; empty string hashes to 0)."""
+    return horner_fold(
+        F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long")), mod
+    )
+
+
 def fingerprint_table(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 8
 ) -> DataFrame:
@@ -174,11 +195,7 @@ def rolling_fingerprint_col(text: Column | str, k: int = 8) -> Column:
             )
             # window = slice(codes, i, k); slice clamps at the end, so
             # short (< k chars) texts hash the whole string
-            shingle_hash = lambda i: F.aggregate(  # noqa: E731
-                F.slice(cds, i, k),
-                F.lit(0).cast("long"),
-                lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
-            )
+            shingle_hash = lambda i: horner_fold(F.slice(cds, i, k))  # noqa: E731
             return F.array_min(F.transform(idxs, shingle_hash))
 
         return F.when(n == 0, F.lit(None).cast("long")).otherwise(
@@ -227,11 +244,7 @@ def winnowed_fps_col(text: Column | str, k: int = 8, w: int = 8) -> Column:
             idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
                 F.sequence(F.lit(1), F.lit(1))
             )
-            window_hash = lambda i: F.aggregate(  # noqa: E731
-                F.slice(cds, i, k),
-                F.lit(0).cast("long"),
-                lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
-            )
+            window_hash = lambda i: horner_fold(F.slice(cds, i, k))  # noqa: E731
             hs = F.transform(idxs, window_hash)
 
             def over_hashes(h: Column) -> Column:
@@ -364,11 +377,7 @@ def kgram_hash_positions(
 
         def over_codes(cds: Column) -> Column:
             idxs = F.sequence(F.lit(1), n - (k - 1))
-            shingle_hash = lambda i: F.aggregate(  # noqa: E731
-                F.slice(cds, i, k),
-                F.lit(0).cast("long"),
-                lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
-            )
+            shingle_hash = lambda i: horner_fold(F.slice(cds, i, k))  # noqa: E731
             return F.transform(idxs, shingle_hash)
 
         return let_col(codes, over_codes)
@@ -478,22 +487,13 @@ def token_ngram_hash_col(
         idxs = F.when(
             sz >= n, F.sequence(F.lit(1), sz - (n - 1))
         ).otherwise(F.array().cast("array<int>"))
-        window_hash = lambda i: F.aggregate(  # noqa: E731
-            F.slice(th, i, n),
-            F.lit(0).cast("long"),
-            lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(mod)),
-        )
+        window_hash = lambda i: horner_fold(F.slice(th, i, n), mod)  # noqa: E731
         return F.transform(idxs, window_hash)
 
     if portable:
-        tok_hashes = F.transform(
-            toks,
-            lambda t: F.aggregate(
-                F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
-            ),
-        )
+        # single-arg lambda on purpose: F.transform feeds a two-arg
+        # callable (element, index) — the index would land in `mod`
+        tok_hashes = F.transform(toks, lambda t: portable_char_hash(t))
     else:
         # one JVM hash per token, folded into the LARGE prime field
         # (not the 31-bit portable one — no cross-engine constraint
@@ -1079,12 +1079,7 @@ def quality_lr_score(
     toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
 
     def tok_bucket(t: Column) -> Column:
-        h = F.aggregate(
-            F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: F.pmod(acc * _FP_BASE + x, F.lit(_FP_MOD)),
-        )
-        return F.pmod(h, F.lit(dim)).cast("int")
+        return F.pmod(portable_char_hash(t), F.lit(dim)).cast("int")
 
     score = F.aggregate(
         toks,

@@ -71,7 +71,7 @@ def _path_owned_by_live_table(spark: SparkSession, db: str, loc) -> bool:
     try:
         tables = spark.catalog.listTables(db)
     except Exception:
-        return False
+        return True  # can't enumerate owners → keep files (fail closed)
     for t in tables:
         # backtick-quote: names needing quoting (`my-table`) must not
         # fall out of the ownership check via a parse error

@@ -195,6 +195,13 @@ def write_cvat_preannotations(
 
     os.makedirs(tasks_dir, exist_ok=True)
     if image_col != "image_name":  # kernel + join key use one name
+        if "image_name" in boxes.columns:
+            # renaming would leave TWO image_name columns and every
+            # later reference would raise AMBIGUOUS_REFERENCE
+            raise ValueError(
+                f"image_col={image_col!r} conflicts with an existing "
+                "'image_name' column; drop or rename it first"
+            )
         boxes = boxes.withColumnRenamed(image_col, "image_name")
     has_box_id = "box_id" in boxes.columns
     order = (

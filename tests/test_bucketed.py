@@ -147,3 +147,34 @@ def test_overwrite_still_clears_crashed_orphan(spark):
     write_bucketed(df, "bkt_orphan", "k", n_buckets=2)
     assert read_table(spark, "bkt_orphan").count() == 50
     spark.sql("DROP TABLE IF EXISTS bkt_orphan")
+
+
+def test_local_path_of_spellings():
+    """All local spellings resolve; remote schemes and non-localhost
+    file authorities (RFC 8089 'file://nas01/p' names ANOTHER host)
+    return None — a naive prefix strip yields cwd-relative garbage
+    that the rmtree guards would then act on."""
+    from docling_eval_spark.functions.uri import local_path_of
+
+    assert local_path_of("/data/wh") == "/data/wh"
+    assert local_path_of("file:/data/wh") == "/data/wh"
+    assert local_path_of("file:///data/wh") == "/data/wh"
+    assert local_path_of("file://localhost/data/wh") == "/data/wh"
+    assert local_path_of("file://LOCALHOST/data/wh") == "/data/wh"
+    assert local_path_of("file://nas01/data/wh") is None
+    assert local_path_of("file://nas01") is None
+    assert local_path_of("hdfs://nn:8020/data/wh") is None
+    assert local_path_of("s3a://bucket/wh") is None
+
+
+def test_catalog_enumeration_failure_fails_closed(spark, tmp_path, monkeypatch):
+    """If listTables itself errors, ownership is UNKNOWN — the orphan
+    check must claim the path is owned (nothing deleted), same as the
+    per-table DESCRIBE hiccup case."""
+    from docling_eval_spark.sources.bucketed import _path_owned_by_live_table
+
+    def boom(_db):
+        raise RuntimeError("transient metastore error")
+
+    monkeypatch.setattr(spark.catalog, "listTables", boom)
+    assert _path_owned_by_live_table(spark, "default", str(tmp_path)) is True

@@ -168,3 +168,23 @@ def test_project_properties_shape(tmp_path):
     write_cvat_project_properties(path)
     with open(path) as fh:
         assert json.load(fh) == props
+
+
+def test_image_col_collision_raises(spark, tmp_path):
+    """A custom image_col alongside an existing image_name column
+    would produce two image_name columns after the rename and crash
+    downstream with AMBIGUOUS_REFERENCE — rejected up front."""
+    import pytest
+
+    from docling_eval_spark.sources.cvat_preannotate import (
+        write_cvat_preannotations,
+    )
+
+    df = spark.createDataFrame(
+        [("a.png", "other.png", 100.0, 100.0, "text", 1.0, 2.0, 3.0, 4.0)],
+        "img string, image_name string, page_width double, "
+        "page_height double, label string, l double, t double, "
+        "r double, b double",
+    )
+    with pytest.raises(ValueError, match="image_name"):
+        write_cvat_preannotations(df, str(tmp_path), image_col="img")
