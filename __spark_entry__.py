@@ -1816,6 +1816,184 @@ FROM scored WHERE rank <= 3
 """
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered champion-list postings (IIR §7.1.3): per term
+    the top-20 docs by tf with EXACT full-corpus doc_count. The
+    synthetic corpus is the worst skew case — 31 terms × ~450 docs
+    each — so the salted two-phase top-k prune is load-bearing, while
+    the oracle's plain window proves it exact."""
+    from docling_eval_spark.operators.retrieval import inverted_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(d, "doc_id", k_postings=20)
+
+
+_SQL_INVERTED_INDEX = r"""
+WITH terms AS (
+  SELECT doc_id AS id, lower(t) AS term
+  FROM documents,
+       LATERAL unnest(list_filter(
+         string_split_regex(trim(text), '[ \t\n\r\f\v]+'), x -> x <> ''
+       )) AS u(t)
+),
+tf AS (SELECT term, id, count(*) AS tf FROM terms GROUP BY term, id),
+dfreq AS (SELECT term, count(*) AS doc_count FROM tf GROUP BY term),
+ranked AS (
+  SELECT term, id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, id ASC) AS rank
+  FROM tf
+)
+SELECT r.term, d.doc_count, r.id, r.tf, CAST(r.rank AS INTEGER) AS rank
+FROM ranked r JOIN dfreq d USING (term) WHERE r.rank <= 20
+"""
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point BM25 top-10 per query (Robertson–Spärck Jones,
+    Lucene idf variant): the only float op is one ln quantized to
+    micro-nats per term; every later step is BIGINT with truncating
+    integer division, so the DuckDB oracle replays score AND ranking
+    bit-for-bit. The three literal queries cover multi-term, repeated
+    qtf-weighted terms, and a high-df stopword-ish term."""
+    from docling_eval_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(
+        [
+            ("q1", "hash join"),
+            ("q2", "slow table scan"),
+            ("q3", "spark window the window"),
+        ],
+        ["query_id", "qtext"],
+    )
+    return bm25_topk(d, q, "doc_id", k=10)
+
+
+_SQL_BM25 = r"""
+WITH q(query_id, qtext) AS (
+  VALUES ('q1', 'hash join'),
+         ('q2', 'slow table scan'),
+         ('q3', 'spark window the window')
+),
+qterms AS (
+  SELECT query_id, lower(t) AS term, count(*) AS qtf
+  FROM q, LATERAL unnest(list_filter(
+    string_split_regex(trim(qtext), '[ \t\n\r\f\v]+'), x -> x <> ''
+  )) AS u(t)
+  GROUP BY 1, 2
+),
+docs AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         (1000 * sum(len(toks))) // count(*) AS avgdl_milli
+  FROM docs
+),
+terms AS (SELECT id, lower(t) AS term FROM docs, LATERAL unnest(toks) AS u(t)),
+tf AS (
+  SELECT term, id, count(*) AS tf FROM terms
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY term, id
+),
+dfreq AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+dls AS (SELECT id, len(toks) AS dl FROM docs),
+scored AS (
+  SELECT qt.query_id, tf.id,
+         qt.qtf * ((CAST(round(ln((2 * s.n_docs + 2) * 1.0
+                                  / (2 * d.term_df + 1)) * 1e6) AS BIGINT)
+                    * ((tf.tf * 2200 * 1000000)
+                       // (1000 * tf.tf
+                           + (1200 * (250 + (750000 * dls.dl)
+                                      // s.avgdl_milli)) // 1000)))
+                   // 1000000) AS contrib
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN dls ON dls.id = tf.id
+  JOIN qterms qt USING (term)
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, id, CAST(sum(contrib) AS BIGINT) AS score_micro
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, id, score_micro,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_id, id, CAST(rank AS INTEGER) AS rank, score_micro
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text rollup through the REAL extraction path (element
+    regex scan → href resolution → tag-strip/ws-collapse → keyed agg
+    with exact distinct-host count). Pages are synthesized
+    algebraically from events so the oracle can derive the expected
+    rollup independently — no regex replay, a stronger check. The
+    fixture exercises absolute, protocol-relative, and rooted hrefs,
+    nested tags in anchor text, a dropped relative link, and one hot
+    target (the hub) shared by every page."""
+    e = F.col("event_id")
+    m = (e % 40).cast("string")
+    pages = (
+        _t(spark, sf_dir, "events")
+        .filter(e < 2500)
+        .select(
+            F.concat(
+                F.lit("https://h"), m, F.lit(".example/p"), e.cast("string")
+            ).alias("url"),
+            F.concat(
+                F.lit('<a href="/d'),
+                (e % 97).cast("string"),
+                F.lit('">'),
+                F.col("event_type"),
+                F.lit(" page</a><a href='//h"),
+                ((e + 1) % 40).cast("string"),
+                F.lit(".example/mirror'>mirror <b>site</b></a>"),
+                F.lit('<a href="https://hub.example/all">hub</a>'),
+                F.lit('<a href="rel.html">skip</a>'),
+            ).alias("html"),
+        )
+    )
+    from docling_eval_spark.operators.web_ops import (
+        anchor_text_rollup,
+        extract_anchors,
+    )
+
+    return anchor_text_rollup(extract_anchors(pages))
+
+
+_SQL_ANCHOR_ROLLUP = r"""
+WITH e AS (
+  SELECT event_id, event_type, event_id % 40 AS m
+  FROM events WHERE event_id < 2500
+),
+a AS (
+  SELECT 'https://h' || CAST(m AS VARCHAR) || '.example/d'
+           || CAST(event_id % 97 AS VARCHAR) AS dst,
+         event_type || ' page' AS anchor, m
+  FROM e
+  UNION ALL
+  SELECT 'https://h' || CAST((m + 1) % 40 AS VARCHAR) || '.example/mirror',
+         'mirror site', m
+  FROM e
+  UNION ALL
+  SELECT 'https://hub.example/all', 'hub', m FROM e
+)
+SELECT dst, anchor, count(*) AS n_anchors,
+       count(DISTINCT m) AS n_src_hosts
+FROM a GROUP BY 1, 2
+"""
+
+
 def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt gate (RFC 9309) through the full production stage —
     broadcast robots dim, SQL no-robots fast path, vectorized rule
@@ -3315,11 +3493,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
     # the 16 queries without a CORRECTNESS_r04 row lead (positions
-    # 1-16), then the previously-green set in its original order;
-    # positions 51-67 (simhash..gopher_quality: driver-green in r04;
-    # quality_lr: new, oracle-verified locally at both SFs) rotate to
-    # the front next round. Every entry keeps its oracle regardless of
-    # position — scripts/check_oracles.py verifies ALL of them.
+    # 1-16), then the three NEW round-5 retrieval queries (17-19 — in
+    # the window so they get a driver row immediately), then the
+    # previously-green set in its original order; positions 51+
+    # (simhash..quality_lr: driver-green in r04 except quality_lr,
+    # oracle-verified locally at both SFs) rotate to the front next
+    # round. Every entry keeps its oracle regardless of position —
+    # scripts/check_oracles.py verifies ALL of them.
     return {
         "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
         "near_dup_pairs": _with_pkg(_q_near_dup_pairs),
@@ -3337,6 +3517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_error": _with_pkg(_q_asof_latest_error),
         "asof_dup_ties": _with_pkg(_q_asof_dup_ties),
         "sessionize": _with_pkg(_q_sessionize),
+        "inverted_index": _with_pkg(_q_inverted_index),
+        "bm25_topk": _with_pkg(_q_bm25_topk),
+        "anchor_rollup": _with_pkg(_q_anchor_rollup),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -3436,6 +3619,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm": _SQL_NGRAM_LM,
         "clean_corpus": _SQL_CLEAN_CORPUS,
         "tfidf_top_terms": _SQL_TFIDF,
+        "inverted_index": _SQL_INVERTED_INDEX,
+        "bm25_topk": _SQL_BM25,
+        "anchor_rollup": _SQL_ANCHOR_ROLLUP,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "contamination",
     "chunk_documents",
     "quality_lr",
+    "inverted_index",
+    "bm25_topk",
+    "anchor_rollup",
 ]
 
 WARM_PASSES = 3

@@ -421,16 +421,37 @@ def robots_filter_stage(
 
 # ---------------------------------------------------------------- web graph
 
+def _resolve_href(h: Column, scheme: Column, origin: Column) -> Column:
+    """Crawl-graph href resolution, shared by :func:`extract_links`
+    and :func:`extract_anchors` (one source of truth so the edge list
+    and the anchor rollup can never disagree on what a link targets):
+    absolute http(s) hrefs pass through; '//' protocol-relative
+    inherit the source scheme; '/'-rooted resolve against the source
+    origin; everything else (relative paths, fragments, javascript:)
+    → NULL, filtered by callers — the crawl-graph convention, they
+    dominate nav noise."""
+    return (
+        F.when(h.rlike("(?i)^https?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.lit(None))
+    )
+
+
+def _scheme_and_authority(src: Column) -> tuple[Column, Column]:
+    scheme = F.lower(F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # authority VERBATIM (keeps :port — host_col would drop it and a
+    # rooted link on example.com:8080 must not resolve to example.com)
+    authority = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)
+    return scheme, authority
+
+
 def extract_links(
     df: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """(src, dst) outlink edges from raw HTML bytes — the web-graph
     builder. Pure SQL regex over the decoded markup (one narrow map,
-    engine-portable): absolute http(s) hrefs pass through; '//'
-    protocol-relative inherit the source scheme; '/'-rooted links
-    resolve against the source host. Relative-path and fragment/js
-    hrefs are skipped (the crawl-graph convention — they dominate
-    nav noise).
+    engine-portable); resolution semantics in :func:`_resolve_href`.
     """
     from docling_eval_spark.functions import let_col
 
@@ -441,23 +462,12 @@ def extract_links(
         F.lit("(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"),
         1,
     )
-    scheme_expr = F.lower(
-        F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    )
-    # authority VERBATIM (keeps :port — host_col would drop it and a
-    # rooted link on example.com:8080 must not resolve to example.com)
-    authority = F.regexp_extract(
-        src, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1
-    )
+    scheme_expr, authority = _scheme_and_authority(src)
 
     def over_scheme(scheme: Column) -> Column:
         def over_origin(origin: Column) -> Column:
             return F.transform(
-                hrefs,
-                lambda h: F.when(h.rlike("(?i)^https?://"), h)
-                .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
-                .when(h.startswith("/"), F.concat(origin, h))
-                .otherwise(F.lit(None)),
+                hrefs, lambda h: _resolve_href(h, scheme, origin)
             )
 
         # let-bound: a lambda re-evaluates free references per href
@@ -472,6 +482,94 @@ def extract_links(
         df.select(src.alias("src"), F.explode(resolved).alias("dst"))
         .filter(F.col("dst").isNotNull())
         .distinct()
+    )
+
+
+def extract_anchors(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst, anchor) outlink edges WITH their anchor text — the
+    target-description signal (classic web-corpus use: anchor text
+    describes the TARGET page better than the target's own markup;
+    also the spam/nepotism feature the per-host rollup feeds on).
+
+    Anchor text = the <a> element's inner markup with tags stripped
+    and whitespace collapsed; an image-only link yields ''. Entities
+    stay UNdecoded (raw markup minus tags) — entity semantics belong
+    to the extraction kernel; this is the link-graph view. Anchors
+    without an href, and hrefs :func:`_resolve_href` rejects, are
+    dropped. Unlike :func:`extract_links` the edge list is NOT
+    deduplicated: the same (src, dst) with two different anchor texts
+    is two signals.
+
+    Pure SQL (one narrow map, zero shuffle, no Python): element scan
+    via non-greedy regexp_extract_all, then per-element href/inner
+    extraction inside a single ``transform``.
+    """
+    from docling_eval_spark.functions import let_col
+
+    src = F.col(url_col)
+    elems = F.regexp_extract_all(
+        F.col(html_col).cast("string"),
+        F.lit(r"(?is)<a\s[^>]*>.*?</a>"),
+        0,
+    )
+    scheme_expr, authority = _scheme_and_authority(src)
+
+    def over_scheme(scheme: Column) -> Column:
+        def over_origin(origin: Column) -> Column:
+            def one(el: Column) -> Column:
+                h = F.regexp_extract(
+                    el, "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1
+                )
+                inner = F.regexp_extract(el, r"(?is)^<a[^>]*>(.*)</a>$", 1)
+                anchor = F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(inner, r"<[^>]*>", " "),
+                        r"[ \t\n\r\f\v]+",
+                        " ",
+                    )
+                )
+                return F.struct(
+                    _resolve_href(h, scheme, origin).alias("dst"),
+                    anchor.alias("anchor"),
+                )
+
+            return F.transform(elems, one)
+
+        return let_col(
+            F.concat(scheme, F.lit("://"), authority), over_origin
+        )
+
+    pairs = let_col(scheme_expr, over_scheme)
+    return (
+        df.select(src.alias("src"), F.explode(pairs).alias("p"))
+        .select("src", F.col("p.dst").alias("dst"), F.col("p.anchor").alias("anchor"))
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def anchor_text_rollup(
+    anchors: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """(dst, anchor, n_anchors, n_src_hosts): how often each distinct
+    anchor string points at each target, and from how many DISTINCT
+    source hosts — the nepotism discriminator (10^6 anchors from one
+    host is a link farm; from 10^4 hosts it is a description).
+
+    Scale: one (dst, anchor) hash agg with map-side combine absorbing
+    hot targets (every homepage is one); the exact distinct-host count
+    rides the same keyed aggregation (Spark plans count(DISTINCT) as
+    a two-phase expand+agg on the SAME key — no extra key appears, so
+    skew stays bounded by the map-side partials)."""
+    return anchors.groupBy(
+        F.col(dst_col).alias("dst"), F.col(anchor_col).alias("anchor")
+    ).agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct(host_col(F.col(src_col))).alias("n_src_hosts"),
     )
 
 
