@@ -1994,6 +1994,175 @@ FROM a GROUP BY 1, 2
 """
 
 
+def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (ftfy-style UTF-8-as-Latin-1 fix) through the
+    real operator: even doc_ids get a non-ASCII suffix then are
+    GARBLED in-engine (utf8 bytes re-read as Latin-1 — the actual
+    corruption, including a 3-byte em-dash sequence); odd doc_ids stay
+    clean ASCII and must pass through untouched. The oracle derives
+    the expected digests from the ORIGINAL text — so it checks full
+    byte-level recovery, not a replay of the repair."""
+    from docling_eval_spark.operators.text_analysis import mojibake_repair
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = " café naïve — ß"
+    orig = F.concat(F.col("text"), F.lit(suffix))
+    garbled = F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
+    staged = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, garbled)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return mojibake_repair(staged).select(
+        F.col("doc_id").alias("id"),
+        F.md5("repaired_text").alias("repaired_md5"),
+        "was_mojibake",
+    )
+
+
+_SQL_MOJIBAKE = """
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0
+            THEN md5(text || ' café naïve — ß')
+            ELSE md5(text) END AS repaired_md5,
+       doc_id % 2 = 0 AS was_mojibake
+FROM documents
+"""
+
+
+def _q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1, PSL-lite) rollup through the real
+    label-cut operator over urls synthesized to cover every branch:
+    multi-label public suffixes (co.uk/com.au) with 1-3 subdomain
+    levels, a plain gTLD with deep subdomains, an IPv4 literal, a
+    single-label host, and two DIFFERENT hosts sharing one registered
+    domain (the case host-keyed rollups get wrong). The oracle derives
+    each branch algebraically — independent of the label-split code."""
+    from docling_eval_spark.operators.web_ops import domain_rollup
+
+    e = F.col("event_id")
+    g = (e % 13).cast("string")
+    urls = (
+        _t(spark, sf_dir, "events")
+        .filter(e < 3500)
+        .select(
+            F.when(e % 7 == 0, F.concat(F.lit("https://www.shop"), g, F.lit(".co.uk/p")))
+            .when(e % 7 == 1, F.concat(F.lit("https://news"), g, F.lit(".example.com/p")))
+            .when(e % 7 == 2, F.concat(F.lit("https://a.b.site"), g, F.lit(".com.au/p")))
+            .when(e % 7 == 3, F.concat(F.lit("https://plain"), g, F.lit(".org/p")))
+            .when(e % 7 == 4, F.concat(F.lit("http://10.0.0."), g, F.lit("/p")))
+            .when(e % 7 == 5, F.lit("http://localhost/p"))
+            .otherwise(
+                F.concat(F.lit("https://blog"), g, F.lit(".shop"), g, F.lit(".co.uk/p"))
+            )
+            .alias("url"),
+        )
+    )
+    return domain_rollup(urls)
+
+
+_SQL_DOMAIN_ROLLUP = """
+WITH e AS (
+  SELECT event_id % 7 AS m, CAST(event_id % 13 AS VARCHAR) AS g
+  FROM events WHERE event_id < 3500
+),
+rows_ AS (
+  SELECT CASE m
+           WHEN 0 THEN 'shop' || g || '.co.uk'
+           WHEN 1 THEN 'example.com'
+           WHEN 2 THEN 'site' || g || '.com.au'
+           WHEN 3 THEN 'plain' || g || '.org'
+           WHEN 4 THEN '10.0.0.' || g
+           WHEN 5 THEN 'localhost'
+           ELSE 'shop' || g || '.co.uk' END AS domain,
+         CASE m
+           WHEN 0 THEN 'www.shop' || g || '.co.uk'
+           WHEN 1 THEN 'news' || g || '.example.com'
+           WHEN 2 THEN 'a.b.site' || g || '.com.au'
+           WHEN 3 THEN 'plain' || g || '.org'
+           WHEN 4 THEN '10.0.0.' || g
+           WHEN 5 THEN 'localhost'
+           ELSE 'blog' || g || '.shop' || g || '.co.uk' END AS host
+  FROM e
+)
+SELECT domain, count(*) AS n_pages, count(DISTINCT host) AS n_hosts
+FROM rows_ GROUP BY domain
+"""
+
+
+def _q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<head> metadata extraction (title ws-collapse, html lang
+    lowercased, rel=canonical resolved through the shared href rules
+    in both attribute orders, robots-meta noindex) over synthesized
+    pages; the oracle reconstructs every signal algebraically."""
+    from docling_eval_spark.operators.web_ops import page_metadata
+
+    e = F.col("event_id")
+    m = (e % 40).cast("string")
+    es = e.cast("string")
+    canon = (
+        F.when(
+            e % 4 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="/c/'),
+                (e % 50).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            e % 4 == 1,
+            F.concat(
+                F.lit('<link href="https://c.example/x'),
+                (e % 50).cast("string"),
+                F.lit('" rel=\'canonical\'>'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.when(e % 3 == 0, F.lit("<html lang='en-GB'><head>"))
+        .when(e % 3 == 1, F.lit('<html lang="fr"><head>'))
+        .otherwise(F.lit("<html><head>")),
+        F.lit("<title> Doc "),
+        es,
+        F.lit("\n  "),
+        F.col("event_type"),
+        F.lit(" </title>"),
+        canon,
+        F.when(
+            e % 5 == 0,
+            F.lit("<meta name='robots' content='noindex,follow'>"),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>b</body></html>"),
+    )
+    pages = (
+        _t(spark, sf_dir, "events")
+        .filter(e < 3000)
+        .select(
+            F.concat(F.lit("https://h"), m, F.lit(".example/p"), es).alias("url"),
+            html.alias("html"),
+        )
+    )
+    return page_metadata(pages)
+
+
+_SQL_PAGE_METADATA = """
+SELECT 'https://h' || CAST(event_id % 40 AS VARCHAR) || '.example/p'
+         || CAST(event_id AS VARCHAR) AS url,
+       'Doc ' || CAST(event_id AS VARCHAR) || ' ' || event_type AS title,
+       CASE event_id % 3 WHEN 0 THEN 'en-gb' WHEN 1 THEN 'fr'
+            ELSE NULL END AS html_lang,
+       CASE event_id % 4
+            WHEN 0 THEN 'https://h' || CAST(event_id % 40 AS VARCHAR)
+                 || '.example/c/' || CAST(event_id % 50 AS VARCHAR)
+            WHEN 1 THEN 'https://c.example/x' || CAST(event_id % 50 AS VARCHAR)
+            ELSE NULL END AS canonical_url,
+       event_id % 5 = 0 AS meta_noindex
+FROM events WHERE event_id < 3000
+"""
+
+
 def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt gate (RFC 9309) through the full production stage —
     broadcast robots dim, SQL no-robots fast path, vectorized rule
@@ -3493,8 +3662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
     # the 16 queries without a CORRECTNESS_r04 row lead (positions
-    # 1-16), then the three NEW round-5 retrieval queries (17-19 — in
-    # the window so they get a driver row immediately), then the
+    # 1-16), then the six NEW round-5 queries (17-22: retrieval +
+    # web-metadata families — in the window so they get a driver row
+    # immediately), then the
     # previously-green set in its original order; positions 51+
     # (simhash..quality_lr: driver-green in r04 except quality_lr,
     # oracle-verified locally at both SFs) rotate to the front next
@@ -3520,6 +3690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _with_pkg(_q_inverted_index),
         "bm25_topk": _with_pkg(_q_bm25_topk),
         "anchor_rollup": _with_pkg(_q_anchor_rollup),
+        "mojibake": _with_pkg(_q_mojibake),
+        "domain_rollup": _with_pkg(_q_domain_rollup),
+        "page_metadata": _with_pkg(_q_page_metadata),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -3622,6 +3795,9 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _SQL_INVERTED_INDEX,
         "bm25_topk": _SQL_BM25,
         "anchor_rollup": _SQL_ANCHOR_ROLLUP,
+        "mojibake": _SQL_MOJIBAKE,
+        "domain_rollup": _SQL_DOMAIN_ROLLUP,
+        "page_metadata": _SQL_PAGE_METADATA,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "inverted_index",
     "bm25_topk",
     "anchor_rollup",
+    "mojibake",
+    "domain_rollup",
+    "page_metadata",
 ]
 
 WARM_PASSES = 3

@@ -1095,3 +1095,82 @@ def quality_lr_score(
             (score >= F.lit(int(thresh_milli)) * n_tok) & (n_tok > 0)
         ).alias("keep"),
     )
+
+
+# ------------------------------------------------------------- mojibake
+
+# Signature of UTF-8 bytes mis-decoded as Latin-1: a 2-byte UTF-8 lead
+# (0xC2-0xDF, rendered by Latin-1 as A-circumflex..eszett) followed by
+# a continuation byte (0x80-0xBF). The ftfy heuristic family (public),
+# restricted to the dominant real-world case -- 2-byte sequences;
+# 3/4-byte leads are rarer and left alone to keep the false-positive
+# surface minimal.
+_MOJIBAKE_SIG = "[\u00c2-\u00df][\u0080-\u00bf]"
+
+# Full UTF-8 well-formedness (RFC 3629 table) expressed as a regex over
+# the Latin-1-decoded chars -- so validity is decided BEFORE any decode
+# call (Spark 4 ANSI decode throws MALFORMED_CHARACTER_CODING on bad
+# bytes; gating on this regex keeps the operator total). Lead range
+# starts at C2, so overlong C0/C1 forms fail; E0/ED/F0/F4 branches
+# carry their restricted second-byte ranges (overlongs, surrogates and
+# >U+10FFFF all rejected).
+_CONT = "[\u0080-\u00bf]"
+_UTF8_VALID = (
+    "\\A(?:"
+    "[\u0001-\u007f]"          # NUL excluded: never legitimate in text
+    "|[\u00c2-\u00df]" + _CONT
+    + "|\u00e0[\u00a0-\u00bf]" + _CONT
+    + "|[\u00e1-\u00ec]" + _CONT + _CONT
+    + "|\u00ed[\u0080-\u009f]" + _CONT
+    + "|[\u00ee-\u00ef]" + _CONT + _CONT
+    + "|\u00f0[\u0090-\u00bf]" + _CONT + _CONT
+    + "|[\u00f1-\u00f3]" + _CONT + _CONT + _CONT
+    + "|\u00f4[\u0080-\u008f]" + _CONT + _CONT + _CONT
+    + ")*\\z"
+)
+
+
+def mojibake_repair(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "repaired_text",
+    flag_col: str = "was_mojibake",
+) -> DataFrame:
+    """Repair UTF-8-decoded-as-Latin-1 mojibake ('\u00c3\u00a9' for
+    '\u00e9') -- the most common encoding corruption in web crawls (a
+    page served as Latin-1 whose bytes were really UTF-8, or a proxy
+    that double-decoded). Pure SQL, zero shuffle, no Python: re-encode
+    the text as ISO-8859-1 bytes (undoing the wrong decode -- Latin-1
+    maps all 256 byte values, so this is lossless) and re-decode as
+    UTF-8.
+
+    The repair applies only when ALL of:
+
+    - the text matches the mojibake signature (a 2-byte UTF-8 lead
+      0xC2-0xDF as a Latin-1 char followed by a continuation-range
+      char) -- plain Latin-1 prose almost never does;
+    - every char is Latin-1-representable (<= U+00FF) -- otherwise the
+      re-encode would be lossy and the premise is wrong;
+    - the re-encoded byte stream is WELL-FORMED UTF-8, decided by the
+      RFC 3629 regex over the Latin-1 chars BEFORE any decode runs
+      (Spark 4 ANSI ``decode`` throws on malformed input; the CaseWhen
+      branch below means encode/decode are never even evaluated for
+      rejected rows, keeping the operator total).
+
+    Rows failing any guard pass through unchanged with
+    ``flag_col = false`` -- the operator never corrupts clean text.
+    Repaired text that STILL matches the signature was doubly-garbled;
+    a second application peels the next layer (run to fixpoint offline
+    for crawls known to be multi-garbled).
+    """
+    t = F.col(text_col)
+    ok = (
+        t.isNotNull()
+        & t.rlike(_MOJIBAKE_SIG)
+        & ~t.rlike("[^\u0000-\u00ff]")
+        & t.rlike(_UTF8_VALID)
+    )
+    redecoded = F.decode(F.encode(t, "ISO-8859-1"), "UTF-8")
+    return df.withColumn(
+        out_col, F.when(ok, redecoded).otherwise(t)
+    ).withColumn(flag_col, F.coalesce(ok, F.lit(False)))

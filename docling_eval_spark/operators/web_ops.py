@@ -573,6 +573,146 @@ def anchor_text_rollup(
     )
 
 
+# PSL-lite: common multi-label public suffixes under which names are
+# registered one level deeper (the full Mozilla Public Suffix List is
+# ~9k rules with wildcards/exceptions; this deterministic subset covers
+# the dominant ccTLD second-level registries and is PLUGGABLE — pass
+# the full list via ``suffixes`` for production crawls).
+_PSL_LITE = frozenset(
+    (
+        "co.uk org.uk ac.uk gov.uk me.uk net.uk ltd.uk plc.uk sch.uk "
+        "com.au net.au org.au edu.au gov.au id.au asn.au "
+        "co.jp or.jp ne.jp ac.jp go.jp ad.jp ed.jp lg.jp gr.jp "
+        "co.nz org.nz net.nz govt.nz ac.nz school.nz geek.nz gen.nz "
+        "co.za org.za net.za gov.za ac.za web.za "
+        "com.br net.br org.br gov.br edu.br art.br blog.br "
+        "com.cn net.cn org.cn gov.cn edu.cn ac.cn "
+        "com.mx org.mx net.mx gob.mx edu.mx "
+        "co.in net.in org.in firm.in gen.in ind.in gov.in ac.in edu.in res.in "
+        "com.tr net.tr org.tr gov.tr edu.tr web.tr "
+        "com.tw net.tw org.tw gov.tw edu.tw idv.tw "
+        "co.kr or.kr ne.kr go.kr ac.kr re.kr pe.kr "
+        "com.sg net.sg org.sg gov.sg edu.sg per.sg "
+        "com.hk net.hk org.hk gov.hk edu.hk idv.hk "
+        "com.ar net.ar org.ar gob.ar edu.ar int.ar "
+        "com.pl net.pl org.pl gov.pl edu.pl waw.pl "
+        "co.il org.il net.il gov.il ac.il muni.il k12.il "
+        "com.ua net.ua org.ua gov.ua edu.ua in.ua "
+        "com.my net.my org.my gov.my edu.my "
+        "co.th or.th in.th go.th ac.th "
+        "com.vn net.vn org.vn gov.vn edu.vn "
+        "com.eg net.eg org.eg gov.eg edu.eg "
+        "com.ng net.ng org.ng gov.ng edu.ng "
+        "co.id or.id web.id ac.id sch.id go.id "
+        "com.ph net.ph org.ph gov.ph edu.ph"
+    ).split()
+)
+
+
+def registered_domain_col(
+    url: Column | str,
+    suffixes: frozenset[str] | set[str] = _PSL_LITE,
+    is_host: bool = False,
+) -> Column:
+    """eTLD+1 (registered domain) of a URL/host — THE correct key for
+    per-site caps and rollups at crawl scale (per-HOST keys overcount:
+    every *.blogspot-style subdomain looks like a distinct site, while
+    shop.example.co.uk and www.example.co.uk are one registrant).
+
+    Pure column algebra: label-split, then one literal IN against the
+    suffix set decides 2-label vs 3-label cut. Hosts with ≤2 labels,
+    IPv4 literals, and empty hosts pass through unchanged. The suffix
+    set becomes a literal in the plan (no join, no broadcast, no
+    Python) — at ~200 entries that is the right trade; a full 9k-rule
+    PSL would switch to a broadcast map without changing callers."""
+    host = (F.col(url) if isinstance(url, str) else url) if is_host else host_col(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))
+    return (
+        F.when((n <= 2) | host.rlike(r"^[0-9.]+$"), host)
+        .when(
+            last2.isin(*sorted(suffixes)),
+            F.concat_ws(".", F.slice(parts, n - 2, 3)),
+        )
+        .otherwise(last2)
+    )
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    suffixes: frozenset[str] | set[str] = _PSL_LITE,
+) -> DataFrame:
+    """(domain, n_pages, n_hosts): per-registered-domain page count +
+    exact distinct-host count (how sprawling each site's subdomain
+    space is — the input to site-level caps and mixing decisions).
+    One keyed hash agg; map-side combine absorbs megasites."""
+    return df.groupBy(
+        registered_domain_col(url_col, suffixes).alias("domain")
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct(host_col(F.col(url_col))).alias("n_hosts"),
+    )
+
+
+def page_metadata(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, title, html_lang, canonical_url, meta_noindex): the <head>
+    signals every crawl pipeline reads before touching body text —
+    title (ws-collapsed), the <html lang> hint (feeds lang-ID priors),
+    rel=canonical resolved through the SAME href rules as the link
+    extractor (so canonical-vs-self dedup keys agree with the web
+    graph), and the robots-meta noindex bit (the in-page half of the
+    RFC 9309 gate). Pure SQL narrow map, zero shuffle, no Python;
+    absent signals are NULL (noindex defaults false)."""
+    from docling_eval_spark.functions import let_col
+
+    src = F.col(url_col)
+    h = F.col(html_col).cast("string")
+    title_raw = F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    title = F.trim(F.regexp_replace(title_raw, r"[ \t\n\r\f\v]+", " "))
+    lang_raw = F.regexp_extract(
+        h, "(?is)<html[^>]*?\\slang\\s*=\\s*[\"']?([A-Za-z-]+)", 1
+    )
+    links = F.regexp_extract_all(h, F.lit(r"(?is)<link\s[^>]*>"), 0)
+    # F.get (not element_at): NULL on empty array instead of the ANSI
+    # out-of-bounds error — pages without a canonical link are the norm
+    canon_elem = F.get(
+        F.filter(
+            links,
+            lambda el: el.rlike("(?is)rel\\s*=\\s*[\"']canonical[\"']"),
+        ),
+        0,
+    )
+    canon_href = F.regexp_extract(
+        canon_elem, "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1
+    )
+    noindex = F.coalesce(
+        h.rlike(
+            "(?is)<meta[^>]+name\\s*=\\s*[\"']robots[\"']"
+            "[^>]*content\\s*=\\s*[\"'][^\"']*noindex"
+        ),
+        F.lit(False),
+    )
+    scheme_expr, authority = _scheme_and_authority(src)
+
+    def over_origin(origin: Column) -> Column:
+        return _resolve_href(canon_href, scheme_expr, origin)
+
+    canonical = let_col(
+        F.concat(scheme_expr, F.lit("://"), authority), over_origin
+    )
+    return df.select(
+        src.alias("url"),
+        F.when(F.length(title) > 0, title).alias("title"),
+        F.when(F.length(lang_raw) > 0, F.lower(lang_raw)).alias("html_lang"),
+        canonical.alias("canonical_url"),
+        noindex.alias("meta_noindex"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,
