@@ -1,4 +1,5 @@
-"""Temporal operators: as-of join and batch sessionization.
+"""Temporal operators: as-of join, batch sessionization, and crawl
+snapshot deltas.
 
 - ``asof_join`` — for every left row, the latest right row with
   ``right.ts <= left.ts`` within the same key (the time-series join
@@ -12,6 +13,12 @@
   the window orders by the payload itself, so the result is identical
   across runs and partitionings. Requires the right payload columns to
   be orderable types (no maps) — true for every table here.
+- ``snapshot_delta`` — per-URL change detection across recrawls: each
+  fetch is classified NEW (first crawl of the url), CHANGED (content
+  digest differs from the previous crawl) or UNCHANGED. One window lag
+  over (url ORDER BY ts) — a single hash shuffle on the url, O(1)
+  window state. Duplicate (url, ts) rows are ordered by digest so the
+  classification is deterministic across runs and partitionings.
 - ``sessionize_batch`` — gap-based sessions (new session when the gap
   since the previous event of the same key exceeds ``gap_sec``): the
   classic lag + cumulative-sum window pair, parameterized by
@@ -104,6 +111,70 @@ def asof_join(
         *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in right_cols],
         F.col("__r.__ts").alias(f"{ts}{suffix}"),
     )
+
+
+def snapshot_delta(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "crawl_ts",
+    digest: str = "digest",
+) -> DataFrame:
+    """Classify every fetch of a recrawled corpus as NEW / CHANGED /
+    UNCHANGED relative to the previous fetch of the same ``key``.
+
+    Output = input columns + ``prev_ts``, ``prev_digest``,
+    ``change_status``. The reference has no recrawl tooling; this is
+    the snapshot-diff a continuously-crawled corpus needs (decide which
+    pages to re-extract, measure churn per host). Scale shape: ONE hash
+    shuffle on ``key``; the window carries only the immediately
+    preceding row (lag), so state is O(1) regardless of how many times
+    a hot URL was recrawled.
+    """
+    w = Window.partitionBy(key).orderBy(ts, digest)
+    prev_d = F.lag(digest).over(w)
+    prev_t = F.lag(ts).over(w)
+    status = (
+        F.when(prev_d.isNull() & prev_t.isNull(), F.lit("NEW"))
+        .when(prev_d.eqNullSafe(F.col(digest)), F.lit("UNCHANGED"))
+        .otherwise(F.lit("CHANGED"))
+    )
+    return df.select(
+        *df.columns,
+        prev_t.alias("prev_ts"),
+        prev_d.alias("prev_digest"),
+        status.alias("change_status"),
+    )
+
+
+def snapshot_churn(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "crawl_ts",
+    digest: str = "digest",
+    host: str | None = None,
+) -> DataFrame:
+    """Churn rollup over :func:`snapshot_delta`: per host (or corpus-
+    wide when ``host`` is None) the number of fetches by change status
+    plus the change rate among re-fetches. Adds one hash agg after the
+    delta window; map-side combine keeps the shuffle slim."""
+    delta = snapshot_delta(df, key=key, ts=ts, digest=digest)
+    grp = [host] if host else []
+    refetch = F.col("change_status") != "NEW"
+    changed = F.col("change_status") == "CHANGED"
+    agg = delta.groupBy(*grp).agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.when(F.col("change_status") == "NEW", 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(changed, 1).otherwise(0)).alias("n_changed"),
+        F.sum(F.when(F.col("change_status") == "UNCHANGED", 1).otherwise(0)).alias(
+            "n_unchanged"
+        ),
+        F.round(
+            F.sum(F.when(changed, 1).otherwise(0))
+            / F.nullif(F.sum(F.when(refetch, 1).otherwise(0)), F.lit(0)),
+            6,
+        ).alias("change_rate"),
+    )
+    return agg
 
 
 def sessionize_batch(

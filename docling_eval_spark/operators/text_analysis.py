@@ -1174,3 +1174,50 @@ def mojibake_repair(
     return df.withColumn(
         out_col, F.when(ok, redecoded).otherwise(t)
     ).withColumn(flag_col, F.coalesce(ok, F.lit(False)))
+
+
+# ------------------------------------------------------------ vocabulary
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus vocabulary statistics, per ``group_col`` (e.g. language)
+    or corpus-wide: token count, type (distinct-token) count, hapax
+    legomena count, type-token ratio, hapax share of the vocabulary,
+    and the top term frequency. The classic corpus-health dashboard a
+    training-data pipeline watches per ingest batch (a collapsing TTR
+    or exploding hapax share flags boilerplate floods / tokenizer
+    breakage).
+
+    Scale shape: explode to (group, token) then TWO hash aggs — the
+    first (term frequency) benefits from map-side partial aggregation
+    so the shuffle carries at most one row per distinct (group, token)
+    per task, the second reduces |vocab| rows per group to one. No
+    windows, no driver collect; tokens are whitespace-split and
+    lowercased (same tokenizer as :func:`tokens_col`, same oracle
+    split idiom as token_counts).
+    """
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+    grp = [group_col] if group_col else []
+    tf = (
+        df.select(*grp, F.explode(toks).alias("tok"))
+        .groupBy(*grp, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    out = tf.groupBy(*grp).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.max("c").alias("top_freq"),
+    )
+    return out.select(
+        *grp,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_ratio"),
+        "top_freq",
+    )

@@ -1669,3 +1669,98 @@ def test_quality_lr_score(spark):
         .toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_snapshot_delta_hand_case(spark):
+    from docling_eval_spark.operators.temporal import snapshot_delta
+
+    rows = [
+        ("u1", 1, "a"),   # NEW
+        ("u1", 2, "a"),   # UNCHANGED
+        ("u1", 3, "b"),   # CHANGED
+        ("u1", 4, "b"),   # UNCHANGED
+        ("u2", 1, "x"),   # NEW
+        ("u2", 5, "y"),   # CHANGED
+    ]
+    df = spark.createDataFrame(rows, "url string, crawl_ts int, digest string")
+    out = {
+        (r.url, r.crawl_ts): r.change_status
+        for r in snapshot_delta(df).collect()
+    }
+    assert out == {
+        ("u1", 1): "NEW",
+        ("u1", 2): "UNCHANGED",
+        ("u1", 3): "CHANGED",
+        ("u1", 4): "UNCHANGED",
+        ("u2", 1): "NEW",
+        ("u2", 5): "CHANGED",
+    }
+
+
+def test_snapshot_delta_deterministic_across_partitionings(spark):
+    """Duplicate (url, ts) fetches with differing digests: the window
+    orders by (ts, digest), so the multiset of output rows must be
+    identical however the input is partitioned."""
+    from docling_eval_spark.operators.temporal import snapshot_delta
+
+    rows = [("u", 1, "b"), ("u", 1, "a"), ("u", 2, "a"), ("u", 2, "a")]
+    df = spark.createDataFrame(rows, "url string, crawl_ts int, digest string")
+
+    def run(d):
+        return sorted(
+            (r.url, r.crawl_ts, r.digest, r.prev_digest, r.change_status)
+            for r in snapshot_delta(d).collect()
+        )
+
+    assert run(df.repartition(1)) == run(df.repartition(7, "digest"))
+    # at ts=1 the 'a' copy leads (digest order): a=NEW, b=CHANGED;
+    # first ts=2 'a' follows 'b' → CHANGED, second → UNCHANGED
+    statuses = sorted(s for (_, _, _, _, s) in run(df))
+    assert statuses == ["CHANGED", "CHANGED", "NEW", "UNCHANGED"]
+
+
+def test_snapshot_churn_hand_case(spark):
+    from docling_eval_spark.operators.temporal import snapshot_churn
+
+    rows = [
+        ("h1", "u1", 1, "a"),
+        ("h1", "u1", 2, "b"),
+        ("h1", "u1", 3, "b"),
+        ("h1", "u2", 1, "x"),
+        ("h2", "u3", 1, "p"),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, url string, crawl_ts int, digest string"
+    )
+    out = {r.host: r for r in snapshot_churn(df, host="host").collect()}
+    h1 = out["h1"]
+    assert (h1.n_fetches, h1.n_new, h1.n_changed, h1.n_unchanged) == (4, 2, 1, 1)
+    assert h1.change_rate == 0.5
+    h2 = out["h2"]
+    assert (h2.n_fetches, h2.n_new, h2.n_changed, h2.n_unchanged) == (1, 1, 0, 0)
+    assert h2.change_rate is None  # no refetches → rate undefined, not 0
+
+
+def test_vocab_stats_hand_case(spark):
+    from docling_eval_spark.operators.text_analysis import vocab_stats
+
+    df = spark.createDataFrame(
+        [("en", "the cat The  dog"), ("en", "the fish"), ("de", "")],
+        "lang string, text string",
+    )
+    out = {r.lang: r for r in vocab_stats(df, group_col="lang").collect()}
+    en = out["en"]
+    # tokens: the, cat, the, dog, the, fish (lowercased) → 6 tokens,
+    # 4 types, hapax = cat/dog/fish = 3, top freq = the ×3
+    assert (en.n_tokens, en.n_types, en.n_hapax, en.top_freq) == (6, 4, 3, 3)
+    assert en.ttr == round(4 / 6, 6)
+    assert en.hapax_ratio == 0.75
+    assert "de" not in out  # empty text → zero tokens → no group row
+
+
+def test_vocab_stats_corpus_wide(spark):
+    from docling_eval_spark.operators.text_analysis import vocab_stats
+
+    df = spark.createDataFrame([("a b a",), ("b c",)], "text string")
+    r = vocab_stats(df).collect()[0]
+    assert (r.n_tokens, r.n_types, r.n_hapax, r.top_freq) == (5, 3, 1, 2)
