@@ -3477,6 +3477,105 @@ FROM tf GROUP BY lang
 """
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + per-category counts: pure regexp column algebra,
+    zero shuffle. Fixture plants one email/IP/phone per doc_id%4
+    residue so every pattern and the no-PII path are exercised."""
+    from docling_eval_spark.operators.text_analysis import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact a"), did.cast("string"), F.lit("@mail.example.com now")
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" origin 10."), (did % 256).cast("string"), F.lit(".0.1 replied")
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" call +1415555"),
+                (did % 10).cast("string"),
+                F.lit("0"),
+                (did % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    return pii_scrub(d.select("doc_id", planted.alias("text"))).select(
+        "doc_id", "scrubbed_text", "n_emails", "n_ips", "n_phones"
+    )
+
+
+_SQL_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN ' contact a' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+      WHEN 1 THEN ' origin 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 replied'
+      WHEN 2 THEN ' call +1415555' || CAST(doc_id % 10 AS VARCHAR) || '0'
+                   || CAST(doc_id % 7 AS VARCHAR)
+      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+[0-9][0-9()\ .-]{6,14}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+       AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+       AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(t, '\+[0-9][0-9()\ .-]{6,14}[0-9]'))
+       AS INTEGER) AS n_phones
+FROM aug
+"""
+
+
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain blocklist flag: broadcast join on eTLD+1 —
+    the pages side never shuffles."""
+    from docling_eval_spark.operators.web_ops import blocklist_filter
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit(".site"),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit(".com/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("site0.com",), ("site3.com",)], "domain string"
+    )
+    return blocklist_filter(pages, blocked)
+
+
+_SQL_BLOCKLIST = """
+SELECT event_id,
+  'https://h' || CAST(user_id % 5 AS VARCHAR) || '.site'
+    || CAST(event_id % 7 AS VARCHAR) || '.com/p/'
+    || CAST(event_id AS VARCHAR) AS url,
+  (event_id % 7) IN (0, 3) AS blocked
+FROM events
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
@@ -3817,6 +3916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _with_pkg(_q_snapshot_delta),
         "snapshot_churn": _with_pkg(_q_snapshot_churn),
         "vocab_stats": _with_pkg(_q_vocab_stats),
+        "pii_scrub": _with_pkg(_q_pii_scrub),
+        "blocklist": _with_pkg(_q_blocklist),
         "quality_lr": _with_pkg(_q_quality_lr),
         "inverted_index": _with_pkg(_q_inverted_index),
         "bm25_topk": _with_pkg(_q_bm25_topk),
@@ -3955,4 +4056,6 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delta": _SQL_SNAPSHOT_DELTA,
         "snapshot_churn": _SQL_SNAPSHOT_CHURN,
         "vocab_stats": _SQL_VOCAB_STATS,
+        "pii_scrub": _SQL_PII,
+        "blocklist": _SQL_BLOCKLIST,
     }

@@ -913,3 +913,43 @@ def page_rank(
     nodes.unpersist()
     ed.unpersist()
     return out
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    flag_col: str = "blocked",
+    suffixes: frozenset[str] | set[str] = _PSL_LITE,
+) -> DataFrame:
+    """Flag pages whose REGISTERED domain is on a blocklist (the
+    UT1/URL-category-ban stage every production crawl runs before
+    training-data export). ``blocked`` is one registered domain per
+    row — thousands to low millions of rows — so the join broadcasts;
+    the pages side never shuffles. Matching on eTLD+1 (not host)
+    makes the common evasion (porn.example.com vs example.com) a
+    non-issue, exactly like the per-site cap keying.
+
+    Returns pages + a boolean ``flag_col`` (true = blocked); callers
+    filter or route. Keeping the flag instead of dropping rows lets
+    one pass feed both the clean export AND the blocked-rate
+    monitoring rollup without a second scan.
+    """
+    dim = (
+        blocked.select(F.col(domain_col).alias("__bl_domain"))
+        .distinct()
+        .withColumn("__bl_hit", F.lit(True))
+    )
+    keyed = pages.withColumn(
+        "__reg_domain", registered_domain_col(url_col, suffixes)
+    )
+    out = keyed.join(
+        F.broadcast(dim),
+        keyed["__reg_domain"] == dim["__bl_domain"],
+        "left",
+    )
+    return out.select(
+        *pages.columns,
+        F.coalesce(F.col("__bl_hit"), F.lit(False)).alias(flag_col),
+    )

@@ -1764,3 +1764,61 @@ def test_vocab_stats_corpus_wide(spark):
     df = spark.createDataFrame([("a b a",), ("b c",)], "text string")
     r = vocab_stats(df).collect()[0]
     assert (r.n_tokens, r.n_types, r.n_hapax, r.top_freq) == (5, 3, 1, 2)
+
+
+def test_pii_scrub_hand_case(spark):
+    from docling_eval_spark.operators.text_analysis import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.co.uk and carol@ex.io end"),
+            (2, "from 192.168.0.1 to 10.0.0.255, version 1.2 unchanged"),
+            (3, "call +1 (415) 555-0134 or +44 20.7946.0958 today"),
+            (4, "no pii here, just 12345 and a.b"),
+            (5, None),
+        ],
+        "id int, text string",
+    )
+    out = {r.id: r for r in pii_scrub(df).collect()}
+    assert out[1].scrubbed_text == "mail <EMAIL> and <EMAIL> end"
+    assert out[1].n_emails == 2 and out[1].n_ips == 0 and out[1].n_phones == 0
+    assert out[2].scrubbed_text == "from <IP> to <IP>, version 1.2 unchanged"
+    assert out[2].n_ips == 2
+    assert out[3].scrubbed_text == "call <PHONE> or <PHONE> today"
+    assert out[3].n_phones == 2
+    assert out[4].scrubbed_text == out[4].text
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+    assert out[5].scrubbed_text is None  # null text passes through
+
+
+def test_pii_counts_on_original_text(spark):
+    """An email whose local part looks phone-ish is masked ONCE (as
+    email, the earlier pattern) but counted in both categories — counts
+    are per-pattern over the raw text by contract."""
+    from docling_eval_spark.operators.text_analysis import pii_scrub
+
+    df = spark.createDataFrame([("x +14155550134@relay.example.com y",)], "text string")
+    r = pii_scrub(df).collect()[0]
+    assert r.scrubbed_text == "x +<EMAIL> y" or r.scrubbed_text == "x <EMAIL> y"
+    assert r.n_emails == 1
+
+
+def test_blocklist_filter_flags_registered_domain(spark):
+    from docling_eval_spark.operators.web_ops import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "https://evil.bad.com/y"),       # subdomain → same eTLD+1
+            (3, "https://bad.com.example.org/z"),  # NOT bad.com
+            (4, "https://good.org/"),
+        ],
+        "id int, url string",
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    out = blocklist_filter(pages, blocked)
+    flags = {r.id: r.blocked for r in out.collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False}
+    assert out.columns == ["id", "url", "blocked"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
