@@ -3576,6 +3576,72 @@ FROM events
 """
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates: sketch the whole corpus
+    into 3x512 counters (ONE bounded-key shuffle — the exchange carries
+    counters, never tokens), then point-estimate every distinct token
+    of the first 20 docs via a broadcast join against the sketch."""
+    from docling_eval_spark.operators.sketch import cms_build, cms_estimate
+    from docling_eval_spark.operators.text_analysis import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    sketch = cms_build(d, depth=3, width=512)
+    cand = d.filter(F.col("doc_id") < 20).select(
+        F.explode(tokens_col("text")).alias("term")
+    )
+    return cms_estimate(sketch, cand, depth=3, width=512)
+
+
+_SQL_CMS = r"""
+WITH tok AS (
+  SELECT lower(t) AS tok
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                          x -> x <> '')) AS u(t)
+),
+h AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(tok) + 1),
+                          j -> CAST(unicode(substring(tok, j, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS bh
+  FROM tok
+),
+sk AS (
+  SELECT d, idx, count(*) AS c FROM (
+    SELECT 0 AS d, ((bh * 999983 + 17) % 2147483647) % 512 AS idx FROM h
+    UNION ALL
+    SELECT 1, ((bh * 1000003 + 257) % 2147483647) % 512 FROM h
+    UNION ALL
+    SELECT 2, ((bh * 524287 + 65537) % 2147483647) % 512 FROM h
+  ) GROUP BY d, idx
+),
+cand AS (
+  SELECT DISTINCT lower(t) AS term
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                          x -> x <> '')) AS u(t)
+  WHERE doc_id < 20
+),
+ch AS (
+  SELECT term, list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(term) + 1),
+                          j -> CAST(unicode(substring(term, j, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS bh
+  FROM cand
+),
+cells AS (
+  SELECT term, 0 AS d, ((bh * 999983 + 17) % 2147483647) % 512 AS idx FROM ch
+  UNION ALL
+  SELECT term, 1, ((bh * 1000003 + 257) % 2147483647) % 512 FROM ch
+  UNION ALL
+  SELECT term, 2, ((bh * 524287 + 65537) % 2147483647) % 512 FROM ch
+)
+SELECT cells.term, min(coalesce(sk.c, 0)) AS est
+FROM cells LEFT JOIN sk ON sk.d = cells.d AND sk.idx = cells.idx
+GROUP BY cells.term
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
@@ -3918,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _with_pkg(_q_vocab_stats),
         "pii_scrub": _with_pkg(_q_pii_scrub),
         "blocklist": _with_pkg(_q_blocklist),
+        "cms_heavy_hitters": _with_pkg(_q_cms_heavy_hitters),
         "quality_lr": _with_pkg(_q_quality_lr),
         "inverted_index": _with_pkg(_q_inverted_index),
         "bm25_topk": _with_pkg(_q_bm25_topk),
@@ -4058,4 +4125,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": _SQL_VOCAB_STATS,
         "pii_scrub": _SQL_PII,
         "blocklist": _SQL_BLOCKLIST,
+        "cms_heavy_hitters": _SQL_CMS,
     }

@@ -1,0 +1,124 @@
+"""Count-min sketch: fixed-memory term-frequency estimation.
+
+The scale path for "what are the hot terms / how often does X occur"
+when the vocabulary is too large to aggregate exactly (100 TB of web
+text has billions of distinct tokens; an exact term-frequency table IS
+the shuffle bottleneck). A CMS bounds the shuffle at depth x width
+COUNTERS regardless of vocabulary size: map-side partial aggregation
+collapses each task to at most depth*width rows before the exchange, so
+the reduce side always receives O(tasks * depth * width) — constants,
+not data volume.
+
+Hash family: one portable Horner base hash per token (the repo-wide
+:func:`~docling_eval_spark.operators.text_analysis.horner_fold` family
+every DuckDB oracle replays) re-keyed per row by a fixed affine map
+``(h * A_d + B_d) mod P mod width`` — the textbook pairwise-independent
+construction (Cormode & Muthukrishnan 2005, "An improved data stream
+summary: the count-min sketch and its applications"). All constants are
+module literals so oracles cannot drift.
+
+No reference twin: DS4SD/docling-eval has no sketch/streaming-summary
+code at all; this is pipeline capability beyond the reference surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from docling_eval_spark.operators.text_analysis import (
+    _FP_MOD,
+    portable_char_hash,
+    tokens_col,
+)
+
+# affine re-key constants per depth row (primes; h*A + B < 2^62 since
+# h < 2^31 and A < 2^31 — safe under ANSI long arithmetic)
+CMS_A = (999983, 1000003, 524287, 131071, 8191, 127)
+CMS_B = (17, 257, 65537, 97, 31, 3)
+MAX_DEPTH = len(CMS_A)
+
+
+def _cms_idx(base_hash: Column, d: int, width: int, mod: int) -> Column:
+    return F.pmod(base_hash * CMS_A[d] + CMS_B[d], F.lit(mod)) % width
+
+
+def cms_build(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 1024,
+    mod: int = _FP_MOD,
+) -> DataFrame:
+    """Build the sketch over lowercased whitespace tokens: returns
+    ``(d, idx, c)`` with at most ``depth * width`` rows.
+
+    Plan: explode tokens, fan each out to its ``depth`` counter cells
+    (narrow — no shuffle), then ONE hash aggregation whose key space is
+    depth*width, so the partial agg saturates map-side and the exchange
+    carries counters, never tokens."""
+    if not 1 <= depth <= MAX_DEPTH:
+        raise ValueError(f"depth must be 1..{MAX_DEPTH}, got {depth}")
+    toks = df.select(
+        F.explode(
+            F.transform(tokens_col(text_col), lambda x: F.lower(x))
+        ).alias("tok")
+    )
+    h = portable_char_hash(F.col("tok"), mod)
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_idx(h, d, width, mod).alias("idx"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return (
+        cells.groupBy(
+            F.col("cell.d").alias("d"), F.col("cell.idx").alias("idx")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 3,
+    width: int = 1024,
+    mod: int = _FP_MOD,
+) -> DataFrame:
+    """Point-estimate each term's frequency: ``(term, est)`` where
+    ``est = min over d of counter[d][idx_d(term)]`` — the CMS guarantee
+    (est >= true count; overestimate bounded by collisions).
+
+    The sketch is tiny (<= depth*width rows) so the join broadcasts;
+    the terms side never shuffles beyond its own per-term agg. Terms
+    are lowercased to match :func:`cms_build`'s tokenization; a term
+    whose cell was never touched estimates 0."""
+    t = terms.select(F.lower(F.col(term_col)).alias("term")).distinct()
+    h = portable_char_hash(F.col("term"), mod)
+    keyed = t.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_idx(h, d, width, mod).alias("idx"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", F.col("cell.d").alias("d"), F.col("cell.idx").alias("idx"))
+    joined = keyed.join(F.broadcast(sketch), ["d", "idx"], "left")
+    return joined.groupBy("term").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
+    )

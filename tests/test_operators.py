@@ -1822,3 +1822,41 @@ def test_blocklist_filter_flags_registered_domain(spark):
     assert out.columns == ["id", "url", "blocked"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: est >= true count for every term, and
+    the sketch total per depth row equals the token count."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.sketch import cms_build, cms_estimate
+    from docling_eval_spark.operators.text_analysis import tokens_col
+
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog ate the cat food",), ("mat cat",)],
+        "text string",
+    )
+    depth, width = 3, 64
+    sketch = cms_build(docs, depth=depth, width=width)
+    per_depth = {r.d: r.s for r in sketch.groupBy("d").agg(F.sum("c").alias("s")).collect()}
+    assert per_depth == {0: 14, 1: 14, 2: 14}  # 14 tokens total, every row sees all
+
+    exact = {
+        r.tok: r.c
+        for r in docs.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c")).collect()
+    }
+    terms = spark.createDataFrame([(t,) for t in exact] + [("unseen_zz",)], "term string")
+    est = {r.term: r.est for r in cms_estimate(sketch, terms, depth=depth, width=width).collect()}
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c)
+    # width 64 >> 9 distinct tokens: whp no collision → exact
+    assert est["the"] == 4 and est["cat"] == 3 and est["unseen_zz"] == 0
+
+
+def test_cms_depth_guard(spark):
+    import pytest
+    from docling_eval_spark.operators.sketch import cms_build
+
+    docs = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        cms_build(docs, depth=99)
