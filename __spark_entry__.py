@@ -3642,6 +3642,91 @@ GROUP BY cells.term
 """
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc char-distribution entropy (nats/char): zero-shuffle
+    narrow map; micro-nat integer quantization keeps it engine-exact."""
+    from docling_eval_spark.operators.text_analysis import char_entropy_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", char_entropy_col("text").alias("entropy"))
+
+
+_SQL_CHAR_ENTROPY = r"""
+WITH ch AS (
+  SELECT doc_id,
+    list_transform(range(1, length(substring(text, 1, 2000)) + 1),
+                   j -> substring(substring(text, 1, 2000), j, 1)) AS chars
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(chars) > 0 THEN
+    round(
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(list_distinct(chars),
+          c -> CAST(len(list_filter(chars, x -> x = c)) AS BIGINT)
+               * CAST(round(ln(CAST(len(chars) AS DOUBLE)
+                               / len(list_filter(chars, x -> x = c)))
+                            * 1000000) AS BIGINT))),
+        (a, b) -> a + b)
+      / CAST(len(chars) AS DOUBLE) / 1000000, 6)
+  ELSE 0.0 END AS entropy
+FROM ch
+"""
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier flags per label: every cross-partition
+    aggregate is over BIGINTs (quantized vectors, exact integer
+    centroid sums, quantized distances) so the result is identical
+    across partitionings — the full-width vectors never shuffle."""
+    from docling_eval_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+_SQL_EMBEDDING_OUTLIERS = r"""
+WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (
+  SELECT label, j, sum(q[j]) AS s, count(*) AS n
+  FROM q, unnest(range(1, 65)) AS r(j)
+  GROUP BY label, j
+),
+cent AS (
+  SELECT label, list(s ORDER BY j) AS S, max(n) AS n FROM dims GROUP BY label
+),
+scored AS (
+  SELECT vec_id, q.label,
+    CAST(round(sqrt(list_reduce(list_prepend(0.0,
+          list_transform(range(1, 65),
+            j -> CAST(q[j] * n - S[j] AS DOUBLE)
+                 * CAST(q[j] * n - S[j] AS DOUBLE))),
+          (a, b) -> a + b)) / n) AS BIGINT) AS dist_milli
+  FROM q JOIN cent ON q.label = cent.label
+),
+stats AS (
+  SELECT label, sum(dist_milli) AS sd,
+         sum(dist_milli * dist_milli) AS sd2, count(*) AS cnt
+  FROM scored GROUP BY label
+)
+SELECT vec_id, scored.label, dist_milli,
+  round(sd / CAST(cnt AS DOUBLE), 6) AS group_mean,
+  round(sqrt(greatest(sd2 / CAST(cnt AS DOUBLE)
+                      - (sd / CAST(cnt AS DOUBLE)) * (sd / CAST(cnt AS DOUBLE)),
+                      0.0)), 6) AS group_std,
+  dist_milli > sd / CAST(cnt AS DOUBLE)
+               + sqrt(greatest(sd2 / CAST(cnt AS DOUBLE)
+                               - (sd / CAST(cnt AS DOUBLE))
+                                 * (sd / CAST(cnt AS DOUBLE)), 0.0)) * 3.0
+    AS is_outlier
+FROM scored JOIN stats ON scored.label = stats.label
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
@@ -3985,6 +4070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _with_pkg(_q_pii_scrub),
         "blocklist": _with_pkg(_q_blocklist),
         "cms_heavy_hitters": _with_pkg(_q_cms_heavy_hitters),
+        "char_entropy": _with_pkg(_q_char_entropy),
+        "embedding_outliers": _with_pkg(_q_embedding_outliers),
         "quality_lr": _with_pkg(_q_quality_lr),
         "inverted_index": _with_pkg(_q_inverted_index),
         "bm25_topk": _with_pkg(_q_bm25_topk),
@@ -4126,4 +4213,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _SQL_PII,
         "blocklist": _SQL_BLOCKLIST,
         "cms_heavy_hitters": _SQL_CMS,
+        "char_entropy": _SQL_CHAR_ENTROPY,
+        "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
     }

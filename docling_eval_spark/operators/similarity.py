@@ -202,3 +202,94 @@ def hyperplanes_for(
 ) -> np.ndarray:
     dim = len(df.select(vec_col).first()[0])
     return hyperplanes(dim, n_planes, seed)
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    z: float = 3.0,
+    quant: int = 1000,
+) -> DataFrame:
+    """Flag vectors far from their group centroid (mislabeled /
+    corrupted embeddings — the standard sanity gate before training on
+    an embedding column). Returns ``(id, group, dist_milli,
+    group_mean, group_std, is_outlier)`` where ``dist_milli`` is the
+    L2 distance to the group centroid in 1/``quant`` units and
+    ``is_outlier`` is ``dist > mean + z * std`` within the group.
+
+    Determinism contract: floating-point group aggregation is NOT
+    associative, so every cross-partition aggregate here is over
+    BIGINTs — embeddings are quantized to ``round(x * quant)`` once,
+    the centroid is kept as exact integer sums ``(S_j, n)`` (never a
+    float mean), and per-row distances are quantized before the
+    mean/std aggregate. The only float ops are per-row expressions
+    over exact integers in a fixed fold order — identical across
+    partitionings, retries, and engines (the DuckDB oracle replays
+    them bit-for-bit).
+
+    Scale shape: one slim ``(group, dim)`` hash agg for centroids
+    (rows = groups x dims, map-side combined), centroids broadcast
+    back, one slim ``(group)`` agg for distance moments, broadcast
+    again. The full-width vector column never shuffles."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        q.alias("q"),
+    )
+    # centroid as exact integer sums: explode dims -> (grp, dim) sum
+    dims = base.select(
+        "grp", F.posexplode("q").alias("dim", "v")
+    )
+    cent = (
+        dims.groupBy("grp", "dim")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda x: x["s"],
+            ).alias("S"),
+            F.max("n").alias("n"),
+        )
+    )
+    joined = base.join(F.broadcast(cent), "grp")
+    # dist^2 in (quant*n)-scale: sum over dims of (q_j * n - S_j)^2
+    d2 = F.aggregate(
+        F.zip_with(
+            "q", "S", lambda a, b: (a * F.col("n") - b).cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    scored = joined.select(
+        "id",
+        "grp",
+        F.round(F.sqrt(d2) / F.col("n")).cast("long").alias("dist_milli"),
+    )
+    stats = scored.groupBy("grp").agg(
+        F.sum("dist_milli").alias("sd"),
+        F.sum(F.col("dist_milli") * F.col("dist_milli")).alias("sd2"),
+        F.count("*").alias("cnt"),
+    )
+    mean = F.col("sd") / F.col("cnt")
+    var = F.col("sd2") / F.col("cnt") - mean * mean
+    return (
+        scored.join(F.broadcast(stats), "grp")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "dist_milli",
+            F.round(mean, 6).alias("group_mean"),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("group_std"),
+            (
+                F.col("dist_milli")
+                > mean + F.sqrt(F.greatest(var, F.lit(0.0))) * z
+            ).alias("is_outlier"),
+        )
+    )

@@ -1860,3 +1860,82 @@ def test_cms_depth_guard(spark):
     docs = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError):
         cms_build(docs, depth=99)
+
+
+def test_char_entropy_hand_cases(spark):
+    import math
+
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.text_analysis import char_entropy_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # one symbol -> 0
+            (2, "abab"),        # two equiprobable -> ln 2
+            (3, "abcd"),        # four equiprobable -> ln 4
+            (4, ""),            # empty -> 0
+        ],
+        "id int, text string",
+    )
+    out = {r.id: r.entropy for r in df.select("id", char_entropy_col("text").alias("entropy")).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - math.log(2)) < 1e-5
+    assert abs(out[3] - math.log(4)) < 1e-5
+    assert out[4] == 0.0
+    # prose sits between boilerplate-low and base64-high
+    probe = spark.createDataFrame(
+        [
+            ("prose", "the quick brown fox jumps over the lazy dog again and again"),
+            ("repeat", "xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy"),
+            ("blob", "Qk9vYjhiN3pGdUxXcDlNa1RjU2QxZ0g0eEFqNnJFa1lQMnZDbTVuRHE3aFV3"),
+        ],
+        "kind string, text string",
+    )
+    e = {r.kind: r.e for r in probe.select("kind", char_entropy_col("text").alias("e")).collect()}
+    assert e["repeat"] < e["prose"] < e["blob"]
+
+
+def test_char_entropy_zero_shuffle_plan(spark):
+    from docling_eval_spark.operators.text_analysis import char_entropy_col
+
+    df = spark.createDataFrame([("abc",)], "text string")
+    plan = df.select(char_entropy_col("text")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.similarity import embedding_outliers
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        v = (rng.randn(8) * 0.05 + 1.0).tolist()  # tight cluster at 1
+        rows.append((i, [float(x) for x in v], 0))
+    rows.append((99, [float(9.0)] * 8, 0))  # planted far point
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in embedding_outliers(df, quant=1000).collect()}
+    assert out[99].is_outlier
+    flagged = [i for i, r in out.items() if r.is_outlier]
+    assert flagged == [99]
+    # determinism across partitionings: identical rows either way
+    a = sorted(map(tuple, embedding_outliers(df.repartition(1), quant=1000).collect()))
+    b = sorted(map(tuple, embedding_outliers(df.repartition(13, "vec_id"), quant=1000).collect()))
+    assert a == b
+
+
+def test_embedding_outliers_vectors_never_shuffle(spark):
+    """The full-width embedding column must not cross an exchange —
+    only slim (grp,dim)/(grp) aggregates and broadcasts shuffle."""
+    from docling_eval_spark.operators.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [1.1, 2.1], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = embedding_outliers(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
