@@ -3642,6 +3642,29 @@ GROUP BY cells.term
 """
 
 
+def _q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current corpus view after recrawls: one max-struct hash agg per
+    url (map-side combine; no window sort)."""
+    from docling_eval_spark.operators.temporal import latest_snapshot
+
+    cur = latest_snapshot(_synth_fetches(spark, sf_dir))
+    return cur.select(
+        "url",
+        F.unix_millis(F.col("crawl_ts").cast("timestamp")).alias("crawl_ms"),
+        "digest",
+    )
+
+
+_SQL_LATEST_SNAPSHOT = f"""
+WITH f AS ({_SQL_SYNTH_FETCHES})
+SELECT url,
+       epoch_ms(max(struct_pack(crawl_ts := crawl_ts, digest := digest)).crawl_ts)
+         AS crawl_ms,
+       max(struct_pack(crawl_ts := crawl_ts, digest := digest)).digest AS digest
+FROM f GROUP BY url
+"""
+
+
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc char-distribution entropy (nats/char): zero-shuffle
     narrow map; micro-nat integer quantization keeps it engine-exact."""
@@ -4066,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _with_pkg(_q_sessionize),
         "snapshot_delta": _with_pkg(_q_snapshot_delta),
         "snapshot_churn": _with_pkg(_q_snapshot_churn),
+        "latest_snapshot": _with_pkg(_q_latest_snapshot),
         "vocab_stats": _with_pkg(_q_vocab_stats),
         "pii_scrub": _with_pkg(_q_pii_scrub),
         "blocklist": _with_pkg(_q_blocklist),
@@ -4209,6 +4233,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "snapshot_delta": _SQL_SNAPSHOT_DELTA,
         "snapshot_churn": _SQL_SNAPSHOT_CHURN,
+        "latest_snapshot": _SQL_LATEST_SNAPSHOT,
         "vocab_stats": _SQL_VOCAB_STATS,
         "pii_scrub": _SQL_PII,
         "blocklist": _SQL_BLOCKLIST,

@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "mojibake",
     "domain_rollup",
     "page_metadata",
+    "snapshot_delta",
+    "vocab_stats",
+    "pii_scrub",
+    "cms_heavy_hitters",
+    "char_entropy",
+    "embedding_outliers",
 ]
 
 WARM_PASSES = 3

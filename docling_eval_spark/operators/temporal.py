@@ -177,6 +177,33 @@ def snapshot_churn(
     return agg
 
 
+def latest_snapshot(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "crawl_ts",
+) -> DataFrame:
+    """One row per ``key``: the most recent fetch — the apply step of
+    the recrawl story (``snapshot_delta`` tells you what changed;
+    this materializes the current corpus view). Implemented as ONE
+    ``max(struct(ts, payload...))`` hash aggregation, never a window
+    sort: a URL refetched 10^6 times partial-aggregates map-side to a
+    single row per task before the exchange. Ties at the same ts
+    resolve by the greatest payload struct (lexicographic over the
+    remaining columns in their input order) — deterministic across
+    runs and partitionings. Payload columns must be orderable (no
+    maps), true for every table here."""
+    payload = [c for c in df.columns if c != key]
+    picked = df.groupBy(key).agg(
+        F.max(F.struct(*[F.col(ts)] + [F.col(c) for c in payload if c != ts])).alias(
+            "__w"
+        )
+    )
+    ordered = [ts] + [c for c in payload if c != ts]
+    return picked.select(
+        key, *[F.col(f"__w.{c}").alias(c) for c in ordered]
+    ).select(*df.columns)
+
+
 def sessionize_batch(
     events: DataFrame,
     key: str = "user_id",

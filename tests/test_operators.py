@@ -1939,3 +1939,25 @@ def test_embedding_outliers_vectors_never_shuffle(spark):
     plan = embedding_outliers(df)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_latest_snapshot_argmax_and_determinism(spark):
+    from docling_eval_spark.operators.temporal import latest_snapshot
+
+    rows = [
+        ("u1", 1, "a", "x"),
+        ("u1", 3, "c", "y"),   # latest
+        ("u1", 2, "b", "z"),
+        ("u2", 5, "p", "q"),
+        ("u3", 7, "t1", "m"),  # tie at ts=7: greatest payload wins
+        ("u3", 7, "t2", "k"),
+    ]
+    df = spark.createDataFrame(rows, "url string, crawl_ts int, digest string, meta string")
+    out = {r.url: (r.crawl_ts, r.digest, r.meta) for r in latest_snapshot(df).collect()}
+    assert out == {"u1": (3, "c", "y"), "u2": (5, "p", "q"), "u3": (7, "t2", "k")}
+    assert latest_snapshot(df).columns == df.columns
+    a = sorted(map(tuple, latest_snapshot(df.repartition(1)).collect()))
+    b = sorted(map(tuple, latest_snapshot(df.repartition(9, "digest")).collect()))
+    assert a == b
+    plan = latest_snapshot(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and plan.count("Exchange") == 1
