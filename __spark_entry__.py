@@ -3665,6 +3665,106 @@ FROM f GROUP BY url
 """
 
 
+def _q_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED crawl-ingest pipeline (latest view → blocklist → PII →
+    entropy), gated end-to-end — the web-table sibling of clean_corpus."""
+    from docling_eval_spark.pipelines import web_ingest
+
+    ev = _t(spark, sf_dir, "events")
+    p = F.col("event_id") % 1200
+    url = F.concat(
+        F.lit("https://h"),
+        (p % 11).cast("string"),
+        F.lit(".site"),
+        (p % 7).cast("string"),
+        F.lit(".com/p/"),
+        p.cast("string"),
+    )
+    text = F.concat(
+        F.substring("props", 1, 64),
+        F.when(
+            p % 3 == 0,
+            F.concat(F.lit(" mail u"), p.cast("string"), F.lit("@ex.com")),
+        )
+        .when(p % 3 == 1, F.lit(" ip 10.1.2.3"))
+        .otherwise(F.lit("")),
+    )
+    fetches = ev.select(
+        url.alias("url"), F.col("ts").alias("crawl_ts"), text.alias("text")
+    )
+    blocked = spark.createDataFrame([("site2.com",)], "domain string")
+    out = web_ingest(fetches, blocked)
+    return out.select(
+        "url",
+        F.unix_millis(F.col("crawl_ts").cast("timestamp")).alias("crawl_ms"),
+        "scrubbed_text",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        "entropy",
+    )
+
+
+_SQL_WEB_INGEST = r"""
+WITH f AS (
+  SELECT 'https://h' || CAST((event_id % 1200) % 11 AS VARCHAR)
+           || '.site' || CAST((event_id % 1200) % 7 AS VARCHAR)
+           || '.com/p/' || CAST(event_id % 1200 AS VARCHAR) AS url,
+         ts AS crawl_ts,
+         substring(props, 1, 64) || CASE CAST((event_id % 1200) % 3 AS INTEGER)
+           WHEN 0 THEN ' mail u' || CAST(event_id % 1200 AS VARCHAR) || '@ex.com'
+           WHEN 1 THEN ' ip 10.1.2.3' ELSE '' END AS text
+  FROM events
+),
+latest AS (
+  SELECT url,
+    max(struct_pack(crawl_ts := crawl_ts, text := text)).crawl_ts AS crawl_ts,
+    max(struct_pack(crawl_ts := crawl_ts, text := text)).text AS text
+  FROM f GROUP BY url
+),
+unblocked AS (
+  SELECT * FROM latest
+  WHERE CAST(regexp_extract(url, '\.site([0-9]+)\.com', 1) AS INTEGER) <> 2
+),
+scrub AS (
+  SELECT url, crawl_ts,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+      '\+[0-9][0-9()\ .-]{6,14}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         AS INTEGER) AS n_emails,
+    CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+         AS INTEGER) AS n_ips,
+    CAST(len(regexp_extract_all(text, '\+[0-9][0-9()\ .-]{6,14}[0-9]'))
+         AS INTEGER) AS n_phones
+  FROM unblocked
+),
+ch AS (
+  SELECT url, crawl_ts, scrubbed_text, n_emails, n_ips, n_phones,
+    list_transform(range(1, length(substring(scrubbed_text, 1, 2000)) + 1),
+                   j -> substring(substring(scrubbed_text, 1, 2000), j, 1)) AS chars
+  FROM scrub
+)
+SELECT url, epoch_ms(crawl_ts) AS crawl_ms, scrubbed_text,
+       n_emails, n_ips, n_phones,
+  CASE WHEN len(chars) > 0 THEN
+    round(
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(list_distinct(chars),
+          c -> CAST(len(list_filter(chars, x -> x = c)) AS BIGINT)
+               * CAST(round(ln(CAST(len(chars) AS DOUBLE)
+                               / len(list_filter(chars, x -> x = c)))
+                            * 1000000) AS BIGINT))),
+        (a, b) -> a + b)
+      / CAST(len(chars) AS DOUBLE) / 1000000, 6)
+  ELSE 0.0 END AS entropy
+FROM ch
+"""
+
+
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc char-distribution entropy (nats/char): zero-shuffle
     narrow map; micro-nat integer quantization keeps it engine-exact."""
@@ -4096,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _with_pkg(_q_cms_heavy_hitters),
         "char_entropy": _with_pkg(_q_char_entropy),
         "embedding_outliers": _with_pkg(_q_embedding_outliers),
+        "web_ingest": _with_pkg(_q_web_ingest),
         "quality_lr": _with_pkg(_q_quality_lr),
         "inverted_index": _with_pkg(_q_inverted_index),
         "bm25_topk": _with_pkg(_q_bm25_topk),
@@ -4240,4 +4341,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _SQL_CMS,
         "char_entropy": _SQL_CHAR_ENTROPY,
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
+        "web_ingest": _SQL_WEB_INGEST,
     }

@@ -464,3 +464,44 @@ def visualize(
         ds = read_dataset(spark, dataset_dir)
         save_overlay_html(ds, str(out / "layout_overlay.html"))
         save_inspection_html(ds, str(out / "inspection.html"))
+
+
+def web_ingest(
+    fetches: DataFrame,
+    blocked: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "crawl_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl-aware web-ingest composition: latest-snapshot view →
+    registered-domain blocklist gate → PII scrub → entropy annotation.
+
+    ORDER MATTERS and this is the canonical one: the latest view runs
+    FIRST so every later stage pays for one row per url, not one per
+    fetch; the blocklist gate runs before any text work (cheapest
+    predicate, broadcast join, biggest row reduction per byte); PII
+    masking precedes annotation so downstream features never see raw
+    identifiers; entropy is computed over the SCRUBBED text (a page
+    that was all emails should score as its masked form). Each stage
+    is the already-oracle-gated operator; this function is only the
+    ordering — exactly the `clean_corpus` contract, for the crawl
+    table instead of the document table.
+
+    Returns one row per surviving url: input columns + scrubbed text,
+    PII counts, and `entropy` (nats/char of the scrubbed text).
+    """
+    from docling_eval_spark.operators.temporal import latest_snapshot
+    from docling_eval_spark.operators.text_analysis import (
+        char_entropy_col,
+        pii_scrub,
+    )
+    from docling_eval_spark.operators.web_ops import blocklist_filter
+
+    out = latest_snapshot(fetches, key=id_col, ts=ts_col)
+    out = (
+        blocklist_filter(out, blocked, url_col=id_col)
+        .filter(~F.col("blocked"))
+        .drop("blocked")
+    )
+    out = pii_scrub(out, text_col)
+    return out.withColumn("entropy", char_entropy_col("scrubbed_text"))

@@ -246,3 +246,29 @@ def test_corpus_map_sketch_matches_exact(spark):
     ex = corpus_map(df, exact=True).collect()[0]
     for k in ("map", "map_50", "map_75"):
         assert sk[k] == pytest.approx(ex[k], abs=1e-12)
+
+
+def test_web_ingest_composition_order(spark):
+    """web_ingest: one row per url (latest wins), blocked domains gone
+    BEFORE text work, PII masked, entropy computed on the SCRUBBED text."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.pipelines import web_ingest
+
+    fetches = spark.createDataFrame(
+        [
+            ("https://a.good.com/1", 1, "old text"),
+            ("https://a.good.com/1", 2, "mail me@x.io now"),   # latest
+            ("https://b.bad.com/2", 1, "never seen"),
+            ("https://c.good.com/3", 1, "plain prose here"),
+        ],
+        "url string, crawl_ts int, text string",
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    out = {r.url: r for r in web_ingest(fetches, blocked).collect()}
+    assert set(out) == {"https://a.good.com/1", "https://c.good.com/3"}
+    a = out["https://a.good.com/1"]
+    assert a.crawl_ts == 2 and a.scrubbed_text == "mail <EMAIL> now"
+    assert a.n_emails == 1
+    c = out["https://c.good.com/3"]
+    assert c.n_emails == c.n_ips == c.n_phones == 0
+    assert c.scrubbed_text == "plain prose here" and c.entropy > 0
