@@ -3765,6 +3765,53 @@ FROM ch
 """
 
 
+def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-sentence removal: zero-shuffle narrow map.
+    Fixture plants a triple-repeated CTA (even docs) and a separated
+    repeat (odd docs) so both adjacency patterns are exercised."""
+    from docling_eval_spark.operators.text_analysis import dedup_sentences_col
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 120),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit(" Subscribe today! Subscribe today! Subscribe today!"),
+        ).otherwise(
+            F.lit(" All rights reserved. Unique tail here. All rights reserved.")
+        ),
+    )
+    return d.select(
+        "doc_id", dedup_sentences_col(planted).alias("deduped")
+    )
+
+
+_SQL_SENTENCE_DEDUP = r"""
+WITH aug AS (
+  SELECT doc_id,
+    substring(text, 1, 120) || CASE WHEN doc_id % 2 = 0
+      THEN ' Subscribe today! Subscribe today! Subscribe today!'
+      ELSE ' All rights reserved. Unique tail here. All rights reserved.'
+    END AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        string_split(regexp_replace(t, '([.!?])\s+', '\1' || chr(1), 'g'),
+                     chr(1)),
+        s -> trim(s)),
+      s -> s <> '') AS ss
+  FROM aug
+)
+SELECT doc_id,
+  array_to_string(list_filter(ss, (s, i) -> list_position(ss, s) = i), ' ')
+    AS deduped
+FROM sp
+"""
+
+
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc char-distribution entropy (nats/char): zero-shuffle
     narrow map; micro-nat integer quantization keeps it engine-exact."""
@@ -4163,8 +4210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
     # the 16 queries without a CORRECTNESS_r04 row lead (positions
     # 1-16), then the NEW round-5 queries plus never-gated quality_lr
-    # (17-26: snapshot/vocab, retrieval + web-metadata families — in
-    # the window so they get a driver row immediately), then the
+    # (17-33: snapshot/latest-view, vocab, PII, blocklist, CMS,
+    # entropy, embedding outliers, web_ingest, retrieval +
+    # web-metadata families — in the window so they get a driver row
+    # immediately), then the
     # previously-green set in its original order; positions 51+
     # (simhash..quality_lr: driver-green in r04 except quality_lr,
     # oracle-verified locally at both SFs) rotate to the front next
@@ -4197,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _with_pkg(_q_char_entropy),
         "embedding_outliers": _with_pkg(_q_embedding_outliers),
         "web_ingest": _with_pkg(_q_web_ingest),
+        "sentence_dedup": _with_pkg(_q_sentence_dedup),
         "quality_lr": _with_pkg(_q_quality_lr),
         "inverted_index": _with_pkg(_q_inverted_index),
         "bm25_topk": _with_pkg(_q_bm25_topk),
@@ -4342,4 +4392,5 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _SQL_CHAR_ENTROPY,
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "web_ingest": _SQL_WEB_INGEST,
+        "sentence_dedup": _SQL_SENTENCE_DEDUP,
     }

@@ -1317,3 +1317,39 @@ def char_entropy_col(
     return F.when(
         n > 0, F.round(total_unats / n.cast("double") / 1_000_000, 6)
     ).otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------- sentence dedup
+
+def dedup_sentences_col(
+    text: Column | str, min_len: int = 0
+) -> Column:
+    """Remove REPEATED sentences within one document, keeping first
+    occurrences in order — the within-doc twin of corpus line dedup
+    (templated pages repeat the same CTA/disclaimer sentence dozens of
+    times; corpus-level dedup can't touch it because the duplicate
+    never leaves the row). Zero shuffle, pure SQL HOFs: sentence split
+    on terminal punctuation followed by whitespace (a Java-regex
+    lookbehind here; the RE2-bound DuckDB oracle replays the identical
+    boundary lookbehind-free by rewriting '([.!?])\\s+' to a sentinel
+    and splitting on it), then an index-of filter keeps a sentence
+    only where array_position finds its first copy.
+
+    ``min_len``: sentences shorter than this many chars are exempt
+    from dedup (abbreviation fragments like 'No.' repeat legitimately).
+    Cost is O(n_sentences^2) comparisons per row in codegen — bounded
+    by document length, embarrassingly parallel, no state."""
+    t = F.col(text) if isinstance(text, str) else text
+    sents = F.filter(
+        F.transform(F.split(t, r"(?<=[.!?])\s+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    sents = let_col(
+        sents,
+        lambda ss: F.filter(
+            ss,
+            lambda s, i: (F.length(s) < min_len)
+            | (F.array_position(ss, s) == i + 1),
+        ),
+    )
+    return F.array_join(sents, " ")

@@ -1961,3 +1961,33 @@ def test_latest_snapshot_argmax_and_determinism(spark):
     assert a == b
     plan = latest_snapshot(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and plan.count("Exchange") == 1
+
+
+def test_dedup_sentences_keeps_first_in_order(spark):
+    from docling_eval_spark.operators.text_analysis import dedup_sentences_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "Buy now. Great offer! Buy now. The end."),
+            (2, "One sentence only"),
+            (3, "Same. Same. Same."),
+            (4, ""),
+        ],
+        "id int, text string",
+    )
+    out = {r.id: r.d for r in df.select("id", dedup_sentences_col("text").alias("d")).collect()}
+    assert out[1] == "Buy now. Great offer! The end."
+    assert out[2] == "One sentence only"
+    assert out[3] == "Same."
+    assert out[4] == ""
+
+
+def test_dedup_sentences_min_len_exemption(spark):
+    from docling_eval_spark.operators.text_analysis import dedup_sentences_col
+
+    df = spark.createDataFrame([("No. 1 is fine. No. 2 also fine. No. 3 ends.",)], "text string")
+    # 'No.' repeats but is shorter than min_len -> exempt, all kept
+    kept = df.select(dedup_sentences_col("text", min_len=4).alias("d")).collect()[0].d
+    assert kept.count("No.") == 3
+    plan = df.select(dedup_sentences_col("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
