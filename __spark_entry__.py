@@ -3765,6 +3765,28 @@ FROM ch
 """
 
 
+def _q_crawl_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host daily fetch/url rollup over tumbling windows (the
+    streaming-compatible F.window expression, batch-gated here)."""
+    from docling_eval_spark.operators.temporal import crawl_rate
+
+    r = crawl_rate(_synth_fetches(spark, sf_dir, with_host=True))
+    return r.select(
+        "host",
+        F.unix_millis(F.col("window_start")).alias("day_ms"),
+        "n_fetches",
+        "n_urls",
+    )
+
+
+_SQL_CRAWL_RATE = f"""
+WITH f AS ({_SQL_SYNTH_FETCHES})
+SELECT host, epoch_ms(date_trunc('day', crawl_ts)) AS day_ms,
+       count(*) AS n_fetches, count(DISTINCT url) AS n_urls
+FROM f GROUP BY host, date_trunc('day', crawl_ts)
+"""
+
+
 def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repeated-sentence removal: zero-shuffle narrow map.
     Fixture plants a triple-repeated CTA (even docs) and a separated
@@ -4247,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _with_pkg(_q_embedding_outliers),
         "web_ingest": _with_pkg(_q_web_ingest),
         "sentence_dedup": _with_pkg(_q_sentence_dedup),
+        "crawl_rate": _with_pkg(_q_crawl_rate),
         "quality_lr": _with_pkg(_q_quality_lr),
         "inverted_index": _with_pkg(_q_inverted_index),
         "bm25_topk": _with_pkg(_q_bm25_topk),
@@ -4393,4 +4416,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "web_ingest": _SQL_WEB_INGEST,
         "sentence_dedup": _SQL_SENTENCE_DEDUP,
+        "crawl_rate": _SQL_CRAWL_RATE,
     }

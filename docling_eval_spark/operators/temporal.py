@@ -204,6 +204,39 @@ def latest_snapshot(
     ).select(*df.columns)
 
 
+def crawl_rate(
+    df: DataFrame,
+    key: str = "host",
+    ts: str = "crawl_ts",
+    url_col: str = "url",
+    window: str = "1 day",
+) -> DataFrame:
+    """Tumbling-window fetch rate per key: ``(key, window_start,
+    window_end, n_fetches, n_urls)`` — the politeness/monitoring
+    rollup (is a host being hammered? did a recrawl wave land?).
+    Built on ``F.window`` so the SAME expression works under
+    Structured Streaming with a watermark; epoch-aligned buckets (a
+    '1 day' window in a UTC session equals date_trunc('day')). One
+    hash agg on (key, window); the exact distinct-url count adds
+    Spark's standard two-phase distinct expansion — swap for
+    approx_count_distinct at 10^12 rows if ±2% is acceptable."""
+    w = F.window(F.col(ts).cast("timestamp"), window)
+    return (
+        df.groupBy(F.col(key), w.alias("w"))
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.countDistinct(url_col).alias("n_urls"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_fetches",
+            "n_urls",
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     key: str = "user_id",

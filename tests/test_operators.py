@@ -1991,3 +1991,22 @@ def test_dedup_sentences_min_len_exemption(spark):
     assert kept.count("No.") == 3
     plan = df.select(dedup_sentences_col("text"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_crawl_rate_daily_buckets(spark):
+    from datetime import datetime
+
+    from docling_eval_spark.operators.temporal import crawl_rate
+
+    rows = [
+        ("h1", datetime(2024, 1, 1, 3, 0), "u1"),
+        ("h1", datetime(2024, 1, 1, 22, 59), "u1"),
+        ("h1", datetime(2024, 1, 2, 0, 0), "u2"),   # next bucket, boundary
+        ("h2", datetime(2024, 1, 1, 12, 0), "u3"),
+    ]
+    df = spark.createDataFrame(rows, "host string, crawl_ts timestamp, url string")
+    out = {(r.host, str(r.window_start)): (r.n_fetches, r.n_urls)
+           for r in crawl_rate(df).collect()}
+    assert out[("h1", "2024-01-01 00:00:00")] == (2, 1)
+    assert out[("h1", "2024-01-02 00:00:00")] == (1, 1)
+    assert out[("h2", "2024-01-01 00:00:00")] == (1, 1)
