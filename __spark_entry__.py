@@ -3765,6 +3765,46 @@ FROM ch
 """
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: deterministic md5-order selection up to a
+    per-source token budget (src0/src2/src3 truncate, src1 keeps all,
+    the other 16 sources are dropped)."""
+    from docling_eval_spark.operators.text_analysis import token_count_col
+    from docling_eval_spark.operators.web_ops import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count_col("text").cast("long").alias("n_tokens"),
+    )
+    return token_budget_sample(
+        d, {"src0": 600, "src1": 100000, "src2": 400, "src3": 750}
+    )
+
+
+_SQL_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+),
+b AS (
+  SELECT t.*, CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 100000
+                          WHEN 'src2' THEN 400 ELSE 750 END AS budget
+  FROM t
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget
+"""
+
+
 def _q_crawl_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host daily fetch/url rollup over tumbling windows (the
     streaming-compatible F.window expression, batch-gated here)."""
@@ -4232,10 +4272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
     # the 16 queries without a CORRECTNESS_r04 row lead (positions
     # 1-16), then the NEW round-5 queries plus never-gated quality_lr
-    # (17-33: snapshot/latest-view, vocab, PII, blocklist, CMS,
-    # entropy, embedding outliers, web_ingest, retrieval +
-    # web-metadata families — in the window so they get a driver row
-    # immediately), then the
+    # (17-36: snapshot/latest-view/crawl-rate, vocab, PII, blocklist,
+    # CMS, entropy, embedding outliers, web_ingest, sentence dedup,
+    # token budget, retrieval + web-metadata families — in the window
+    # so they get a driver row immediately), then the
     # previously-green set in its original order; positions 51+
     # (simhash..quality_lr: driver-green in r04 except quality_lr,
     # oracle-verified locally at both SFs) rotate to the front next
@@ -4270,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_ingest": _with_pkg(_q_web_ingest),
         "sentence_dedup": _with_pkg(_q_sentence_dedup),
         "crawl_rate": _with_pkg(_q_crawl_rate),
+        "token_budget": _with_pkg(_q_token_budget),
         "quality_lr": _with_pkg(_q_quality_lr),
         "inverted_index": _with_pkg(_q_inverted_index),
         "bm25_topk": _with_pkg(_q_bm25_topk),
@@ -4417,4 +4458,5 @@ def oracle_sql() -> dict[str, str]:
         "web_ingest": _SQL_WEB_INGEST,
         "sentence_dedup": _SQL_SENTENCE_DEDUP,
         "crawl_rate": _SQL_CRAWL_RATE,
+        "token_budget": _SQL_TOKEN_BUDGET,
     }

@@ -95,11 +95,16 @@ BENCH_QUERIES = [
     "domain_rollup",
     "page_metadata",
     "snapshot_delta",
+    "latest_snapshot",
+    "crawl_rate",
     "vocab_stats",
     "pii_scrub",
     "cms_heavy_hitters",
     "char_entropy",
     "embedding_outliers",
+    "sentence_dedup",
+    "web_ingest",
+    "token_budget",
 ]
 
 WARM_PASSES = 3
@@ -254,6 +259,13 @@ def main() -> None:
     warm_med = {
         q: round(statistics.median(v), 3) for q, v in warm_samples.items()
     }
+    # warm MIN: the interference-robust statistic. On a shared host a
+    # co-tenant CPU burst inflates whichever queries run during it
+    # (observed: random 10-24x spikes that move between draws while
+    # plans are unchanged); the fastest warm pass is the cleanest
+    # observation of the plan's own cost. Compare med vs min to tell
+    # noise from regression: a real plan change moves BOTH.
+    warm_min = {q: round(min(v), 3) for q, v in warm_samples.items()}
     spread_pct = {
         q: round(100.0 * (max(v) - min(v)) / statistics.median(v), 1)
         if statistics.median(v) > 0
@@ -289,8 +301,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": cold,
                 "queries_warm_med": warm_med,
+                "queries_warm_min": warm_min,
                 "queries_spread_pct": spread_pct,
                 "value_warm_med": round(sum(warm_med.values()), 3),
+                "value_warm_min": round(sum(warm_min.values()), 3),
                 "warm_passes": WARM_PASSES,
                 "canary_warm_med": canary_med,
                 "canary_spread_pct": canary_spread,

@@ -62,6 +62,26 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--no-annotate", action="store_true",
                     help="skip script/lang annotation columns")
 
+    ing = sub.add_parser(
+        "ingest",
+        help="fetch-log parquet → latest-snapshot view, registered-"
+             "domain blocklist gate, PII scrub, entropy annotation "
+             "(the web_ingest composition); parquet or sharded JSONL out",
+    )
+    ing.add_argument("--fetches", required=True,
+                     help="fetch-log parquet dir (url, crawl_ts, text, ...)")
+    ing.add_argument("--output", required=True)
+    ing.add_argument("--blocklist", default=None,
+                     help="text file: one blocked registered domain per "
+                          "line, '#' comments allowed")
+    ing.add_argument("--format", choices=["parquet", "jsonl"],
+                     default="parquet")
+    ing.add_argument("--id-col", default="url")
+    ing.add_argument("--ts-col", default="crawl_ts")
+    ing.add_argument("--text-col", default="text")
+    ing.add_argument("--max-records-per-file", type=int, default=100_000,
+                     help="JSONL shard size cap (jsonl format only)")
+
     v = sub.add_parser("visualize", help="metric rows → report files")
     v.add_argument("--dataset", required=True)
     v.add_argument("--evaluation", required=True)
@@ -146,6 +166,48 @@ def main(argv: list[str] | None = None) -> int:
             cleaned.write.mode("overwrite").parquet(args.output)
             n_out = spark.read.parquet(args.output).count()
             print(f"cleaned corpus: {n_in} pages -> {n_out} kept at {args.output}")
+        elif args.task == "ingest":
+            fetches = spark.read.parquet(args.fetches)
+            doms: list[str] = []
+            if args.blocklist:
+                with open(args.blocklist) as fh:
+                    doms = [
+                        ln.strip()
+                        for ln in fh
+                        if ln.strip() and not ln.lstrip().startswith("#")
+                    ]
+            blocked = spark.createDataFrame(
+                [(d,) for d in doms], "domain string"
+            )
+            n_in = fetches.count()
+            out = pipelines.web_ingest(
+                fetches,
+                blocked,
+                id_col=args.id_col,
+                ts_col=args.ts_col,
+                text_col=args.text_col,
+            )
+            if args.format == "jsonl":
+                from docling_eval_spark.sources.jsonl_sink import (
+                    write_jsonl_shards,
+                )
+
+                manifest = write_jsonl_shards(
+                    out, args.output,
+                    max_records_per_file=args.max_records_per_file,
+                )
+                print(
+                    f"ingested {n_in} fetches -> {manifest['total_rows']} "
+                    f"pages in {manifest['n_shards']} JSONL shards at "
+                    f"{args.output}"
+                )
+            else:
+                out.write.mode("error").parquet(args.output)
+                n_out = spark.read.parquet(args.output).count()
+                print(
+                    f"ingested {n_in} fetches -> {n_out} pages at "
+                    f"{args.output}"
+                )
         elif args.task == "evaluate":
             mods = pipelines.MODALITIES if args.modality == "all" else [args.modality]
             for m in mods:

@@ -1291,32 +1291,62 @@ def char_entropy_col(
     bm25/ngram_lm): the ONLY float ops are one ``ln`` per DISTINCT
     char quantized immediately to BIGINT micro-nats, and one final
     division rounded to 6 dp — engine-exact against the DuckDB oracle
-    regardless of partitioning. Per-row cost is O(sample * distinct)
-    comparisons in codegen; with a 2000-char sample that is bounded
-    and embarrassingly parallel (the reason for sampling, besides
-    stationarity of the signal)."""
+    regardless of partitioning. Per-row cost is O(sample log sample):
+    the sample is SORTED and counted by run-length in one fold (equal
+    chars are adjacent after array_sort, so each run IS a distinct
+    char's count) — the naive per-distinct nested filter was
+    O(sample * distinct) and measured ~2x slower at sf0.1 (the split
+    itself dominates the remainder). The sum
+    over runs is integer-identical to the sum over distinct chars,
+    so the simpler distinct-based DuckDB oracle gates this path
+    unchanged."""
     t = F.col(text) if isinstance(text, str) else text
     chars = F.filter(
         F.split(F.substring(t, 1, sample_chars), ""), lambda c: c != ""
     )
-    n = F.size(chars)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)),
-    )
-    # sum over distinct chars of cnt * round(ln(n/cnt) * 1e6)  (micro-nats)
-    total_unats = F.aggregate(
-        counts,
-        F.lit(0).cast("long"),
-        lambda acc, cnt: acc
-        + cnt.cast("long")
-        * F.round(
-            F.log(n.cast("double") / cnt.cast("double")) * 1_000_000
-        ).cast("long"),
-    )
-    return F.when(
-        n > 0, F.round(total_unats / n.cast("double") / 1_000_000, 6)
-    ).otherwise(F.lit(0.0))
+
+    def _entropy(ch: Column) -> Column:
+        n = F.size(ch)
+
+        def contrib(run: Column) -> Column:
+            # run * round(ln(n/run) * 1e6)  (micro-nats), 0-safe
+            return F.when(
+                run > 0,
+                run
+                * F.round(
+                    F.log(n.cast("double") / run.cast("double")) * 1_000_000
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("total"),
+        )
+        total_unats = F.aggregate(
+            F.array_sort(ch),
+            acc0,
+            lambda acc, x: F.when(
+                x.eqNullSafe(acc["prev"]),
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["total"].alias("total"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("run"),
+                    (acc["total"] + contrib(acc["run"])).alias("total"),
+                )
+            ),
+            lambda acc: acc["total"] + contrib(acc["run"]),
+        )
+        return F.when(
+            n > 0, F.round(total_unats / n.cast("double") / 1_000_000, 6)
+        ).otherwise(F.lit(0.0))
+
+    return let_col(chars, _entropy)
 
 
 # ------------------------------------------------------- sentence dedup

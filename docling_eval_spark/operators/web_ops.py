@@ -953,3 +953,68 @@ def blocklist_filter(
         *pages.columns,
         F.coalesce(F.col("__bl_hit"), F.lit(False)).alias(flag_col),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col_name: str = "n_tokens",
+    scale_mode: bool = False,
+) -> DataFrame:
+    """Select documents per source up to a TOKEN budget — the mixing
+    step that turns per-source weights into an actual training set
+    (Pile/Dolma-style: "200B tokens of web, 30B of code, ..."). Rows
+    from sources absent from ``budgets`` are dropped.
+
+    Default (exact): deterministic md5-of-id order per source, keep
+    while the running token sum stays within budget — reproducible
+    across engines (the oracle replays the ranking) and runs/reruns.
+    The window sorts each source's rows in one task; with a handful of
+    sources and 10^12 rows that single reducer IS the bottleneck,
+    hence:
+
+    ``scale_mode=True``: token-weighted hash thresholding — keep a doc
+    iff ``xxhash64(id) mod total_tokens(source) < budget``. One
+    map-side-combining sum agg for per-source token totals (tiny:
+    one row per source, broadcast back), zero sorts, zero skew
+    concentration; selects the budget in EXPECTATION (each doc kept
+    with probability budget/total weighted by nothing — doc-count
+    binomial; large corpora concentrate tightly). Exact when the
+    source's total fits the budget (everything kept).
+    """
+    items = sorted(budgets.items())
+    bmap = F.create_map(
+        *[F.lit(x) for kv in items for x in kv]
+    )
+    budgeted = df.withColumn("__budget", bmap[F.col(source_col)]).where(
+        F.col("__budget").isNotNull()
+    )
+    if scale_mode:
+        totals = budgeted.groupBy(source_col).agg(
+            F.sum(tokens_col_name).alias("__total")
+        )
+        return (
+            budgeted.join(F.broadcast(totals), source_col)
+            .where(
+                (F.col("__total") <= F.col("__budget"))
+                | (
+                    F.pmod(F.xxhash64(F.col(id_col)), F.col("__total"))
+                    < F.col("__budget")
+                )
+            )
+            .drop("__budget", "__total")
+        )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        budgeted.withColumn("__cum", F.sum(tokens_col_name).over(w))
+        .where(F.col("__cum") <= F.col("__budget"))
+        .drop("__budget", "__cum")
+    )

@@ -318,3 +318,42 @@ def test_clean_pipeline_nfc_twin_collision(tmp_path, spark, monkeypatch):
     import pyspark.sql
     spark2 = pyspark.sql.SparkSession.builder.getOrCreate()
     assert spark2.read.parquet(out_dir).count() == 2
+
+
+def test_cli_ingest_roundtrip(spark, tmp_path, monkeypatch):
+    """ingest: fetch log -> latest view, blocklist gate, PII scrub,
+    entropy — parquet and JSONL outputs agree on rows. cli.main()
+    getOrCreate()s THIS session and stops it in its finally — neuter
+    stop so the shared fixture survives."""
+    import json
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    from docling_eval_spark.cli import main
+
+    fetches = spark.createDataFrame(
+        [
+            ("https://a.good.com/1", 1, "old"),
+            ("https://a.good.com/1", 2, "mail me@x.io ok"),
+            ("https://b.bad.com/2", 1, "gone"),
+        ],
+        "url string, crawl_ts int, text string",
+    )
+    src = str(tmp_path / "fetches")
+    fetches.write.parquet(src)
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("# UT1 subset\nbad.com\n")
+
+    outp = str(tmp_path / "out_parquet")
+    assert main(["ingest", "--fetches", src, "--output", outp,
+                 "--blocklist", str(bl)]) == 0
+    got = spark.read.parquet(outp)
+    rows = {r.url: r for r in got.collect()}
+    assert set(rows) == {"https://a.good.com/1"}
+    assert rows["https://a.good.com/1"].scrubbed_text == "mail <EMAIL> ok"
+
+    outj = str(tmp_path / "out_jsonl")
+    assert main(["ingest", "--fetches", src, "--output", outj,
+                 "--blocklist", str(bl), "--format", "jsonl"]) == 0
+    man = json.load(open(f"{outj}/_manifest.json"))
+    assert man["total_rows"] == 1

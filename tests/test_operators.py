@@ -2010,3 +2010,41 @@ def test_crawl_rate_daily_buckets(spark):
     assert out[("h1", "2024-01-01 00:00:00")] == (2, 1)
     assert out[("h1", "2024-01-02 00:00:00")] == (1, 1)
     assert out[("h2", "2024-01-01 00:00:00")] == (1, 1)
+
+
+def test_token_budget_sample_exact_mode(spark):
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.web_ops import token_budget_sample
+
+    rows = [(i, "a" if i < 10 else "b", 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_sample(df, {"a": 350, "b": 10_000})
+    got = out.groupBy("source").agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("c")
+    ).collect()
+    by = {r.source: (r.t, r.c) for r in got}
+    assert by["a"] == (300, 3)      # 3x100 fits in 350, 4th would exceed
+    assert by["b"] == (1000, 10)    # budget covers everything
+    # unlisted sources dropped entirely
+    df2 = df.withColumn("source", F.lit("zz"))
+    assert token_budget_sample(df2, {"a": 100}).count() == 0
+    # determinism across partitionings
+    a = sorted(map(tuple, token_budget_sample(df.repartition(1), {"a": 350, "b": 999}).collect()))
+    b = sorted(map(tuple, token_budget_sample(df.repartition(7, "doc_id"), {"a": 350, "b": 999}).collect()))
+    assert a == b
+
+
+def test_token_budget_sample_scale_mode(spark):
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.web_ops import token_budget_sample
+
+    rows = [(i, "a", 10) for i in range(2000)] + [(10_000 + i, "b", 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_sample(df, {"a": 5000, "b": 1000}, scale_mode=True)
+    by = {r.source: r.t for r in out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()}
+    # b: total 50 <= budget -> kept exactly
+    assert by["b"] == 50
+    # a: 20000 total vs 5000 budget -> ~25% in expectation, binomial tail-safe bounds
+    assert 3000 < by["a"] < 7000, by["a"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # scale mode never sorts per key
