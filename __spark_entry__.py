@@ -4245,6 +4245,49 @@ FROM hs
 """
 
 
+def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table: distinct event ids per event type
+    sketched into 2^6 registers per key. ONE bounded-key shuffle
+    (|event types| x 64 max-rank cells, map-side combine); the
+    register table merges across days by the same max — the mergeable
+    daily-distinct rollup a 100 TB crawl ledger needs instead of a
+    COUNT(DISTINCT) reshuffle of every value. Integer-exact up to the
+    registers (the DuckDB oracle replays them bit-for-bit); the
+    floating-point estimate is pytest-gated against exact distinct."""
+    from docling_eval_spark.operators.sketch import hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_registers(ev, ["event_type"], "event_id", b=6)
+
+
+def _hll_rank_case_sql(w_expr: str, wbits: int) -> str:
+    whens = "\n    ".join(
+        f"WHEN {w_expr} >= {1 << (wbits - r)} THEN {r}"
+        for r in range(1, wbits + 1)
+    )
+    return f"CASE {whens}\n    ELSE {wbits + 1} END"
+
+
+_SQL_HLL_USERS = f"""
+WITH h AS (
+  SELECT event_type,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(CAST(event_id AS VARCHAR)) + 1),
+        j -> CAST(unicode(substring(CAST(event_id AS VARCHAR), j, 1)) AS BIGINT))),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS bh
+  FROM events
+),
+mixed AS (
+  SELECT event_type, (bh * 48271) % 2147483647 AS mh FROM h
+)
+SELECT event_type,
+       mh % 64 AS reg,
+       CAST(max({_hll_rank_case_sql("(mh >> 6)", 25)}) AS INT) AS max_rank
+FROM mixed
+GROUP BY event_type, mh % 64
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4318,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake": _with_pkg(_q_mojibake),
         "domain_rollup": _with_pkg(_q_domain_rollup),
         "page_metadata": _with_pkg(_q_page_metadata),
+        "hll_users": _with_pkg(_q_hll_users),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -4422,6 +4466,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake": _SQL_MOJIBAKE,
         "domain_rollup": _SQL_DOMAIN_ROLLUP,
         "page_metadata": _SQL_PAGE_METADATA,
+        "hll_users": _SQL_HLL_USERS,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -122,3 +122,93 @@ def cms_estimate(
     return joined.groupBy("term").agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
     )
+
+
+# ---------------------------------------------------------------- hll
+#
+# HyperLogLog registers (Flajolet et al. 2007, "HyperLogLog: the
+# analysis of a near-optimal cardinality estimation algorithm") over
+# the same portable Horner hash family, Lehmer-mixed so short keys
+# (numeric ids hash small under a plain Horner fold) still spread over
+# the full 31-bit word. Everything up to the register table is exact
+# integer arithmetic — bit shifts and a CASE chain for the leading-one
+# rank — so a DuckDB oracle replays registers bit-for-bit; only the
+# final harmonic-mean estimate is floating point, and that is gated by
+# pytest against exact COUNT(DISTINCT) instead.
+#
+# Why this is the 100 TB shape: COUNT(DISTINCT url) per host over a
+# crawl is a full shuffle of every distinct value; the register table
+# is at most keys x 2^b rows, collapses map-side (groupBy key,reg ->
+# max rank is associative), and MERGES across crawls/days by the same
+# max — a mergeable daily-rollup sketch, not a recount.
+
+# Lehmer multiplier (Park-Miller MINSTD): full-period mixing over
+# [1, 2^31-2] under mod 2^31-1 — the same modulus as the Horner fold.
+HLL_MIX_A = 48271
+
+
+def hll_rank_col(w: Column, wbits: int) -> Column:
+    """1-indexed position of the leading 1-bit of ``w`` (< 2^wbits)
+    counted from the MSB; w == 0 -> wbits + 1. Pure comparison chain —
+    no log2/floats, so any engine reproduces it exactly."""
+    chain = F.when(w >= (1 << (wbits - 1)), F.lit(1))
+    for r in range(2, wbits + 1):
+        chain = chain.when(w >= (1 << (wbits - r)), F.lit(r))
+    return chain.otherwise(F.lit(wbits + 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    b: int = 6,
+    mod: int = _FP_MOD,
+) -> DataFrame:
+    """Per-key HLL register table ``(key..., reg, max_rank)``.
+
+    ``reg`` = low ``b`` bits of the mixed hash; ``max_rank`` = max over
+    values of the leading-one rank of the remaining ``31 - b`` bits.
+    Untouched registers are NOT emitted (estimate treats them as rank
+    0); the table is a mergeable sketch — union two crawls' tables and
+    re-aggregate ``max(max_rank)`` to sketch the union.
+
+    ONE shuffle, key space |keys| * 2^b, map-side combine saturates
+    (max is associative) — the exchange carries registers, never
+    values."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be 4..16, got {b}")
+    m = 1 << b
+    wbits = 31 - b
+    h = portable_char_hash(F.col(value_col).cast("string"), mod)
+    mixed = F.pmod(h * HLL_MIX_A, F.lit(mod))
+    reg = F.pmod(mixed, F.lit(m))
+    w = F.shiftright(mixed.cast("long"), b)
+    return (
+        df.select(
+            *key_cols,
+            reg.alias("reg"),
+            hll_rank_col(w, wbits).alias("rank"),
+        )
+        .groupBy(*key_cols, "reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, key_cols: list[str], b: int = 6) -> DataFrame:
+    """(key..., est): bias-corrected harmonic-mean estimate with the
+    standard small-range (linear counting) correction. Floating point —
+    gated by pytest against exact COUNT(DISTINCT), not by the DuckDB
+    oracle (which gates the integer register table instead)."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*key_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("hsum"),
+        F.count("*").alias("touched"),
+    )
+    zeros = F.lit(m) - F.col("touched")
+    raw = F.lit(alpha * m * m) / (F.col("hsum") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*key_cols, F.round(est).cast("long").alias("est"))
