@@ -4288,6 +4288,61 @@ GROUP BY event_type, mh % 64
 """
 
 
+def _q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per-lang p50/p90/p99 document-length
+    bucket bounds from the integer log-bucket sketch (DDSketch-style,
+    power-of-two buckets with 4 mantissa bits; <= 6.25% relative
+    error). Integer-exact end to end — bucket index, cumulative walk,
+    nearest-rank pick (cum*100 >= pct*total), decoded bound — so the
+    DuckDB oracle gates every value bit-for-bit. One bounded-key
+    shuffle (|langs| x ~600 counter rows) + a window over <= ~600
+    bucket rows per key; the accuracy-vs-exact-percentile claim is
+    pytest-gated separately."""
+    from docling_eval_spark.operators.sketch import (
+        qsketch_buckets,
+        qsketch_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    b = qsketch_buckets(docs, ["lang"], "n_chars")
+    return qsketch_quantiles(b, ["lang"], pcts=(50, 90, 99))
+
+
+def _sql_len_quantiles() -> str:
+    from docling_eval_spark.operators.sketch import (
+        qsketch_idx_sql,
+        qsketch_lo_sql,
+    )
+
+    return f"""
+WITH b AS (
+  SELECT lang,
+         {qsketch_idx_sql("n_chars")} AS idx,
+         count(*) AS c
+  FROM documents
+  WHERE n_chars IS NOT NULL
+  GROUP BY lang, idx
+),
+cum AS (
+  SELECT lang, idx,
+         sum(c) OVER (PARTITION BY lang ORDER BY idx) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS total
+  FROM b
+),
+hit AS (
+  SELECT lang, p.pct, min(idx) AS idx
+  FROM cum, (VALUES (50), (90), (99)) p(pct)
+  WHERE cum * 100 >= p.pct * total
+  GROUP BY lang, p.pct
+)
+SELECT lang, pct, CAST({qsketch_lo_sql("idx")} AS BIGINT) AS q_lo
+FROM hit
+"""
+
+
+_SQL_LEN_QUANTILES = _sql_len_quantiles()
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4362,6 +4417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": _with_pkg(_q_domain_rollup),
         "page_metadata": _with_pkg(_q_page_metadata),
         "hll_users": _with_pkg(_q_hll_users),
+        "len_quantiles": _with_pkg(_q_len_quantiles),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -4467,6 +4523,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_rollup": _SQL_DOMAIN_ROLLUP,
         "page_metadata": _SQL_PAGE_METADATA,
         "hll_users": _SQL_HLL_USERS,
+        "len_quantiles": _SQL_LEN_QUANTILES,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -212,3 +212,148 @@ def hll_estimate(registers: DataFrame, key_cols: list[str], b: int = 6) -> DataF
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*key_cols, F.round(est).cast("long").alias("est"))
+
+
+# ---------------------------------------------------------------- qsketch
+#
+# Integer log-bucket quantile sketch: the mergeable-percentiles member
+# of the sketch family (CMS above = frequencies, HLL = cardinality,
+# this = quantiles). Same design point as DDSketch (Masson, Rim & Lee,
+# VLDB 2019, "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees") but with POWER-OF-TWO buckets refined by
+# ``k`` mantissa bits so every bucket boundary is an integer and the
+# whole structure — bucket index, counts, cumulative walk, quantile
+# pick, decoded bound — is exact integer arithmetic a DuckDB oracle
+# replays bit-for-bit. Only the "how close is the bucket bound to the
+# true percentile" claim is approximate, and that is pytest-gated.
+#
+# Encoding for v >= 0 with k mantissa bits:
+#   v < 2^k          -> idx = v                     (exact singletons)
+#   v >= 2^k, e=msb  -> idx = (e-k+1)*2^k + ((v >> (e-k)) - 2^k)
+# Bucket [lo, hi) width is lo >> k, so any value in a bucket is within
+# a factor (1 + 2^-k) of the bucket's lower bound: relative error
+# <= 2^-k (6.25% for the default k=4; 1.6% at k=6). Index space is at
+# most (max_bits - k + 1) * 2^k + 2^k buckets TOTAL (~600 for the
+# defaults) — the shuffle carries |keys| x ~600 counter rows, never
+# values, and two crawls' tables merge by summing counts.
+#
+# No reference twin: DS4SD/docling-eval computes exact medians over
+# in-memory lists (evaluators/stats collections); it has no sketch or
+# streaming-summary code.
+
+QS_K = 4  # default mantissa bits: <= 6.25% relative bound error
+
+
+def qsketch_idx_col(v: Column, k: int = QS_K, max_bits: int = 40) -> Column:
+    """Log-bucket index of nonneg integer ``v`` (see module notes);
+    negative values map to -1 (caller's sentinel). Pure comparison
+    chain + constant shifts — exact on any engine."""
+    chain = F.when(v < 0, F.lit(-1))
+    for e in range(max_bits - 1, k - 1, -1):
+        chain = chain.when(
+            v >= (1 << e),
+            F.lit((e - k + 1) << k) + F.shiftright(v, e - k) - F.lit(1 << k),
+        )
+    return chain.otherwise(v)
+
+
+def qsketch_idx_sql(v_expr: str, k: int = QS_K, max_bits: int = 40) -> str:
+    """DuckDB twin of :func:`qsketch_idx_col` — generated from the same
+    constants so oracle and engine cannot drift."""
+    whens = [f"WHEN {v_expr} < 0 THEN -1"]
+    for e in range(max_bits - 1, k - 1, -1):
+        whens.append(
+            f"WHEN {v_expr} >= {1 << e} THEN "
+            f"{(e - k + 1) << k} + ({v_expr} >> {e - k}) - {1 << k}"
+        )
+    body = "\n    ".join(whens)
+    return f"CASE {body}\n    ELSE {v_expr} END"
+
+
+def qsketch_lo_col(idx: Column, k: int = QS_K, max_bits: int = 40) -> Column:
+    """Decode a bucket index back to its integer lower bound."""
+    s = F.shiftright(idx, k)
+    m = idx - F.shiftleft(s, k)
+    chain = F.when(idx < 0, F.lit(None).cast("long"))
+    for e in range(k, max_bits):
+        chain = chain.when(
+            s == (e - k + 1), F.shiftleft(F.lit(1 << k) + m, e - k)
+        )
+    return chain.otherwise(idx.cast("long"))
+
+
+def qsketch_lo_sql(idx_expr: str, k: int = QS_K, max_bits: int = 40) -> str:
+    """DuckDB twin of :func:`qsketch_lo_col`."""
+    s = f"({idx_expr} >> {k})"
+    m = f"({idx_expr} - ({s} << {k}))"
+    whens = [f"WHEN {idx_expr} < 0 THEN NULL"]
+    for e in range(k, max_bits):
+        whens.append(
+            f"WHEN {s} = {e - k + 1} THEN (({1 << k} + {m}) << {e - k})"
+        )
+    body = "\n    ".join(whens)
+    return f"CASE {body}\n    ELSE {idx_expr} END"
+
+
+def qsketch_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = QS_K,
+    max_bits: int = 40,
+) -> DataFrame:
+    """Per-key bucket table ``(key..., idx, c)``. ONE shuffle whose key
+    space is |keys| x ~(max_bits-k+1)*2^k; map-side combine saturates
+    (count is associative). Merge two tables by re-aggregating
+    ``sum(c)`` — the union sketch, no recount. NULL values are dropped
+    (count them separately if they matter); negatives land in idx -1."""
+    if not 1 <= k <= 8:
+        raise ValueError(f"k must be 1..8, got {k}")
+    v = F.col(value_col).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .select(*key_cols, qsketch_idx_col(v, k, max_bits).alias("idx"))
+        .groupBy(*key_cols, "idx")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def qsketch_quantiles(
+    buckets: DataFrame,
+    key_cols: list[str],
+    pcts: tuple[int, ...] = (50, 90, 99),
+    k: int = QS_K,
+    max_bits: int = 40,
+) -> DataFrame:
+    """(key..., pct, q_lo): for each integer percentile, the lower
+    bound of the first bucket whose cumulative count reaches
+    ``pct * total / 100`` — the nearest-rank percentile, quantized down
+    to a bucket boundary (within a (1 + 2^-k) factor of the true
+    nearest-rank value; accuracy pytest-gated vs exact percentile).
+
+    Integer-exact throughout: the threshold compare is
+    ``cum * 100 >= pct * total`` so no engine sees a float. The window
+    sorts at most ~(max_bits-k+1)*2^k bucket rows per key — bounded by
+    the encoding, not the data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*key_cols)
+    cum = buckets.select(
+        *key_cols,
+        "idx",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("total"),
+    )
+    pct_col = F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct")
+    hit = cum.select(*key_cols, "idx", "cum", "total", pct_col).filter(
+        F.col("cum") * 100 >= F.col("pct") * F.col("total")
+    )
+    picked = hit.groupBy(*key_cols, "pct").agg(F.min("idx").alias("idx"))
+    return picked.select(
+        *key_cols, "pct", qsketch_lo_col(F.col("idx"), k, max_bits).alias("q_lo")
+    )

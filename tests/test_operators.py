@@ -2113,3 +2113,93 @@ def test_hll_register_table_is_one_bounded_shuffle(spark):
     )
     plan = hll_registers(df, ["grp"], "v", b=6)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_qsketch_encoding_bounds(spark):
+    """Every value lands in a bucket whose decoded lower bound is <= v
+    and whose width is at most lo >> k (relative error <= 2^-k);
+    values below 2^k are exact singletons."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.sketch import (
+        qsketch_idx_col,
+        qsketch_lo_col,
+    )
+
+    vals = list(range(0, 70)) + [
+        255, 256, 257, 1023, 1024, 4095, 1 << 20, (1 << 20) + 12345,
+        (1 << 39) - 1, 7777777,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    k = 4
+    out = df.select(
+        "v",
+        qsketch_idx_col(F.col("v"), k).alias("idx"),
+    ).select("v", "idx", qsketch_lo_col(F.col("idx"), k).alias("lo"))
+    for r in out.collect():
+        assert r.lo <= r.v, r
+        width = max(r.lo >> k, 1)
+        assert r.v < r.lo + width or r.v < (1 << k), r
+        if r.v < (1 << k):
+            assert r.lo == r.v == r.idx, r
+
+
+def test_qsketch_merge_and_quantile_accuracy(spark):
+    """Summing two halves' bucket tables equals sketching the whole;
+    each reported q_lo brackets the exact nearest-rank percentile
+    within one bucket width."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.sketch import (
+        qsketch_buckets,
+        qsketch_quantiles,
+    )
+
+    # skewed lengths: quadratic growth, two key groups
+    rows = [("a", (i * i) % 50021 + 1) for i in range(3000)] + [
+        ("b", i * 7 + 3) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    whole = qsketch_buckets(df, ["grp"], "v")
+    lo_half = qsketch_buckets(df.filter(F.col("v") % 2 == 0), ["grp"], "v")
+    hi_half = qsketch_buckets(df.filter(F.col("v") % 2 == 1), ["grp"], "v")
+    merged = (
+        lo_half.unionByName(hi_half)
+        .groupBy("grp", "idx")
+        .agg(F.sum("c").alias("c"))
+    )
+    a = {(r.grp, r.idx): r.c for r in whole.collect()}
+    b = {(r.grp, r.idx): r.c for r in merged.collect()}
+    assert a == b
+
+    got = {
+        (r.grp, r.pct): r.q_lo
+        for r in qsketch_quantiles(whole, ["grp"]).collect()
+    }
+    import math
+
+    by_grp = {"a": sorted(v for g, v in rows if g == "a"),
+              "b": sorted(v for g, v in rows if g == "b")}
+    for (grp, pct), q_lo in got.items():
+        vs = by_grp[grp]
+        exact = vs[max(0, math.ceil(pct * len(vs) / 100) - 1)]
+        width = max(q_lo >> 4, 1)
+        assert q_lo <= exact < q_lo + width or exact < 16, (
+            grp, pct, q_lo, exact)
+
+
+def test_qsketch_bucket_table_is_one_bounded_shuffle(spark):
+    """Plan shape: exactly one Exchange keyed on (grp, idx) — the
+    exchange carries at most |keys| x ~600 counter rows."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.sketch import qsketch_buckets
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 37 % 10007).alias("v"),
+    )
+    plan = (
+        qsketch_buckets(df, ["grp"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
