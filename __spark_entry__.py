@@ -4343,6 +4343,49 @@ FROM hit
 _SQL_LEN_QUANTILES = _sql_len_quantiles()
 
 
+def _q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle manifest: corpus order for training
+    epoch 1 in 8 shards, as (shard, n_docs, min/max key, first/last id,
+    order_digest). The digest sum(pos * key) mod P is permutation-
+    sensitive, so the oracle gates the ENTIRE training order, not just
+    shard membership. Scale shape: one hash exchange on the shard +
+    per-shard local sorts — never a global orderBy(rand())."""
+    from docling_eval_spark.operators.training import epoch_shard_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shard_stats(docs, "doc_id", epoch=1, num_shards=8)
+
+
+_SQL_EPOCH_SHARDS = """
+WITH s AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) || ':1' AS es FROM documents
+),
+k AS (
+  SELECT doc_id AS id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(es) + 1),
+        j -> CAST(unicode(substring(es, j, 1)) AS BIGINT))),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS k
+  FROM s
+),
+sh AS (
+  SELECT id, k, CAST(k % 8 AS INT) AS shard,
+         row_number() OVER (PARTITION BY k % 8 ORDER BY k, id) AS pos
+  FROM k
+)
+SELECT shard,
+       count(*) AS n_docs,
+       min(k) AS min_key,
+       max(k) AS max_key,
+       min_by(id, pos) AS first_id,
+       max_by(id, pos) AS last_id,
+       CAST(sum((pos * k) % 2147483647) % 2147483647 AS BIGINT)
+         AS order_digest
+FROM sh
+GROUP BY shard
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4418,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": _with_pkg(_q_page_metadata),
         "hll_users": _with_pkg(_q_hll_users),
         "len_quantiles": _with_pkg(_q_len_quantiles),
+        "epoch_shards": _with_pkg(_q_epoch_shards),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -4524,6 +4568,7 @@ def oracle_sql() -> dict[str, str]:
         "page_metadata": _SQL_PAGE_METADATA,
         "hll_users": _SQL_HLL_USERS,
         "len_quantiles": _SQL_LEN_QUANTILES,
+        "epoch_shards": _SQL_EPOCH_SHARDS,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -1,0 +1,132 @@
+"""Deterministic per-epoch corpus shuffling and sharded training-order
+output.
+
+A training run wants each epoch to visit the corpus in a different —
+but reproducible — order, materialized as N shard files whose row order
+IS the training order. The classic failure mode at 100 TB is a global
+``orderBy(rand())``: a full range-partitioned sort of every byte, with
+a nondeterministic key that breaks retry/resume semantics.
+
+This module does it with ONE hash shuffle and zero global sorts:
+
+- shuffle key = portable Horner hash of ``"{id}:{epoch}"`` — the
+  repo-wide :func:`~docling_eval_spark.operators.text_analysis
+  .horner_fold` family every DuckDB oracle replays. Deterministic per
+  (id, epoch): a failed task recomputes the identical order, and two
+  epochs are two independent-looking permutations.
+- shard = key mod num_shards; ``repartition(num_shards, shard)`` is the
+  single exchange, then ``sortWithinPartitions(key, id)`` orders each
+  shard locally — per-shard sorts, never a cluster-wide range sort.
+- the writer emits one file per shard whose parquet row order is the
+  training order; readers stream shards in file order, no further
+  shuffling.
+
+Reference scope: DS4SD/docling-eval has no training-order or sharded
+writer code (its dataset builders write pandas batches single-process,
+e.g. dataset_builder save paths); this is pipeline capability beyond
+the reference surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from docling_eval_spark.operators.text_analysis import (
+    _FP_MOD,
+    portable_char_hash,
+)
+
+
+def epoch_key_col(id_col: Column, epoch: int, mod: int = _FP_MOD) -> Column:
+    """Deterministic shuffle key for one (id, epoch) pair."""
+    return portable_char_hash(
+        F.concat(id_col.cast("string"), F.lit(f":{epoch}")), mod
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    num_shards: int,
+    key_name: str = "shuffle_key",
+    shard_name: str = "shard",
+) -> DataFrame:
+    """Rows keyed, sharded and ordered for one training epoch.
+
+    Output carries ``key_name`` (the Horner epoch key) and
+    ``shard_name`` (key mod num_shards); partitioning is exactly one
+    hash exchange on the shard and each partition is locally sorted by
+    (key, id) — ties on colliding keys break deterministically on the
+    id. NO global sort: the plan must never contain a range exchange.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    key = epoch_key_col(F.col(id_col), epoch)
+    keyed = df.withColumn(key_name, key).withColumn(
+        shard_name, F.pmod(F.col(key_name), F.lit(num_shards)).cast("int")
+    )
+    # the shard column leads the local sort so a partitionBy writer's
+    # required ordering (partition cols first) is already satisfied —
+    # otherwise FileFormatWriter inserts its own sort on `shard` alone,
+    # which does not preserve the (key, id) training order
+    return keyed.repartition(num_shards, F.col(shard_name)).sortWithinPartitions(
+        shard_name, key_name, id_col
+    )
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    epoch: int,
+    num_shards: int,
+) -> None:
+    """Write one epoch as ``path/shard=<s>/part-*.parquet`` where the
+    parquet row order of each shard file is the training order. Because
+    the epoch shuffle leaves exactly one shard per task, partitionBy
+    emits one file per shard directory and preserves the local sort."""
+    epoch_shuffle(df, id_col, epoch, num_shards).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(path)
+
+
+def epoch_shard_stats(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    num_shards: int,
+    mod: int = _FP_MOD,
+) -> DataFrame:
+    """Order-evidence manifest per shard: ``(shard, n_docs, min_key,
+    max_key, first_id, last_id, order_digest)``.
+
+    ``order_digest = sum(pos * (key mod M)) mod M`` over rows in
+    training order is permutation-sensitive — swapping any two rows
+    with distinct keys changes it — so an oracle that replays the hash
+    and the (key, id) ordering gates the ENTIRE epoch order, not just
+    membership. The rank window sorts per shard, which is the same
+    local sort the writer performs anyway."""
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        epoch_key_col(F.col(id_col), epoch, mod).alias("k"),
+    ).withColumn("shard", F.pmod(F.col("k"), F.lit(num_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("k", "id")
+    pos = keyed.withColumn("pos", F.row_number().over(w))
+    return (
+        pos.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+            F.min_by("id", "pos").alias("first_id"),
+            F.max_by("id", "pos").alias("last_id"),
+            F.pmod(
+                F.sum(F.pmod(F.col("pos") * F.col("k"), F.lit(mod))),
+                F.lit(mod),
+            )
+            .cast("long")
+            .alias("order_digest"),
+        )
+    )

@@ -2203,3 +2203,71 @@ def test_qsketch_bucket_table_is_one_bounded_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_epoch_shuffle_order_deterministic_and_epochs_differ(spark):
+    """Same (id, epoch) always produces the same shard + order across
+    partitionings; different epochs permute differently."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.training import epoch_shard_stats
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s1 = {r.shard: r for r in epoch_shard_stats(df, "doc_id", 1, 8).collect()}
+    s1b = {
+        r.shard: r
+        for r in epoch_shard_stats(
+            df.repartition(13), "doc_id", 1, 8
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in s1.items()} == {
+        k: tuple(v) for k, v in s1b.items()
+    }
+    s2 = {r.shard: r for r in epoch_shard_stats(df, "doc_id", 2, 8).collect()}
+    assert sum(r.n_docs for r in s1.values()) == 2000
+    # membership moves between shards and order digests change
+    assert any(
+        s1[k].order_digest != s2.get(k, s1[k]).order_digest for k in s1
+    )
+
+
+def test_epoch_shuffle_plan_has_no_global_sort(spark):
+    """Exactly one hash exchange (on the shard), local sorts only —
+    the global orderBy(rand()) anti-pattern must not appear."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.training import epoch_shuffle
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = (
+        epoch_shuffle(df, "doc_id", 1, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_write_epoch_shards_roundtrip_order(spark, tmp_path):
+    """Each written shard file's parquet row order equals the (key, id)
+    training order, and re-reading the tree recovers the corpus."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.training import write_epoch_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "epoch1")
+    write_epoch_shards(df, out, "doc_id", 1, 4)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+    files = sorted(glob.glob(f"{out}/shard=*/*.parquet"))
+    assert len(files) == 4
+    for f in files:
+        t = pq.read_table(f).to_pydict()
+        keys = list(zip(t["shuffle_key"], t["doc_id"]))
+        assert keys == sorted(keys), f
