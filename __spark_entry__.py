@@ -4386,6 +4386,65 @@ GROUP BY shard
 """
 
 
+def _q_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina change-rate estimation + recrawl priority
+    over the synthetic recrawl log: per url the bias-stabilized Poisson
+    rate -ln((n-X+0.5)/(n+0.5))/avg_interval and the expected missed
+    changes at the corpus-latest timestamp. One shared url-keyed
+    exchange for the lag window and the rollup; the corpus 'now' is a
+    broadcast scalar. NULL rates (urls seen once) -> -1 sentinel so the
+    float column hashes identically cross-engine."""
+    from docling_eval_spark.operators.temporal import change_rate_estimate
+
+    est = change_rate_estimate(_synth_fetches(spark, sf_dir))
+    return est.select(
+        "url",
+        "n_intervals",
+        "n_changed",
+        "span_ms",
+        "stale_ms",
+        F.coalesce("lambda_per_day", F.lit(-1.0)).alias("lambda_per_day"),
+        F.coalesce("expected_changes", F.lit(-1.0)).alias("expected_changes"),
+    )
+
+
+_SQL_CHANGE_RATES = f"""
+WITH f AS ({_SQL_SYNTH_FETCHES}),
+d AS (
+  SELECT url, epoch_ms(crawl_ts) AS ms,
+         CASE WHEN lag(digest) OVER w IS NULL
+                   AND lag(crawl_ts) OVER w IS NULL THEN 'NEW'
+              WHEN lag(digest) OVER w = digest THEN 'UNCHANGED'
+              ELSE 'CHANGED' END AS st
+  FROM f
+  WINDOW w AS (PARTITION BY url ORDER BY crawl_ts, digest)
+),
+per AS (
+  SELECT url,
+         CAST(sum(CASE WHEN st <> 'NEW' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_intervals,
+         CAST(sum(CASE WHEN st = 'CHANGED' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         max(ms) - min(ms) AS span_ms,
+         max(ms) AS last_ms
+  FROM d GROUP BY url
+),
+nw AS (SELECT max(epoch_ms(crawl_ts)) AS now_ms FROM f)
+SELECT url, n_intervals, n_changed, span_ms,
+       now_ms - last_ms AS stale_ms,
+       coalesce(round(CASE WHEN n_intervals > 0 AND span_ms > 0 THEN
+           -ln((n_intervals - n_changed + 0.5) / (n_intervals + 0.5))
+             / ((span_ms / n_intervals) / 86400000.0) END, 6), -1.0)
+         AS lambda_per_day,
+       coalesce(round(CASE WHEN n_intervals > 0 AND span_ms > 0 THEN
+           (-ln((n_intervals - n_changed + 0.5) / (n_intervals + 0.5))
+             / ((span_ms / n_intervals) / 86400000.0))
+           * ((now_ms - last_ms) / 86400000.0) END, 6), -1.0)
+         AS expected_changes
+FROM per, nw
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4462,6 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": _with_pkg(_q_hll_users),
         "len_quantiles": _with_pkg(_q_len_quantiles),
         "epoch_shards": _with_pkg(_q_epoch_shards),
+        "change_rates": _with_pkg(_q_change_rates),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -4569,6 +4629,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": _SQL_HLL_USERS,
         "len_quantiles": _SQL_LEN_QUANTILES,
         "epoch_shards": _SQL_EPOCH_SHARDS,
+        "change_rates": _SQL_CHANGE_RATES,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -237,6 +237,81 @@ def crawl_rate(
     )
 
 
+def change_rate_estimate(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "crawl_ts",
+    digest: str = "digest",
+) -> DataFrame:
+    """Per-URL Poisson change-rate estimate and recrawl priority from a
+    recrawl log — the scheduling half of the snapshot story
+    (``snapshot_delta`` tells you WHAT changed; this decides what to
+    fetch NEXT).
+
+    Estimator: Cho & Garcia-Molina 2003 ("Estimating frequency of
+    change", ACM TOIT 3(3)), the bias-stabilized form that stays
+    defined when every observation changed::
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / avg_interval
+
+    with ``n`` = re-fetch intervals of the url, ``X`` = intervals whose
+    digest changed, ``avg_interval`` = observed span / n. The recrawl
+    priority is the expected number of missed changes now:
+    ``lambda_hat * staleness``, staleness measured against the
+    corpus-wide latest fetch (deterministic — no wall clock).
+
+    Output: ``(key, n_intervals, n_changed, span_ms, stale_ms,
+    lambda_per_day, expected_changes)``; urls fetched once have n = 0
+    and NULL rate (nothing observable). Integer columns are exact;
+    the two floats are round(6) so cross-engine hashes agree.
+
+    Scale shape: the lag window and the per-url aggregate share one
+    hash partitioning on the url (single exchange); the corpus max
+    timestamp joins back as a broadcast scalar. State per url is O(1)
+    however hot the url."""
+    d = snapshot_delta(df, key=key, ts=ts, digest=digest)
+    ms = F.unix_millis(F.col(ts).cast("timestamp"))
+    per = (
+        d.select(
+            key,
+            ms.alias("__ms"),
+            F.when(F.col("change_status") != "NEW", 1).otherwise(0).alias("__obs"),
+            F.when(F.col("change_status") == "CHANGED", 1)
+            .otherwise(0)
+            .alias("__chg"),
+        )
+        .groupBy(key)
+        .agg(
+            F.sum("__obs").cast("long").alias("n_intervals"),
+            F.sum("__chg").cast("long").alias("n_changed"),
+            (F.max("__ms") - F.min("__ms")).alias("span_ms"),
+            F.max("__ms").alias("__last_ms"),
+        )
+    )
+    now = df.select(
+        F.max(F.unix_millis(F.col(ts).cast("timestamp"))).alias("__now_ms")
+    )
+    n = F.col("n_intervals")
+    x = F.col("n_changed")
+    day_ms = 86_400_000.0
+    lam = F.when(
+        (n > 0) & (F.col("span_ms") > 0),
+        -F.log((n - x + 0.5) / (n + 0.5)) / (F.col("span_ms") / n / F.lit(day_ms)),
+    )
+    out = per.crossJoin(F.broadcast(now)).select(
+        key,
+        "n_intervals",
+        "n_changed",
+        "span_ms",
+        (F.col("__now_ms") - F.col("__last_ms")).alias("stale_ms"),
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(
+            lam * ((F.col("__now_ms") - F.col("__last_ms")) / F.lit(day_ms)), 6
+        ).alias("expected_changes"),
+    )
+    return out
+
+
 def sessionize_batch(
     events: DataFrame,
     key: str = "user_id",

@@ -2271,3 +2271,60 @@ def test_write_epoch_shards_roundtrip_order(spark, tmp_path):
         t = pq.read_table(f).to_pydict()
         keys = list(zip(t["shuffle_key"], t["doc_id"]))
         assert keys == sorted(keys), f
+
+
+def test_change_rate_estimate_semantics(spark):
+    """Hand-checkable Cho/Garcia-Molina cases: never-changing url ->
+    rate 0; always-changing url -> the bias-stabilized cap; a url seen
+    once -> NULL rate; and the exact formula reproduces."""
+    import math
+
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.temporal import change_rate_estimate
+
+    day = 86_400_000
+    rows = []
+    # url A: 5 fetches daily, never changes
+    rows += [("a", i * day, "same") for i in range(5)]
+    # url B: 5 fetches daily, changes every time
+    rows += [("b", i * day, f"v{i}") for i in range(5)]
+    # url C: 5 fetches daily, changes twice
+    rows += [("c", i * day, d) for i, d in enumerate("xxyyz")]
+    # url D: single fetch
+    rows += [("d", 2 * day, "solo")]
+    df = spark.createDataFrame(
+        [(u, ms, d) for u, ms, d in rows], "url string, ms long, digest string"
+    ).select("url", F.timestamp_millis(F.col("ms")).alias("crawl_ts"), "digest")
+    out = {r.url: r for r in change_rate_estimate(df).collect()}
+
+    assert out["a"].n_intervals == 4 and out["a"].n_changed == 0
+    assert out["a"].lambda_per_day == 0.0
+    assert out["b"].n_changed == 4
+    lam_b = -math.log(0.5 / 4.5) / 1.0  # avg interval exactly 1 day
+    assert abs(out["b"].lambda_per_day - lam_b) < 1e-6
+    lam_c = -math.log((4 - 2 + 0.5) / 4.5) / 1.0
+    assert abs(out["c"].lambda_per_day - lam_c) < 1e-6
+    assert out["d"].n_intervals == 0 and out["d"].lambda_per_day is None
+    # staleness vs corpus-latest (day 4): url D last fetched day 2
+    assert out["d"].stale_ms == 2 * day
+    assert abs(out["c"].expected_changes - 0.0) < 1e-9  # fetched at 'now'
+
+
+def test_change_rate_single_keyed_exchange(spark):
+    """The lag window and the per-url rollup share ONE hash exchange
+    on the url; the corpus 'now' arrives by broadcast."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.temporal import change_rate_estimate
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).cast("string").alias("url"),
+        F.timestamp_millis(F.col("id") * 1000).alias("crawl_ts"),
+        (F.col("id") % 3).cast("string").alias("digest"),
+    )
+    plan = (
+        change_rate_estimate(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
