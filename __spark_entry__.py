@@ -4445,6 +4445,170 @@ FROM per, nw
 """
 
 
+def _synth_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap fixture: one sitemaps.org-0.9 XML document per host,
+    announcing that host's pages (the same url scheme as
+    ``_synth_fetches``). Every third entry omits <lastmod>, every fifth
+    omits <priority> (protocol default 0.5), so the parser's missing-
+    tag paths are exercised. Deterministic integer arithmetic only."""
+    ev = _t(spark, sf_dir, "events")
+    p = (F.col("event_id") % 1500).alias("p")
+    pages = ev.select(p).distinct()
+    pc = F.col("p")
+    host = F.concat(F.lit("host"), (pc % 20).cast("string"))
+    loc = F.concat(
+        F.lit("https://"), host, F.lit(".example.com/p/"), pc.cast("string")
+    )
+    lastmod = F.when(pc % 3 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("<lastmod>2026-01-"),
+            F.lpad(((pc % 28) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        )
+    )
+    prio_txt = F.when((pc % 11) == 10, F.lit("1.0")).otherwise(
+        F.concat(F.lit("0."), (pc % 11).cast("string"))
+    )
+    prio = F.when(pc % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<priority>"), prio_txt, F.lit("</priority>"))
+    )
+    entry_s = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc>"), lastmod, prio, F.lit("</url>")
+    )
+    return (
+        pages.select(host.alias("host"), entry_s.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+
+
+_SQL_SYNTH_SITEMAPS = """
+  SELECT 'host' || CAST(p % 20 AS VARCHAR) AS host,
+         '<?xml version="1.0"?><urlset>'
+           || string_agg(e, '' ORDER BY e)
+           || '</urlset>' AS xml
+  FROM (
+    SELECT p,
+      '<url><loc>https://host' || CAST(p % 20 AS VARCHAR)
+        || '.example.com/p/' || CAST(p AS VARCHAR) || '</loc>'
+        || CASE WHEN p % 3 = 0 THEN '' ELSE
+             '<lastmod>2026-01-' || lpad(CAST((p % 28) + 1 AS VARCHAR), 2, '0')
+               || '</lastmod>' END
+        || CASE WHEN p % 5 = 0 THEN '' ELSE
+             '<priority>'
+               || CASE WHEN p % 11 = 10 THEN '1.0'
+                       ELSE '0.' || CAST(p % 11 AS VARCHAR) END
+               || '</priority>' END
+        || '</url>' AS e
+    FROM (SELECT DISTINCT event_id % 1500 AS p FROM events)
+  )
+  GROUP BY p % 20
+"""
+
+
+def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven frontier: parse per-host sitemap XML with pure
+    regexp expressions (zero UDF, whole-stage codegen), left-join the
+    announced urls against the crawl ledger's seen set (column-pruned
+    to the url), and rank each host's top-40 fetch candidates —
+    never-crawled urls first, then sitemap priority, url as the
+    deterministic tie-break. The window sorts only one host's announced
+    urls; the seen set broadcasts when small."""
+    from docling_eval_spark.operators.frontier import (
+        frontier_merge,
+        sitemap_parse,
+    )
+
+    ann = sitemap_parse(_synth_sitemaps(spark, sf_dir))
+    # ledger: pages 0..1199 were crawled; 1200+ are new to the frontier
+    seen = _synth_fetches(spark, sf_dir).filter(
+        F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1).cast("int") < 1200
+    )
+    fr = frontier_merge(ann, seen, per_host_k=40)
+    return fr.select(
+        "host",
+        "loc",
+        "lastmod",
+        "priority_pct",
+        F.col("is_new").cast("int").alias("is_new"),
+        "fetch_rank",
+    )
+
+
+_SQL_SITEMAP_FRONTIER = f"""
+WITH sm AS ({_SQL_SYNTH_SITEMAPS}),
+ann AS (
+  SELECT host,
+         regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+         nullif(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), '')
+           AS lastmod,
+         CASE WHEN regexp_extract(b, '<priority>([^<]*)</priority>', 1) = ''
+              THEN 50
+              ELSE CAST(round(CAST(
+                regexp_extract(b, '<priority>([^<]*)</priority>', 1)
+                AS DOUBLE) * 100) AS INT) END AS priority_pct
+  FROM (
+    SELECT host, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS b
+    FROM sm
+  )
+),
+f AS ({_SQL_SYNTH_FETCHES}),
+seen AS (
+  SELECT DISTINCT url FROM f
+  WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS INT) < 1200
+),
+ranked AS (
+  SELECT a.host, a.loc, a.lastmod, a.priority_pct,
+         CASE WHEN s.url IS NULL THEN 1 ELSE 0 END AS is_new,
+         row_number() OVER (
+           PARTITION BY a.host
+           ORDER BY (s.url IS NULL) DESC, a.priority_pct DESC, a.loc
+         ) AS fetch_rank
+  FROM ann a LEFT JOIN seen s ON a.loc = s.url
+)
+SELECT * FROM ranked WHERE fetch_rank <= 40
+"""
+
+
+def _q_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler over the sitemap frontier: every host pins
+    to worker = horner(host) mod 32 (per-host crawl-delay holds with no
+    cross-worker coordination) and its fetches space out at 1000 ms
+    slots by frontier rank. Narrow arithmetic over the ranked frontier
+    — no extra shuffle."""
+    from docling_eval_spark.operators.frontier import (
+        frontier_merge,
+        politeness_schedule,
+        sitemap_parse,
+    )
+
+    ann = sitemap_parse(_synth_sitemaps(spark, sf_dir))
+    seen = _synth_fetches(spark, sf_dir).filter(
+        F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1).cast("int") < 1200
+    )
+    fr = frontier_merge(ann, seen, per_host_k=40)
+    return politeness_schedule(fr, delay_ms=1000, num_workers=32)
+
+
+_SQL_POLITENESS_SLOTS = f"""
+WITH fr AS ({_SQL_SITEMAP_FRONTIER})
+SELECT host, loc,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, length(host) + 1),
+           j -> CAST(unicode(substring(host, j, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 1000003 + x) % 2147483647) % 32 AS INT)
+         AS worker,
+       CAST((fetch_rank - 1) * 1000 AS BIGINT) AS slot_ms
+FROM fr
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4522,6 +4686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_quantiles": _with_pkg(_q_len_quantiles),
         "epoch_shards": _with_pkg(_q_epoch_shards),
         "change_rates": _with_pkg(_q_change_rates),
+        "sitemap_frontier": _with_pkg(_q_sitemap_frontier),
+        "politeness_slots": _with_pkg(_q_politeness_slots),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -4630,6 +4796,8 @@ def oracle_sql() -> dict[str, str]:
         "len_quantiles": _SQL_LEN_QUANTILES,
         "epoch_shards": _SQL_EPOCH_SHARDS,
         "change_rates": _SQL_CHANGE_RATES,
+        "sitemap_frontier": _SQL_SITEMAP_FRONTIER,
+        "politeness_slots": _SQL_POLITENESS_SLOTS,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

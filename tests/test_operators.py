@@ -2328,3 +2328,74 @@ def test_change_rate_single_keyed_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sitemap_parse_fields_and_defaults(spark):
+    """Loc/lastmod/priority extraction, protocol default priority 0.5
+    for missing tags, tag order inside <url> blocks irrelevant; the
+    parse plan is a zero-shuffle narrow map."""
+    from docling_eval_spark.operators.frontier import sitemap_parse
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://h.ex/a</loc>"
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
+        "<url><priority>0.3</priority><loc>https://h.ex/b</loc></url>"
+        "<url><loc>https://h.ex/c</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    out = {r.loc: r for r in sitemap_parse(df).collect()}
+    assert len(out) == 3
+    assert out["https://h.ex/a"].lastmod == "2026-01-02"
+    assert out["https://h.ex/a"].priority_pct == 80
+    assert out["https://h.ex/b"].lastmod is None
+    assert out["https://h.ex/b"].priority_pct == 30
+    assert out["https://h.ex/c"].priority_pct == 50  # protocol default
+    plan = (
+        sitemap_parse(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_frontier_merge_new_first_and_cap(spark):
+    """Never-crawled urls outrank seen ones regardless of priority;
+    per-host cap holds; ties break on the url."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.frontier import frontier_merge
+
+    ann = spark.createDataFrame(
+        [
+            ("h", "u/seen-high", None, 90),
+            ("h", "u/new-low", None, 10),
+            ("h", "u/new-also", None, 10),
+            ("h", "u/seen-low", None, 20),
+        ],
+        "host string, loc string, lastmod string, priority_pct int",
+    )
+    seen = spark.createDataFrame(
+        [("u/seen-high",), ("u/seen-low",)], "url string"
+    )
+    fr = frontier_merge(ann, seen, per_host_k=3)
+    rows = sorted(fr.collect(), key=lambda r: r.fetch_rank)
+    assert [r.loc for r in rows] == ["u/new-also", "u/new-low", "u/seen-high"]
+    assert [bool(r.is_new) for r in rows] == [True, True, False]
+
+
+def test_politeness_schedule_pins_hosts_and_spaces_slots(spark):
+    """Each host maps to exactly one worker; slots are (rank-1)*delay."""
+    from docling_eval_spark.operators.frontier import politeness_schedule
+
+    fr = spark.createDataFrame(
+        [("a", "u1", 1), ("a", "u2", 2), ("b", "v1", 1), ("b", "v2", 2)],
+        "host string, loc string, fetch_rank int",
+    )
+    out = politeness_schedule(fr, delay_ms=500, num_workers=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, set()).add(r.worker)
+        assert 0 <= r.worker < 4
+    assert all(len(ws) == 1 for ws in by_host.values())
+    slots = {(r.host, r.loc): r.slot_ms for r in out}
+    assert slots[("a", "u1")] == 0 and slots[("a", "u2")] == 500
