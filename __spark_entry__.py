@@ -4609,6 +4609,111 @@ FROM fr
 """
 
 
+def _q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation of the LSH candidate stage itself:
+    precision/recall of raw band collisions against exact-Jaccard
+    ground truth (shingle-inverted-index generation, df-capped) at
+    threshold 0.7 — the measured version of the 1-(1-s^r)^b S-curve
+    the band geometry promises. The evaluator discipline docling-eval
+    applies to extraction metrics, turned on the dedup operator."""
+    from docling_eval_spark.operators.dedup import lsh_quality_eval
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dup = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return lsh_quality_eval(dup, "doc_id", threshold=0.7)
+
+
+def _sql_lsh_eval() -> str:
+    """Oracle for _q_lsh_eval: identical signatures/banding to
+    _sql_minhash_pairs, candidates stop at band collisions; ground
+    truth replays the df<=200-capped inverted-index pair generation
+    and the exact Jaccard threshold."""
+    from docling_eval_spark.operators.dedup import _perm_coeffs
+
+    mins = ",\n      ".join(
+        f"coalesce(list_min(list_transform(sh, x -> ((x * {a}) % {_POLY_P} + {b}) % {_POLY_P})), {_POLY_P})"
+        for a, b in _perm_coeffs(30, seed=1)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+),
+dup AS (
+  SELECT id, t FROM norm UNION ALL SELECT id + 100000 AS id, t FROM norm
+),
+codes AS MATERIALIZED (
+  SELECT id,
+    CASE WHEN length(t) = 0 THEN CAST([] AS BIGINT[]) ELSE
+      list_distinct(list_transform(
+        range(1, CASE WHEN length(t) >= 5 THEN length(t) - 3 ELSE 2 END),
+        i -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(i, least(i + 4, length(t)) + 1),
+                                j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+               (acc, x) -> (acc * {_POLY_B1} + x) % {_POLY_P})))
+    END AS sh
+  FROM dup
+),
+sigs AS (
+  SELECT id, [
+      {mins}
+  ] AS sig
+  FROM codes
+),
+bands AS MATERIALIZED (
+  SELECT id, b.b AS band,
+         md5(array_to_string(list_slice(sig, b.b * 5 + 1, b.b * 5 + 5), ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 6)) AS b) b
+),
+bucket_sizes AS (
+  SELECT band, band_hash, count(*) AS n FROM bands GROUP BY band, band_hash
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.id AS id_l, r.id AS id_r
+  FROM bands l
+  JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id
+  JOIN bucket_sizes s ON s.band = l.band AND s.band_hash = l.band_hash
+  WHERE s.n <= 1000
+),
+postings AS MATERIALIZED (
+  SELECT id, unnest(sh) AS code FROM codes
+),
+pdf AS (SELECT code, count(*) AS n FROM postings GROUP BY code),
+gpairs AS (
+  SELECT DISTINCT a.id AS id_l, b.id AS id_r
+  FROM postings a
+  JOIN postings b ON a.code = b.code AND a.id < b.id
+  JOIN pdf ON pdf.code = a.code
+  WHERE pdf.n BETWEEN 2 AND 200
+),
+gt AS MATERIALIZED (
+  SELECT g.id_l, g.id_r
+  FROM gpairs g
+  JOIN codes cl ON cl.id = g.id_l
+  JOIN codes cr ON cr.id = g.id_r
+  WHERE len(cl.sh) + len(cr.sh) - len(list_intersect(cl.sh, cr.sh)) > 0
+    AND len(list_intersect(cl.sh, cr.sh)) * 1.0
+        / (len(cl.sh) + len(cr.sh) - len(list_intersect(cl.sh, cr.sh))) >= 0.7
+),
+tp AS (
+  SELECT c.id_l FROM cand c JOIN gt ON gt.id_l = c.id_l AND gt.id_r = c.id_r
+)
+SELECT
+  (SELECT count(*) FROM cand) AS n_candidates,
+  (SELECT count(*) FROM gt) AS n_true,
+  (SELECT count(*) FROM tp) AS n_tp,
+  round((SELECT count(*) FROM tp) * 1.0
+        / nullif((SELECT count(*) FROM cand), 0), 6) AS precision,
+  round((SELECT count(*) FROM tp) * 1.0
+        / nullif((SELECT count(*) FROM gt), 0), 6) AS recall
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4688,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rates": _with_pkg(_q_change_rates),
         "sitemap_frontier": _with_pkg(_q_sitemap_frontier),
         "politeness_slots": _with_pkg(_q_politeness_slots),
+        "lsh_eval": _with_pkg(_q_lsh_eval),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -4798,6 +4904,7 @@ def oracle_sql() -> dict[str, str]:
         "change_rates": _SQL_CHANGE_RATES,
         "sitemap_frontier": _SQL_SITEMAP_FRONTIER,
         "politeness_slots": _SQL_POLITENESS_SLOTS,
+        "lsh_eval": _sql_lsh_eval(),
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -602,3 +602,106 @@ def minhash_incremental_pairs(
         .filter(F.col("est") >= threshold)
         .select("id_l", "id_r", F.round("est", 6).alias("est"))
     )
+
+
+# ---------------------------------------------------------------- lsh eval
+
+
+def exact_jaccard_pairs(
+    code_df: DataFrame,
+    threshold: float = 0.7,
+    max_df: int = 200,
+) -> DataFrame:
+    """Exact-Jaccard ground-truth pairs ``(id_l, id_r, jaccard)`` with
+    ``jaccard >= threshold``, via a shingle inverted index: two docs
+    with Jaccard > 0 share a shingle, so candidate generation over
+    postings is exact up to the document-frequency cap — a shingle
+    occurring in more than ``max_df`` docs is dropped (quadratic
+    bucket), which can only lose a true pair if EVERY shared shingle
+    is corpus-common; high-Jaccard pairs share nearly all shingles, so
+    one below-cap shingle suffices. Same bounded-bucket discipline as
+    the LSH path: the shuffle carries postings, pair expansion is
+    array algebra inside each bucket."""
+    posting = code_df.select("id", F.explode("shingles").alias("code"))
+    buckets = (
+        posting.groupBy("code")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda y: F.struct(
+                                F.least(x, y).alias("id_l"),
+                                F.greatest(x, y).alias("id_r"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_l", "p.id_r")
+        .distinct()
+    )
+    sl = code_df.select(
+        F.col("id").alias("id_l"), F.col("shingles").alias("shingles_l")
+    )
+    sr = code_df.select(
+        F.col("id").alias("id_r"), F.col("shingles").alias("shingles_r")
+    )
+    j = ngram_jaccard(pairs.join(sl, "id_l").join(sr, "id_r"))
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_l", "id_r", "jaccard"
+    )
+
+
+def lsh_quality_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 30,
+    bands: int = 6,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    gt_max_df: int = 200,
+) -> DataFrame:
+    """Evaluate the LSH candidate stage against exact Jaccard ground
+    truth: ONE row ``(n_candidates, n_true, n_tp, precision, recall)``.
+
+    - candidates = raw band collisions from :func:`minhash_lsh_pairs`
+      (the stage whose quality the band geometry controls — BEFORE the
+      estimate prefilter and exact verification);
+    - truth = :func:`exact_jaccard_pairs` at ``threshold``;
+    - precision = P(candidate is truly >= threshold), recall =
+      P(true pair surfaces as a candidate) — the measured version of
+      the 1-(1-s^r)^b S-curve the band geometry promises.
+
+    The dedup-quality report docling-eval-style evaluators produce for
+    extraction metrics, applied to the dedup operator itself."""
+    codes = shingle_code_table(df, id_col, text_col, k)
+    sigs = minhash_signatures_from_codes(codes, num_perm)
+    cand = minhash_lsh_pairs(sigs, bands, max_bucket)
+    true_pairs = exact_jaccard_pairs(codes, threshold, gt_max_df)
+    tp = cand.join(true_pairs.select("id_l", "id_r"), ["id_l", "id_r"])
+    counts = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(true_pairs.agg(F.count("*").alias("n_true")))
+        .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_true",
+        "n_tp",
+        F.round(
+            F.col("n_tp") / F.nullif(F.col("n_candidates"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("n_tp") / F.nullif(F.col("n_true"), F.lit(0)), 6
+        ).alias("recall"),
+    )

@@ -2399,3 +2399,37 @@ def test_politeness_schedule_pins_hosts_and_spaces_slots(spark):
     assert all(len(ws) == 1 for ws in by_host.values())
     slots = {(r.host, r.loc): r.slot_ms for r in out}
     assert slots[("a", "u1")] == 0 and slots[("a", "u2")] == 500
+
+
+def test_lsh_quality_eval_hand_corpus(spark):
+    """Exact duplicates must be both true pairs and candidates
+    (recall 1); disjoint texts must be neither; counts reconcile."""
+    from docling_eval_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        lsh_quality_eval,
+        shingle_code_table,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest where nobody ever goes at night"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("quick", "slow").replace("lazy", "busy")),
+        (4, "completely different content about spark query planning "
+            "and shuffle partitioning strategies for large clusters"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [m] = lsh_quality_eval(df, "doc_id", threshold=0.7).collect()
+    truth = exact_jaccard_pairs(
+        shingle_code_table(df, "doc_id"), 0.7
+    ).collect()
+    true_set = {(r.id_l, r.id_r) for r in truth}
+    assert (1, 2) in true_set
+    assert all(4 not in p for p in true_set)
+    assert m.n_true == len(true_set)
+    assert m.n_tp == m.n_true  # near-identical pairs always collide
+    assert m.recall == 1.0
+    assert m.n_candidates >= m.n_tp
