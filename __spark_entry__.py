@@ -4714,6 +4714,74 @@ SELECT
 """
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join result-identity gate: lineitem ⋈ orders with
+    the big side scattered over 16 salt replicas of the orders
+    projection (the explicit hot-key fix AQE's skew split cannot apply
+    to an atomic key), aggregated per order priority. The oracle is the
+    PLAIN join + agg — proving the salted plan changes the shuffle, not
+    the answer."""
+    from docling_eval_spark.operators.skew import salted_equi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lno"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    j = salted_equi_join(li, od, on="okey", big_id="lno", num_salts=16)
+    return j.groupBy("priority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
+    )
+
+
+_SQL_SALTED_JOIN = """
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def _q_skew_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the exact top-10 hottest hosts of the
+    recrawl log with integer ppm shares — the measurement that decides
+    num_salts before a salted join. Counts collapse map-side; the
+    top-N window ranks |keys| count rows, never data rows."""
+    from docling_eval_spark.operators.skew import skew_report
+
+    f = _synth_fetches(spark, sf_dir, with_host=True)
+    return skew_report(f, ["host"], top_n=10)
+
+
+_SQL_SKEW_HOT_KEYS = f"""
+WITH f AS ({_SQL_SYNTH_FETCHES}),
+c AS (SELECT host, count(*) AS n_rows FROM f GROUP BY host),
+t AS (SELECT sum(n_rows) AS total FROM c),
+r AS (
+  SELECT host, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, host) AS rank
+  FROM c
+)
+SELECT host, n_rows,
+       CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+       rank
+FROM r, t
+WHERE rank <= 10
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4794,6 +4862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": _with_pkg(_q_sitemap_frontier),
         "politeness_slots": _with_pkg(_q_politeness_slots),
         "lsh_eval": _with_pkg(_q_lsh_eval),
+        "salted_join": _with_pkg(_q_salted_join),
+        "skew_hot_keys": _with_pkg(_q_skew_hot_keys),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -4905,6 +4975,8 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_frontier": _SQL_SITEMAP_FRONTIER,
         "politeness_slots": _SQL_POLITENESS_SLOTS,
         "lsh_eval": _sql_lsh_eval(),
+        "salted_join": _SQL_SALTED_JOIN,
+        "skew_hot_keys": _SQL_SKEW_HOT_KEYS,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

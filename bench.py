@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "sentence_dedup",
     "web_ingest",
     "token_budget",
+    "hll_users",
+    "len_quantiles",
+    "epoch_shards",
+    "change_rates",
+    "sitemap_frontier",
+    "lsh_eval",
 ]
 
 WARM_PASSES = 3

@@ -2433,3 +2433,69 @@ def test_lsh_quality_eval_hand_corpus(spark):
     assert m.n_tp == m.n_true  # near-identical pairs always collide
     assert m.recall == 1.0
     assert m.n_candidates >= m.n_tp
+
+
+def test_salted_equi_join_matches_plain_join(spark):
+    """Salted join is result-identical to the plain join for inner and
+    left (including unmatched left rows), with the join keyed on
+    (key, salt) in the plan and no salt column in the output."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.skew import salted_equi_join
+
+    # one hot key (900 rows), two cold keys, one key missing from small
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot"))
+        .when(F.col("id") < 950, F.lit("cold"))
+        .when(F.col("id") < 990, F.lit("cool"))
+        .otherwise(F.lit("orphan"))
+        .alias("k"),
+        F.col("id").alias("rid"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("cool", 3), ("unused", 9)],
+        "k string, v int",
+    )
+    for how in ("inner", "left"):
+        plain = big.join(small, "k", how)
+        salted = salted_equi_join(big, small, "k", "rid", 16, how)
+        assert salted.columns == plain.columns
+        a = sorted(tuple(r) for r in plain.collect())
+        b = sorted(tuple(r) for r in salted.collect())
+        assert a == b, how
+    plan = (
+        salted_equi_join(big, small, "k", "rid", 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan  # join really keys on (k, __salt)
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from docling_eval_spark.operators.skew import salted_equi_join
+
+    df = spark.range(1).select(
+        F.lit("a").alias("k"), F.lit(1).alias("rid")
+    )
+    with _pytest.raises(ValueError):
+        salted_equi_join(df, df, "k", "rid", 4, how="full")
+
+
+def test_skew_report_hand_case(spark):
+    """Exact counts, integer ppm shares, deterministic ties."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.skew import skew_report
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 70, F.lit("a"))
+        .when(F.col("id") < 90, F.lit("b"))
+        .otherwise(F.lit("c"))
+        .alias("k")
+    )
+    rows = {r.k: r for r in skew_report(df, ["k"], top_n=2).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].n_rows == 70 and rows["a"].share_ppm == 700000
+    assert rows["b"].rank == 2 and rows["b"].share_ppm == 200000
