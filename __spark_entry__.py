@@ -4782,6 +4782,62 @@ WHERE rank <= 10
 """
 
 
+def _q_crawl_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact burst detection over daily crawl windows: the
+    z-score test squared into pure integer algebra ((n·W − S)² >
+    z²·(W·Q − S²)) so the flag is bit-exact cross-engine — no sqrt, no
+    float threshold. Fixture injects a 3× fetch spike for host3 on
+    each month's 5th day; the detector must flag those windows and
+    stay quiet on the uniform baseline."""
+    from docling_eval_spark.operators.temporal import crawl_bursts
+
+    f = _synth_fetches(spark, sf_dir, with_host=True)
+    spike = f.filter(
+        (F.col("host") == "host3") & (F.dayofmonth("crawl_ts") == 5)
+    )
+    boosted = f.unionByName(spike).unionByName(spike).unionByName(spike)
+    b = crawl_bursts(boosted, z=3, min_fetches=10)
+    return b.select(
+        "host",
+        F.unix_millis(F.col("window_start")).alias("day_ms"),
+        "n_fetches",
+        "w_windows",
+        "sum_fetches",
+        "is_burst",
+    )
+
+
+_SQL_CRAWL_BURSTS = f"""
+WITH f AS ({_SQL_SYNTH_FETCHES}),
+boosted AS (
+  SELECT url, crawl_ts, host FROM f
+  UNION ALL
+  SELECT url, crawl_ts, host FROM f, (VALUES (1), (2), (3)) r(i)
+  WHERE host = 'host3' AND date_part('day', crawl_ts) = 5
+),
+rate AS (
+  SELECT host, epoch_ms(date_trunc('day', crawl_ts)) AS day_ms,
+         count(*) AS n_fetches
+  FROM boosted GROUP BY host, date_trunc('day', crawl_ts)
+),
+m AS (
+  SELECT host, count(*) AS w_windows, sum(n_fetches) AS sum_fetches,
+         sum(n_fetches * n_fetches) AS q
+  FROM rate GROUP BY host
+)
+SELECT r.host, r.day_ms, r.n_fetches,
+       CAST(m.w_windows AS BIGINT) AS w_windows,
+       CAST(m.sum_fetches AS BIGINT) AS sum_fetches,
+       CASE WHEN r.n_fetches >= 10
+             AND r.n_fetches * m.w_windows - m.sum_fetches > 0
+             AND (r.n_fetches * m.w_windows - m.sum_fetches)
+                 * (r.n_fetches * m.w_windows - m.sum_fetches)
+               > 9 * (m.w_windows * m.q - m.sum_fetches * m.sum_fetches)
+            THEN 1 ELSE 0 END AS is_burst
+FROM rate r JOIN m ON m.host = r.host
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4864,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_eval": _with_pkg(_q_lsh_eval),
         "salted_join": _with_pkg(_q_salted_join),
         "skew_hot_keys": _with_pkg(_q_skew_hot_keys),
+        "crawl_bursts": _with_pkg(_q_crawl_bursts),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -4977,6 +5034,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_eval": _sql_lsh_eval(),
         "salted_join": _SQL_SALTED_JOIN,
         "skew_hot_keys": _SQL_SKEW_HOT_KEYS,
+        "crawl_bursts": _SQL_CRAWL_BURSTS,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

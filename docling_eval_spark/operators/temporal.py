@@ -312,6 +312,67 @@ def change_rate_estimate(
     return out
 
 
+def crawl_bursts(
+    df: DataFrame,
+    key: str = "host",
+    ts: str = "crawl_ts",
+    url_col: str = "url",
+    window: str = "1 day",
+    z: int = 3,
+    min_fetches: int = 10,
+) -> DataFrame:
+    """Burst windows per key: tumbling-window fetch counts whose
+    deviation from the key's own mean exceeds ``z`` standard
+    deviations — the hammering/recrawl-wave alarm on top of
+    :func:`crawl_rate`.
+
+    The test is evaluated in INTEGER algebra: with W windows, count
+    sum S and sum of squares Q, the condition ``n > mean + z*std``
+    squares to::
+
+        (n*W - S) > 0  AND  (n*W - S)^2 > z^2 * (W*Q - S^2)
+
+    (both sides scaled by W^2; population variance = (W*Q - S^2)/W^2).
+    Counts are integers, so the flag is bit-exact on any engine — no
+    sqrt, no float threshold. ``min_fetches`` suppresses bursts on
+    near-idle keys where one fetch doubles the rate.
+
+    Statistical gotcha: a single outlier among W windows is bounded at
+    z = sqrt(W-1) because the spike inflates its own variance — with
+    fewer than z^2 + 1 observed windows NO spike can flag. Keys need
+    >= ~10 windows of history before z=3 can fire; young keys simply
+    report is_burst=0, which is the right default for a crawl alarm.
+
+    Output: ``(key, window_start, window_end, n_fetches, w_windows,
+    sum_fetches, is_burst)``. Scale: the window counts and the per-key
+    moment rollup share one hash partitioning on the key; moments are
+    3 integers per key joined back — broadcast-sized."""
+    rate = crawl_rate(df, key=key, ts=ts, url_col=url_col, window=window)
+    n = F.col("n_fetches")
+    moments = rate.groupBy(key).agg(
+        F.count("*").alias("w_windows"),
+        F.sum("n_fetches").alias("sum_fetches"),
+        F.sum(n * n).alias("__sumsq"),
+    )
+    j = rate.join(moments, key)
+    dev = n * F.col("w_windows") - F.col("sum_fetches")
+    var_w2 = F.col("w_windows") * F.col("__sumsq") - F.col(
+        "sum_fetches"
+    ) * F.col("sum_fetches")
+    is_burst = (
+        (n >= min_fetches) & (dev > 0) & (dev * dev > z * z * var_w2)
+    )
+    return j.select(
+        key,
+        "window_start",
+        "window_end",
+        "n_fetches",
+        "w_windows",
+        "sum_fetches",
+        is_burst.cast("int").alias("is_burst"),
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     key: str = "user_id",

@@ -2499,3 +2499,30 @@ def test_skew_report_hand_case(spark):
     assert set(rows) == {"a", "b"}
     assert rows["a"].n_rows == 70 and rows["a"].share_ppm == 700000
     assert rows["b"].rank == 2 and rows["b"].share_ppm == 200000
+
+
+def test_crawl_bursts_integer_z_test(spark):
+    """A 5x spike day on an otherwise-steady host flags; the steady
+    host never does; min_fetches suppresses near-idle keys."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.temporal import crawl_bursts
+
+    day = 86_400_000
+    rows = []
+    # NOTE a single outlier among W windows is bounded at
+    # z = sqrt(W-1) — with 10 windows z=3 is unreachable no matter the
+    # spike size — so the baseline needs 30 days for the test to bite
+    for d in range(30):
+        n = 120 if d == 7 else 20
+        rows += [("spiky", f"u{i}", d * day + i) for i in range(n)]
+    rows += [("steady", f"u{i}", d * day + i) for d in range(30) for i in range(20)]
+    # near-idle: 1 fetch/day, one day with 3 (relative spike, tiny n)
+    rows += [("idle", "u0", d * day) for d in range(30)]
+    rows += [("idle", f"u{i}", 3 * day + i) for i in range(1, 3)]
+    df = spark.createDataFrame(
+        rows, "host string, url string, ms long"
+    ).select("host", "url", F.timestamp_millis("ms").alias("crawl_ts"))
+    out = crawl_bursts(df, z=3, min_fetches=10)
+    flagged = {(r.host, r.window_start.day) for r in out.collect() if r.is_burst}
+    assert ("spiky", 8) in flagged  # epoch day 7 = Jan 8 1970
+    assert all(h == "spiky" for h, _ in flagged)
