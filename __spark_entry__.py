@@ -4838,6 +4838,142 @@ FROM rate r JOIN m ON m.host = r.host
 """
 
 
+def _q_robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (RFC 9309 §2.3): one row per
+    case-insensitive ``Sitemap:`` directive, hosts without one emit
+    nothing, multi-directive hosts emit all. Zero shuffle, zero UDF —
+    the regexp explode runs inside codegen. Closes the frontier loop:
+    robots -> sitemap urls -> sitemap_parse -> frontier_merge."""
+    from docling_eval_spark.operators.frontier import robots_sitemaps
+
+    ev = _t(spark, sf_dir, "events")
+    h = ((F.col("event_id") % 1500) % 20).alias("h")
+    hosts = ev.select(h).distinct()
+    hn = F.concat(F.lit("host"), F.col("h").cast("string"))
+    base = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            F.col("h") % 3 == 0,
+            F.concat(
+                F.lit("Sitemap: https://"), hn, F.lit(".example.com/sitemap.xml\n")
+            ),
+        )
+        .when(
+            F.col("h") % 3 == 1,
+            F.concat(
+                F.lit("sitemap: https://"), hn,
+                F.lit(".example.com/sm1.xml\nSITEMAP: https://"), hn,
+                F.lit(".example.com/sm2.xml\n"),
+            ),
+        )
+        .otherwise(F.lit("Crawl-delay: 2\n")),
+    )
+    robots = hosts.select(hn.alias("host"), base.alias("robots_txt"))
+    return robots_sitemaps(robots)
+
+
+_SQL_ROBOTS_SITEMAP_URLS = """
+WITH hosts AS (SELECT DISTINCT (event_id % 1500) % 20 AS h FROM events),
+robots AS (
+  SELECT 'host' || CAST(h AS VARCHAR) AS host,
+         'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+         CASE WHEN h % 3 = 0 THEN
+                'Sitemap: https://host' || CAST(h AS VARCHAR)
+                  || '.example.com/sitemap.xml' || chr(10)
+              WHEN h % 3 = 1 THEN
+                'sitemap: https://host' || CAST(h AS VARCHAR)
+                  || '.example.com/sm1.xml' || chr(10)
+                  || 'SITEMAP: https://host' || CAST(h AS VARCHAR)
+                  || '.example.com/sm2.xml' || chr(10)
+              ELSE 'Crawl-delay: 2' || chr(10) END AS robots_txt
+  FROM hosts
+)
+SELECT host,
+       unnest(regexp_extract_all(robots_txt,
+         '(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)', 1)) AS sitemap_url
+FROM robots
+"""
+
+
+def _q_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection census: pages synthesized from documents with
+    one of three HTML skeletons; the structural fingerprint (Horner
+    fold over the tag-name sequence, text/attributes ignored) must
+    collapse every page to exactly its skeleton's row regardless of
+    copy. One bounded-key hash agg — keys = distinct templates."""
+    from docling_eval_spark.operators.web_ops import template_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.regexp_replace(F.col("text"), "[<>]", "")
+    t = F.col("doc_id") % 3
+    html = (
+        F.when(
+            t == 0,
+            F.concat(
+                F.lit("<html><head><title>d</title></head><body><div><p>"),
+                body,
+                F.lit("</p></div></body></html>"),
+            ),
+        )
+        .when(
+            t == 1,
+            F.concat(
+                F.lit("<html><body><article><h1>d</h1><p>"),
+                body,
+                F.lit("</p></article></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><body><table><tr><td>"),
+                body,
+                F.lit("</td></tr></table></body></html>"),
+            )
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        html.alias("html"),
+    )
+    return template_rollup(pages)
+
+
+_SQL_TEMPLATE_CENSUS = """
+WITH pages AS (
+  SELECT 'https://doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 3 = 0 THEN
+                '<html><head><title>d</title></head><body><div><p>'
+                  || regexp_replace(text, '[<>]', '', 'g')
+                  || '</p></div></body></html>'
+              WHEN doc_id % 3 = 1 THEN
+                '<html><body><article><h1>d</h1><p>'
+                  || regexp_replace(text, '[<>]', '', 'g')
+                  || '</p></article></body></html>'
+              ELSE
+                '<html><body><table><tr><td>'
+                  || regexp_replace(text, '[<>]', '', 'g')
+                  || '</td></tr></table></body></html>' END AS html
+  FROM documents
+),
+fps AS (
+  SELECT url,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        regexp_extract_all(lower(html), '</?([a-z][a-z0-9]*)', 1),
+        t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(t) + 1),
+                 j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 1000003 + x) % 2147483647))),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS template_fp
+  FROM pages
+)
+SELECT template_fp, count(*) AS n_pages, min(url) AS sample_url
+FROM fps GROUP BY template_fp
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -4921,6 +5057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _with_pkg(_q_salted_join),
         "skew_hot_keys": _with_pkg(_q_skew_hot_keys),
         "crawl_bursts": _with_pkg(_q_crawl_bursts),
+        "robots_sitemap_urls": _with_pkg(_q_robots_sitemap_urls),
+        "template_census": _with_pkg(_q_template_census),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -5035,6 +5173,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _SQL_SALTED_JOIN,
         "skew_hot_keys": _SQL_SKEW_HOT_KEYS,
         "crawl_bursts": _SQL_CRAWL_BURSTS,
+        "robots_sitemap_urls": _SQL_ROBOTS_SITEMAP_URLS,
+        "template_census": _SQL_TEMPLATE_CENSUS,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -134,3 +134,28 @@ def politeness_schedule(
         worker.alias("worker"),
         ((F.col(rank_col) - 1) * delay_ms).cast("long").alias("slot_ms"),
     )
+
+
+_SITEMAP_DIRECTIVE = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    robots_col: str = "robots_txt",
+    keep_cols: tuple[str, ...] = ("host",),
+) -> DataFrame:
+    """Discover sitemap URLs announced in robots.txt: one row per
+    ``Sitemap:`` directive (RFC 9309 §2.3 / sitemaps.org: key is
+    case-insensitive, value is an absolute URL, the directive may
+    appear anywhere in the file, multiple are allowed). Closes the
+    frontier loop: robots.txt -> sitemap urls -> :func:`sitemap_parse`
+    -> :func:`frontier_merge`. Pure regexp explode — zero shuffle,
+    zero UDF."""
+    return df.select(
+        *keep_cols,
+        F.explode(
+            F.regexp_extract_all(
+                F.col(robots_col), F.lit(_SITEMAP_DIRECTIVE), F.lit(1)
+            )
+        ).alias("sitemap_url"),
+    )

@@ -1018,3 +1018,52 @@ def token_budget_sample(
         .where(F.col("__cum") <= F.col("__budget"))
         .drop("__budget", "__cum")
     )
+
+
+# ------------------------------------------------------------ templates
+
+
+def template_fp_col(html: Column) -> Column:
+    """Structural fingerprint of an HTML document: the portable Horner
+    fold over the SEQUENCE of element names (both open and close tags,
+    attributes and text ignored). Two pages rendered from the same
+    template hash identically however much their copy differs — the
+    boilerplate-template grouping signal (cf. Gibson, Punera & Tomkins
+    2005, "The volume and evolution of web page templates", WWW).
+    Order-sensitive: <div><p> != <p><div>. Pure regexp + HOFs — zero
+    shuffle, zero UDF, and a DuckDB oracle replays it bit-for-bit."""
+    from docling_eval_spark.operators.text_analysis import (
+        horner_fold,
+        portable_char_hash,
+    )
+
+    tags = F.regexp_extract_all(
+        F.lower(html), F.lit(r"</?([a-z][a-z0-9]*)"), F.lit(1)
+    )
+    # single-arg lambda is load-bearing: passing portable_char_hash
+    # directly would bind its optional `mod` parameter as F.transform's
+    # element INDEX (pmod by 0 on the first tag)
+    return horner_fold(F.transform(tags, lambda t: portable_char_hash(t)))
+
+
+def template_rollup(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Template census: ``(template_fp, n_pages, sample_url)`` — how
+    many pages share each structural fingerprint, with a deterministic
+    example per template (min url). ONE bounded-key hash agg (keys =
+    distinct templates, map-side combine absorbs the hot ones); a 10^9
+    -page host collapses to one row per template before the exchange."""
+    return (
+        df.select(
+            template_fp_col(F.col(html_col)).alias("template_fp"),
+            F.col(url_col),
+        )
+        .groupBy("template_fp")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.min(url_col).alias("sample_url"),
+        )
+    )

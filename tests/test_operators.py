@@ -2526,3 +2526,45 @@ def test_crawl_bursts_integer_z_test(spark):
     flagged = {(r.host, r.window_start.day) for r in out.collect() if r.is_burst}
     assert ("spiky", 8) in flagged  # epoch day 7 = Jan 8 1970
     assert all(h == "spiky" for h, _ in flagged)
+
+
+def test_robots_sitemaps_directive_cases(spark):
+    """Case-insensitive key, leading whitespace, multiple directives,
+    none -> no rows; other directives never match."""
+    from docling_eval_spark.operators.frontier import robots_sitemaps
+
+    rows = [
+        ("a", "User-agent: *\nSitemap: https://a/sm.xml\nDisallow: /x"),
+        ("b", "  sitemap: https://b/1.xml\nSITEMAP: https://b/2.xml"),
+        ("c", "User-agent: *\nDisallow: /\nCrawl-delay: 5"),
+        ("d", "notsitemap: https://d/no.xml"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = sorted(
+        (r.host, r.sitemap_url) for r in robots_sitemaps(df).collect()
+    )
+    assert got == [
+        ("a", "https://a/sm.xml"),
+        ("b", "https://b/1.xml"),
+        ("b", "https://b/2.xml"),
+    ]
+    plan = robots_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_template_fingerprint_copy_invariant_order_sensitive(spark):
+    """Same skeleton + different copy -> same fp; tag order change or
+    attribute-only change -> attrs ignored, order matters."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.web_ops import template_fp_col
+
+    rows = [
+        (1, "<html><body><div><p>alpha beta</p></div></body></html>"),
+        (2, "<html><body><div><p>totally different words</p></div></body></html>"),
+        (3, '<html><body><div class="x"><p id="y">alpha</p></div></body></html>'),
+        (4, "<html><body><p><div>alpha</div></p></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "id int, html string")
+    fp = {r.id: r.f for r in df.select("id", template_fp_col(F.col("html")).alias("f")).collect()}
+    assert fp[1] == fp[2] == fp[3]  # copy and attributes ignored
+    assert fp[1] != fp[4]  # <div><p> != <p><div>
