@@ -4974,6 +4974,61 @@ FROM fps GROUP BY template_fp
 """
 
 
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluator turned on the lang-ID operator itself: the confusion
+    matrix of the table's declared lang vs the detector's prediction,
+    with integer ppm share within each declared language (DIV, not
+    float). The docling-eval discipline — measure your own model —
+    applied to a pipeline stage. One hash agg + a broadcast-sized
+    per-lang total join."""
+    from docling_eval_spark.operators.text_analysis import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    cm = (
+        lang_id(d, "text")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("__t"))
+    return cm.join(tot, "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("n * 1000000L DIV __t").alias("share_ppm"),
+    )
+
+
+_SQL_LANG_CONFUSION = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+             x -> x <> ''), x -> lower(x)) AS tk
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(tk, x -> list_contains({en}, x))) AS h_en,
+         len(list_filter(tk, x -> list_contains({de}, x))) AS h_de,
+         len(list_filter(tk, x -> list_contains({fr}, x))) AS h_fr,
+         len(list_filter(tk, x -> list_contains({es}, x))) AS h_es
+  FROM toks
+), preds AS (
+  SELECT lang,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+              WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM hits
+), cm AS (
+  SELECT lang, lang_pred, count(*) AS n FROM preds GROUP BY lang, lang_pred
+)
+SELECT lang, lang_pred, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_ppm
+FROM cm
+""".format(en=_sql_list(_EN), de=_sql_list(_DE), fr=_sql_list(_FR), es=_sql_list(_ES))
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -5059,6 +5114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bursts": _with_pkg(_q_crawl_bursts),
         "robots_sitemap_urls": _with_pkg(_q_robots_sitemap_urls),
         "template_census": _with_pkg(_q_template_census),
+        "lang_confusion": _with_pkg(_q_lang_confusion),
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
         "event_type_counts": _with_pkg(_q_event_type_counts),
@@ -5175,6 +5231,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bursts": _SQL_CRAWL_BURSTS,
         "robots_sitemap_urls": _SQL_ROBOTS_SITEMAP_URLS,
         "template_census": _SQL_TEMPLATE_CENSUS,
+        "lang_confusion": _SQL_LANG_CONFUSION,
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "change_rates",
     "sitemap_frontier",
     "lsh_eval",
+    "crawl_bursts",
+    "salted_join",
+    "skew_hot_keys",
+    "robots_sitemap_urls",
+    "template_census",
+    "lang_confusion",
 ]
 
 WARM_PASSES = 3
