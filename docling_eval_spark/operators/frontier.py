@@ -89,8 +89,21 @@ def frontier_merge(
     frontier is deterministic. ``per_host_k`` caps each host's slice of
     the frontier — the window sorts only that host's announced urls.
     The seen-set join is column-pruned to the url; Spark broadcasts it
-    when small and shuffles both sides on the url when not."""
-    ann = announced.dropDuplicates([url_col])
+    when small and shuffles both sides on the url when not.
+
+    A url announced by several sitemaps collapses to ONE deterministic
+    row — the highest priority wins, remaining columns break ties as
+    the greatest struct (a bare dropDuplicates would pick an arbitrary
+    survivor and change across runs/partitionings)."""
+    payload = [c for c in announced.columns if c != url_col]
+    pick_order = (
+        ["priority_pct"] if "priority_pct" in payload else []
+    ) + [c for c in payload if c != "priority_pct"]
+    ann = (
+        announced.groupBy(url_col)
+        .agg(F.max(F.struct(*pick_order)).alias("__p"))
+        .select(url_col, *[F.col(f"__p.{c}").alias(c) for c in payload])
+    )
     s = seen.select(F.col(seen_url_col).alias(url_col)).dropDuplicates(
         [url_col]
     ).withColumn("__seen", F.lit(1))

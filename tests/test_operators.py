@@ -2568,3 +2568,30 @@ def test_template_fingerprint_copy_invariant_order_sensitive(spark):
     fp = {r.id: r.f for r in df.select("id", template_fp_col(F.col("html")).alias("f")).collect()}
     assert fp[1] == fp[2] == fp[3]  # copy and attributes ignored
     assert fp[1] != fp[4]  # <div><p> != <p><div>
+
+
+def test_frontier_merge_duplicate_announcement_deterministic(spark):
+    """A url announced twice with different priorities collapses to one
+    row with the HIGHEST priority, identically across partitionings."""
+    from docling_eval_spark.operators.frontier import frontier_merge
+
+    ann = spark.createDataFrame(
+        [
+            ("h", "u/x", None, 30),
+            ("h", "u/x", "2026-01-01", 90),
+            ("h", "u/y", None, 50),
+        ],
+        "host string, loc string, lastmod string, priority_pct int",
+    )
+    seen = spark.createDataFrame([("u/none",)], "url string")
+    for parts in (1, 7):
+        rows = {
+            r.loc: r
+            for r in frontier_merge(
+                ann.repartition(parts), seen, per_host_k=10
+            ).collect()
+        }
+        assert len(rows) == 2
+        assert rows["u/x"].priority_pct == 90
+        assert rows["u/x"].lastmod == "2026-01-01"
+        assert rows["u/x"].fetch_rank == 1
