@@ -2595,3 +2595,64 @@ def test_frontier_merge_duplicate_announcement_deterministic(spark):
         assert rows["u/x"].priority_pct == 90
         assert rows["u/x"].lastmod == "2026-01-01"
         assert rows["u/x"].fetch_rank == 1
+
+
+def test_morton_key_hand_values_and_locality(spark):
+    """Hand-checked interleavings plus the pruning property: all
+    points of one quadrant share the key's top bits, so a quadrant
+    maps to ONE contiguous key range."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.layout_maintenance import morton_key
+
+    df = spark.createDataFrame(
+        [(3, 1), (1, 3), (0, 0), (65535, 65535), (5, 0)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_key(F.col("x"), F.col("y"), 16).alias("z")
+        ).collect()
+    }
+    assert got[(3, 1)] == 0b0111  # x bits at even, y bits at odd
+    assert got[(1, 3)] == 0b1011
+    assert got[(0, 0)] == 0
+    assert got[(65535, 65535)] == (1 << 32) - 1
+    assert got[(5, 0)] == 0b010001
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    ).select("x", "y", morton_key(F.col("x"), F.col("y"), 6).alias("z"))
+    q = grid.filter((F.col("x") < 32) & (F.col("y") < 32))
+    [r] = q.agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
+    # the 32x32 low quadrant is exactly the first 1024 keys
+    assert (r.lo, r.hi) == (0, 1023)
+
+
+def test_compaction_plan_binning(spark):
+    """Smallest-first cumsum binning: group totals stay under
+    target + last file; singleton tail groups are dropped; ties
+    deterministic on file name."""
+    from docling_eval_spark.operators.layout_maintenance import (
+        compaction_plan,
+    )
+
+    rows = [
+        ("p", "a", 10), ("p", "b", 20), ("p", "c", 30), ("p", "d", 40),
+        ("p", "e", 95),  # near-target file -> singleton group, dropped
+        ("q", "f", 50), ("q", "g", 50),
+    ]
+    df = spark.createDataFrame(rows, "part string, file string, size_bytes long")
+    plan = compaction_plan(
+        df, ["part"], target_bytes=100, min_group_files=2
+    ).collect()
+    by_grp = {}
+    for r in plan:
+        by_grp.setdefault((r.part, r.grp), []).append((r.file, r.size_bytes))
+    assert ("p", 0) in by_grp and sorted(f for f, _ in by_grp[("p", 0)]) == [
+        "a", "b", "c", "d",
+    ]
+    assert all("e" != f for fs in by_grp.values() for f, _ in fs)
+    assert sorted(f for f, _ in by_grp[("q", 0)]) == ["f", "g"]
+    for (part, grp), fs in by_grp.items():
+        total = sum(s for _, s in fs)
+        assert total < 100 + max(s for _, s in fs), (part, grp, total)
