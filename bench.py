@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "robots_sitemap_urls",
     "template_census",
     "lang_confusion",
+    "compaction_groups",
+    "morton_layout",
 ]
 
 WARM_PASSES = 3
