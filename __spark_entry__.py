@@ -2133,7 +2133,12 @@ def _q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             e % 5 == 0,
             F.lit("<meta name='robots' content='noindex,follow'>"),
-        ).otherwise(F.lit("")),
+        )
+        .when(  # reversed attribute order must also gate
+            e % 5 == 1,
+            F.lit("<meta content='noindex' name='robots'>"),
+        )
+        .otherwise(F.lit("")),
         F.lit("</head><body>b</body></html>"),
     )
     pages = (
@@ -2158,7 +2163,7 @@ SELECT 'https://h' || CAST(event_id % 40 AS VARCHAR) || '.example/p'
                  || '.example/c/' || CAST(event_id % 50 AS VARCHAR)
             WHEN 1 THEN 'https://c.example/x' || CAST(event_id % 50 AS VARCHAR)
             ELSE NULL END AS canonical_url,
-       event_id % 5 = 0 AS meta_noindex
+       event_id % 5 IN (0, 1) AS meta_noindex
 FROM events WHERE event_id < 3000
 """
 
@@ -4472,8 +4477,11 @@ def _synth_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.when(pc % 5 == 0, F.lit("")).otherwise(
         F.concat(F.lit("<priority>"), prio_txt, F.lit("</priority>"))
     )
+    # newlines INSIDE each block: pretty-printed like real sitemaps,
+    # so the oracle gate exercises the (?s) DOTALL block match
     entry_s = F.concat(
-        F.lit("<url><loc>"), loc, F.lit("</loc>"), lastmod, prio, F.lit("</url>")
+        F.lit("<url>\n  <loc>"), loc, F.lit("</loc>\n  "), lastmod, prio,
+        F.lit("\n</url>"),
     )
     return (
         pages.select(host.alias("host"), entry_s.alias("e"))
@@ -4495,8 +4503,9 @@ _SQL_SYNTH_SITEMAPS = """
            || '</urlset>' AS xml
   FROM (
     SELECT p,
-      '<url><loc>https://host' || CAST(p % 20 AS VARCHAR)
-        || '.example.com/p/' || CAST(p AS VARCHAR) || '</loc>'
+      '<url>' || chr(10) || '  <loc>https://host' || CAST(p % 20 AS VARCHAR)
+        || '.example.com/p/' || CAST(p AS VARCHAR) || '</loc>' || chr(10)
+        || '  '
         || CASE WHEN p % 3 = 0 THEN '' ELSE
              '<lastmod>2026-01-' || lpad(CAST((p % 28) + 1 AS VARCHAR), 2, '0')
                || '</lastmod>' END
@@ -4505,7 +4514,7 @@ _SQL_SYNTH_SITEMAPS = """
                || CASE WHEN p % 11 = 10 THEN '1.0'
                        ELSE '0.' || CAST(p % 11 AS VARCHAR) END
                || '</priority>' END
-        || '</url>' AS e
+        || chr(10) || '</url>' AS e
     FROM (SELECT DISTINCT event_id % 1500 AS p FROM events)
   )
   GROUP BY p % 20
@@ -4554,7 +4563,7 @@ ann AS (
                 regexp_extract(b, '<priority>([^<]*)</priority>', 1)
                 AS DOUBLE) * 100) AS INT) END AS priority_pct
   FROM (
-    SELECT host, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS b
+    SELECT host, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
     FROM sm
   )
 ),

@@ -304,6 +304,25 @@ def _banded(sig_df: DataFrame, bands: int) -> DataFrame:
     )
 
 
+def _bucket_pairs(ids: F.Column) -> F.Column:
+    """All unordered id pairs of one bucket's id list, as canonical
+    (id_l < id_r) structs — pure array algebra, shared by the LSH
+    candidate stage and the exact-Jaccard ground-truth generator so
+    the two can never drift in pair canonicalization."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_l"),
+                    F.greatest(x, y).alias("id_r"),
+                ),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     sig_df: DataFrame,
     bands: int = 6,
@@ -331,22 +350,7 @@ def minhash_lsh_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda y: F.struct(
-                            F.least(x, y).alias("id_l"),
-                            F.greatest(x, y).alias("id_r"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
+    pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
     return pairs.select("p.id_l", "p.id_r").distinct()
 
 
@@ -629,22 +633,7 @@ def exact_jaccard_pairs(
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size("ids")),
-                            lambda y: F.struct(
-                                F.least(x, y).alias("id_l"),
-                                F.greatest(x, y).alias("id_r"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_l", "p.id_r")
         .distinct()
     )

@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame, Window
 
 from docling_eval_spark.operators.text_analysis import portable_char_hash
 
-_URL_BLOCK = "<url>(.*?)</url>"
+# (?s): real sitemaps are pretty-printed — <url> blocks span lines
+_URL_BLOCK = "(?s)<url>(.*?)</url>"
 _LOC = "<loc>([^<]*)</loc>"
 _LASTMOD = "<lastmod>([^<]*)</lastmod>"
 _PRIORITY = "<priority>([^<]*)</priority>"

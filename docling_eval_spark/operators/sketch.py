@@ -196,21 +196,40 @@ def hll_registers(
 
 def hll_estimate(registers: DataFrame, key_cols: list[str], b: int = 6) -> DataFrame:
     """(key..., est): bias-corrected harmonic-mean estimate with the
-    standard small-range (linear counting) correction. Floating point —
-    gated by pytest against exact COUNT(DISTINCT), not by the DuckDB
-    oracle (which gates the integer register table instead)."""
+    standard small-range (linear counting) AND large-range corrections.
+    Floating point — gated by pytest against exact COUNT(DISTINCT),
+    not by the DuckDB oracle (which gates the integer register table
+    instead).
+
+    Range: the hash field is the 31-bit portable-oracle space, so
+    hash collisions start eating distinct values as n approaches
+    2^31 (Flajolet's large-range correction, -P·ln(1 - E/P) with
+    P = 2^31, compensates the collision loss and is applied above
+    P/30 ≈ 7·10^7). Per-key cardinalities beyond ~10^9 exceed what any
+    31-bit-hash sketch can resolve — swap approx_count_distinct
+    (64-bit HLL++) there; this sketch's contract is ORACLE-REPLAYABLE
+    registers, which needs the portable hash family."""
     m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    p_space = float(1 << 31)
     agg = registers.groupBy(*key_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("hsum"),
         F.count("*").alias("touched"),
     )
     zeros = F.lit(m) - F.col("touched")
     raw = F.lit(alpha * m * m) / (F.col("hsum") + zeros.cast("double"))
-    est = F.when(
-        (raw <= 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(raw)
+    est = (
+        F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        )
+        .when(
+            raw > p_space / 30.0,
+            -F.lit(p_space)
+            * F.log(F.greatest(F.lit(1e-12), F.lit(1.0) - raw / p_space)),
+        )
+        .otherwise(raw)
+    )
     return agg.select(*key_cols, F.round(est).cast("long").alias("est"))
 
 
@@ -246,9 +265,13 @@ QS_K = 4  # default mantissa bits: <= 6.25% relative bound error
 
 def qsketch_idx_col(v: Column, k: int = QS_K, max_bits: int = 40) -> Column:
     """Log-bucket index of nonneg integer ``v`` (see module notes);
-    negative values map to -1 (caller's sentinel). Pure comparison
-    chain + constant shifts — exact on any engine."""
-    chain = F.when(v < 0, F.lit(-1))
+    negative values map to -1, values >= 2^max_bits to ONE overflow
+    bucket (decoded lower bound = 2^max_bits — a defined clamp, never
+    a corrupt mantissa). Pure comparison chain + constant shifts —
+    exact on any engine."""
+    chain = F.when(v < 0, F.lit(-1)).when(
+        v >= (1 << max_bits), F.lit((max_bits - k + 1) << k)
+    )
     for e in range(max_bits - 1, k - 1, -1):
         chain = chain.when(
             v >= (1 << e),
@@ -260,7 +283,10 @@ def qsketch_idx_col(v: Column, k: int = QS_K, max_bits: int = 40) -> Column:
 def qsketch_idx_sql(v_expr: str, k: int = QS_K, max_bits: int = 40) -> str:
     """DuckDB twin of :func:`qsketch_idx_col` — generated from the same
     constants so oracle and engine cannot drift."""
-    whens = [f"WHEN {v_expr} < 0 THEN -1"]
+    whens = [
+        f"WHEN {v_expr} < 0 THEN -1",
+        f"WHEN {v_expr} >= {1 << max_bits} THEN {(max_bits - k + 1) << k}",
+    ]
     for e in range(max_bits - 1, k - 1, -1):
         whens.append(
             f"WHEN {v_expr} >= {1 << e} THEN "
@@ -271,10 +297,13 @@ def qsketch_idx_sql(v_expr: str, k: int = QS_K, max_bits: int = 40) -> str:
 
 
 def qsketch_lo_col(idx: Column, k: int = QS_K, max_bits: int = 40) -> Column:
-    """Decode a bucket index back to its integer lower bound."""
+    """Decode a bucket index back to its integer lower bound; the
+    overflow bucket decodes to 2^max_bits (its true lower bound)."""
     s = F.shiftright(idx, k)
     m = idx - F.shiftleft(s, k)
-    chain = F.when(idx < 0, F.lit(None).cast("long"))
+    chain = F.when(idx < 0, F.lit(None).cast("long")).when(
+        idx >= ((max_bits - k + 1) << k), F.lit(1 << max_bits).cast("long")
+    )
     for e in range(k, max_bits):
         chain = chain.when(
             s == (e - k + 1), F.shiftleft(F.lit(1 << k) + m, e - k)
@@ -286,7 +315,10 @@ def qsketch_lo_sql(idx_expr: str, k: int = QS_K, max_bits: int = 40) -> str:
     """DuckDB twin of :func:`qsketch_lo_col`."""
     s = f"({idx_expr} >> {k})"
     m = f"({idx_expr} - ({s} << {k}))"
-    whens = [f"WHEN {idx_expr} < 0 THEN NULL"]
+    whens = [
+        f"WHEN {idx_expr} < 0 THEN NULL",
+        f"WHEN {idx_expr} >= {(max_bits - k + 1) << k} THEN {1 << max_bits}",
+    ]
     for e in range(k, max_bits):
         whens.append(
             f"WHEN {s} = {e - k + 1} THEN (({1 << k} + {m}) << {e - k})"

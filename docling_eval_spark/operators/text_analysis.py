@@ -651,6 +651,13 @@ def _clean_scratch_dumps() -> None:
         shutil.rmtree(_SCRATCH_DUMPS.pop(), ignore_errors=True)
 
 
+# soft cap: each dump is ~20x the corpus text bytes, and dumps live
+# until interpreter exit by design (earlier calls' frames lazily
+# re-read their own dump) — a long-lived driver looping over
+# duplicate_spans() fills the scratch volume silently without a nudge
+_SCRATCH_DUMP_WARN = 8
+
+
 def _register_scratch_dump(base: str) -> None:
     path = _local_scratch_path(base)
     if path is None:
@@ -660,6 +667,18 @@ def _register_scratch_dump(base: str) -> None:
 
         atexit.register(_clean_scratch_dumps)
     _SCRATCH_DUMPS.append(path)
+    if len(_SCRATCH_DUMPS) == _SCRATCH_DUMP_WARN:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_spans has auto-materialized {_SCRATCH_DUMP_WARN} "
+            "postings dumps this session (each ~20x the corpus text "
+            "bytes; reclaimed only at interpreter exit). Long-lived "
+            "drivers should pass postings_path=<path> and manage it, "
+            "or postings_path=False to recompute.",
+            ResourceWarning,
+            stacklevel=3,
+        )
 
 
 def duplicate_spans(

@@ -689,10 +689,15 @@ def page_metadata(
     canon_href = F.regexp_extract(
         canon_elem, "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1
     )
+    # element-scan like the canonical path: filter on name, test
+    # content separately, so BOTH attribute orders match (a single
+    # name-then-content regex silently passes <meta content=... name=...>)
+    metas = F.regexp_extract_all(h, F.lit(r"(?is)<meta\s[^>]*>"), 0)
     noindex = F.coalesce(
-        h.rlike(
-            "(?is)<meta[^>]+name\\s*=\\s*[\"']robots[\"']"
-            "[^>]*content\\s*=\\s*[\"'][^\"']*noindex"
+        F.exists(
+            metas,
+            lambda el: el.rlike("(?is)name\\s*=\\s*[\"']robots[\"']")
+            & el.rlike("(?is)content\\s*=\\s*[\"'][^\"']*noindex"),
         ),
         F.lit(False),
     )

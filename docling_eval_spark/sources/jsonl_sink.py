@@ -20,18 +20,13 @@ from __future__ import annotations
 
 import json
 import os
-from urllib.parse import urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-
-def _local_dir(path: str) -> str | None:
-    """Filesystem directory for file:/ or scheme-less paths, else None."""
-    p = urlparse(path)
-    if p.scheme in ("", "file"):
-        return p.path or path
-    return None
+# the repo-wide "is this on MY disk" rule — a private urlparse-based
+# variant treated file://nas01/p (remote authority) as a local path
+from docling_eval_spark.functions.uri import local_path_of
 
 
 def write_jsonl_shards(
@@ -77,7 +72,7 @@ def write_jsonl_shards(
         "columns": list(df.columns),
         "shards": shards,
     }
-    local = _local_dir(path)
+    local = local_path_of(path)
     if local is not None:
         with open(os.path.join(local, "_manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)

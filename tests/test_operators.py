@@ -2336,12 +2336,13 @@ def test_sitemap_parse_fields_and_defaults(spark):
     parse plan is a zero-shuffle narrow map."""
     from docling_eval_spark.operators.frontier import sitemap_parse
 
-    xml = (
-        '<?xml version="1.0"?><urlset>'
-        "<url><loc>https://h.ex/a</loc>"
-        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
-        "<url><priority>0.3</priority><loc>https://h.ex/b</loc></url>"
-        "<url><loc>https://h.ex/c</loc></url>"
+    xml = (  # pretty-printed: blocks span lines, like real sitemaps
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url>\n    <loc>https://h.ex/a</loc>\n"
+        "    <lastmod>2026-01-02</lastmod>\n"
+        "    <priority>0.8</priority>\n  </url>\n"
+        "  <url><priority>0.3</priority><loc>https://h.ex/b</loc></url>\n"
+        "  <url>\n    <loc>https://h.ex/c</loc>\n  </url>\n"
         "</urlset>"
     )
     df = spark.createDataFrame([("h", xml)], "host string, xml string")
@@ -2656,3 +2657,32 @@ def test_compaction_plan_binning(spark):
     for (part, grp), fs in by_grp.items():
         total = sum(s for _, s in fs)
         assert total < 100 + max(s for _, s in fs), (part, grp, total)
+
+
+def test_qsketch_overflow_bucket_is_defined(spark):
+    """Values >= 2^max_bits land in ONE overflow bucket whose decoded
+    lower bound is exactly 2^max_bits — a defined clamp, never a
+    corrupt mantissa (2^45 used to decode to q_lo=1584)."""
+    import pyspark.sql.functions as F
+    from docling_eval_spark.operators.sketch import (
+        qsketch_idx_col,
+        qsketch_lo_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1 << 45,), ((1 << 40) - 1,), (1 << 40,), (123,)], "v long"
+    )
+    out = {
+        r.v: (r.idx, r.lo)
+        for r in df.select(
+            "v",
+            qsketch_idx_col(F.col("v")).alias("idx"),
+        )
+        .select("v", "idx", qsketch_lo_col(F.col("idx")).alias("lo"))
+        .collect()
+    }
+    overflow_idx = (40 - 4 + 1) << 4
+    assert out[1 << 45] == (overflow_idx, 1 << 40)
+    assert out[1 << 40] == (overflow_idx, 1 << 40)
+    assert out[(1 << 40) - 1][1] <= (1 << 40) - 1  # top regular bucket
+    assert out[123][1] <= 123 < out[123][1] + max(out[123][1] >> 4, 1)
