@@ -672,8 +672,19 @@ def lsh_quality_eval(
       the 1-(1-s^r)^b S-curve the band geometry promises.
 
     The dedup-quality report docling-eval-style evaluators produce for
-    extraction metrics, applied to the dedup operator itself."""
-    codes = shingle_code_table(df, id_col, text_col, k)
+    extraction metrics, applied to the dedup operator itself.
+
+    The codes projection is persisted for the duration of the plan:
+    the lineage forks FOUR ways from it (signatures, postings, and the
+    two ground-truth join-backs), and each fork would otherwise re-run
+    the whole shingle-hashing kernel — measured 2x wall on the sf0.1
+    eval corpus. MEMORY_AND_DISK: an eval-sized corpus fits, and a
+    spill beats four kernel recomputes."""
+    from pyspark import StorageLevel
+
+    codes = shingle_code_table(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures_from_codes(codes, num_perm)
     cand = minhash_lsh_pairs(sigs, bands, max_bucket)
     true_pairs = exact_jaccard_pairs(codes, threshold, gt_max_df)
