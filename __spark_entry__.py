@@ -5122,6 +5122,69 @@ FROM keyed GROUP BY zkey >> 24
 """
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall of the two approximate paths (IVF
+    n_probe=2, hyperplane-LSH multiprobe) against brute-force cosine
+    truth on the SAME gated fixtures — (method, n_true, n_hit,
+    recall_ppm), integer-exact via DIV. Third member of the
+    measure-your-own-operator family (lsh_eval, lang_confusion)."""
+    brute = _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = {
+        "ivf": _q_ivf_topk(spark, sf_dir),
+        "lsh": _q_lsh_topk(spark, sf_dir),
+    }
+    frames = []
+    for name, df in approx.items():
+        hits = df.select("query_id", "neighbor_id").join(
+            brute, ["query_id", "neighbor_id"]
+        )
+        frames.append(
+            hits.agg(F.count("*").alias("n_hit"))
+            .crossJoin(brute.agg(F.count("*").alias("n_true")))
+            .select(
+                F.lit(name).alias("method"),
+                "n_true",
+                "n_hit",
+                F.expr("n_hit * 1000000L DIV n_true").alias("recall_ppm"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM ({_SQL_COSINE_TOPK})
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM ({_sql_ivf_topk()})
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM ({_sql_lsh_topk()})
+),
+m AS (
+  SELECT 'ivf' AS method,
+         (SELECT count(*) FROM brute) AS n_true,
+         (SELECT count(*) FROM ivf i
+            JOIN brute b ON b.query_id = i.query_id
+                        AND b.neighbor_id = i.neighbor_id) AS n_hit
+  UNION ALL
+  SELECT 'lsh',
+         (SELECT count(*) FROM brute),
+         (SELECT count(*) FROM lsh l
+            JOIN brute b ON b.query_id = l.query_id
+                        AND b.neighbor_id = l.neighbor_id)
+)
+SELECT method, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit * 1000000 // n_true AS BIGINT) AS recall_ppm
+FROM m
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -5210,6 +5273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _with_pkg(_q_lang_confusion),
         "compaction_groups": _with_pkg(_q_compaction_groups),
         "morton_layout": _with_pkg(_q_morton_layout),
+        "ann_recall": _with_pkg(_q_ann_recall),
         "event_type_counts": _with_pkg(_q_event_type_counts),
         "delta_histogram": _with_pkg(_q_delta_histogram),
         "histogram_cumsum": _with_pkg(_q_histogram_cumsum),
@@ -5332,6 +5396,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _SQL_LANG_CONFUSION,
         "compaction_groups": _SQL_COMPACTION_GROUPS,
         "morton_layout": _sql_morton_layout(),
+        "ann_recall": _sql_ann_recall(),
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,
