@@ -5210,23 +5210,19 @@ def _with_pkg(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
-    # the 16 queries without a CORRECTNESS_r04 row lead (positions
-    # 1-16), then the NEW round-5 queries plus never-gated quality_lr
-    # (17-36: snapshot/latest-view/crawl-rate, vocab, PII, blocklist,
-    # CMS, entropy, embedding outliers, web_ingest, sentence dedup,
-    # token budget, retrieval + web-metadata families — in the window
-    # so they get a driver row immediately), then the
-    # previously-green set in its original order; positions 51+
-    # (simhash..quality_lr: driver-green in r04 except quality_lr,
-    # oracle-verified locally at both SFs) rotate to the front next
-    # round. Every entry keeps its oracle regardless of position —
+    # every query WITHOUT a prior driver row fills the 50-slot window
+    # — the 16 flagged by VERDICT r4, all round-5 additions, and the
+    # two late registrations (morton_layout, ann_recall). The 10
+    # window slots left over hold r02/r03-green queries; everything
+    # r04-green sits at positions 51+ and rotates forward next round.
+    # Every entry keeps its oracle regardless of position —
     # scripts/check_oracles.py verifies ALL of them.
     return {
         "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
         "near_dup_pairs": _with_pkg(_q_near_dup_pairs),
         "embedding_dup_clusters": _with_pkg(_q_embedding_dup_clusters),
-        "canonical_urls": _with_pkg(_q_canonical_urls),
-        "host_stats": _with_pkg(_q_host_stats),
+        "morton_layout": _with_pkg(_q_morton_layout),
+        "ann_recall": _with_pkg(_q_ann_recall),
         "line_dedup": _with_pkg(_q_line_dedup),
         "winnow_fps": _with_pkg(_q_winnow_fps),
         "duplicate_spans": _with_pkg(_q_duplicate_spans),
@@ -5272,8 +5268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_census": _with_pkg(_q_template_census),
         "lang_confusion": _with_pkg(_q_lang_confusion),
         "compaction_groups": _with_pkg(_q_compaction_groups),
-        "morton_layout": _with_pkg(_q_morton_layout),
-        "ann_recall": _with_pkg(_q_ann_recall),
+        # canonical_urls/host_stats are driver-green in r02 AND r03 —
+        # rotated just past the 50-slot window to admit the two
+        # late-registered never-gated queries (morton_layout,
+        # ann_recall); their oracles still gate them locally
+        "canonical_urls": _with_pkg(_q_canonical_urls),
+        "host_stats": _with_pkg(_q_host_stats),
         "event_type_counts": _with_pkg(_q_event_type_counts),
         "delta_histogram": _with_pkg(_q_delta_histogram),
         "histogram_cumsum": _with_pkg(_q_histogram_cumsum),
