@@ -90,6 +90,16 @@ def _tag_name(tok: str) -> str:
     return m.group(1).lower() if m else ""
 
 
+# (name, closing, self_closing) per exact tag token. Bare tags
+# (`<td>`, `</tr>`, …) repeat millions of times across a corpus while
+# attribute-laden tags (href=…) are near-unique, so the cache is
+# capped by token length and entry count — bounded memory per worker,
+# ~hit-everything for the tokens that dominate the stream.
+_TAG_CACHE: dict[str, tuple[str, bool, bool]] = {}
+_TAG_CACHE_MAX_TOKEN = 32
+_TAG_CACHE_MAX_ENTRIES = 4096
+
+
 def lex_blocks(html_text: str) -> list[Block]:
     """Scan HTML into a list of non-empty text blocks with features.
 
@@ -106,26 +116,44 @@ def lex_blocks(html_text: str) -> list[Block]:
     skip_until: str | None = None  # inside <script>/<style>/...
     # tag context for labeling: innermost labeling tag currently open
     label_stack: list[str] = []
+    tag_cache = _TAG_CACHE
+    tag_name_match = _TAG_NAME_RE.match
+    word_findall = _WORD_RE.findall
+    unescape = _html.unescape
 
     def flush() -> None:
+        # A block survives iff it holds at least one word: parts with
+        # zero words are whitespace-only (word count and the survival
+        # probe use the same \S+ class on the same unescaped text, and
+        # joining whitespace-only parts cannot mint a word), so the old
+        # `or _WORD_RE.search(cur.text)` re-scan was provably redundant.
+        # The empty current block is REUSED rather than reallocated —
+        # every call site re-seeds label/context flags right after —
+        # which skips ~one dataclass build per block tag.
         nonlocal cur
-        if cur.num_words > 0 or _WORD_RE.search(cur.text):
+        if cur.num_words:
             blocks.append(cur)
-        cur = Block(
-            label=_LABEL_FOR_TAG.get(label_stack[-1], "text")
-            if label_stack
-            else "text",
-            in_boiler=boiler_depth > 0,
-            in_table=table_depth > 0,
-            in_head=head_depth > 0,
-        )
+            cur = Block()
+        elif cur.parts:  # whitespace-only: drop text, reuse the object
+            cur.parts.clear()
 
     for tok in _TOKEN_RE.finditer(html_text):
         t = tok.group(0)
-        if t.startswith("<") and not t.startswith("<!") and not t.startswith("<?"):
-            name = _tag_name(t)
-            closing = t.startswith("</")
-            self_closing = t.endswith("/>")
+        if t[0] == "<" and t[1] != "!" and t[1] != "?":
+            info = tag_cache.get(t)
+            if info is None:
+                m = tag_name_match(t)
+                info = (
+                    m.group(1).lower() if m else "",
+                    t[1] == "/",
+                    t.endswith("/>"),
+                )
+                if (
+                    len(t) <= _TAG_CACHE_MAX_TOKEN
+                    and len(tag_cache) < _TAG_CACHE_MAX_ENTRIES
+                ):
+                    tag_cache[t] = info
+            name, closing, self_closing = info
             if skip_until is not None:
                 if closing and name == skip_until:
                     skip_until = None
@@ -166,12 +194,12 @@ def lex_blocks(html_text: str) -> list[Block]:
                     else "text"
                 )
             continue
-        if t.startswith("<!") or t.startswith("<?"):
+        if t[0] == "<":  # comment / cdata / doctype / PI token
             continue
         if skip_until is not None:
             continue
-        text = _html.unescape(t)
-        words = len(_WORD_RE.findall(text))
+        text = unescape(t)
+        words = len(word_findall(text))
         cur.parts.append(text)
         cur.num_words += words
         if anchor_depth > 0:
