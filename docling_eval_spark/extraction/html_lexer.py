@@ -90,14 +90,33 @@ def _tag_name(tok: str) -> str:
     return m.group(1).lower() if m else ""
 
 
-# (name, closing, self_closing) per exact tag token. Bare tags
-# (`<td>`, `</tr>`, …) repeat millions of times across a corpus while
-# attribute-laden tags (href=…) are near-unique, so the cache is
-# capped by token length and entry count — bounded memory per worker,
-# ~hit-everything for the tokens that dominate the stream.
-_TAG_CACHE: dict[str, tuple[str, bool, bool]] = {}
+# Per exact tag token: (name, closing, self_closing, kind, label_tag)
+# where kind pre-resolves every set membership the loop would test —
+# 0 other, 1 raw-skip, 2 anchor, 3 block — and label_tag is the name
+# iff it carries a block label. Bare tags (`<td>`, `</tr>`, …) repeat
+# millions of times across a corpus while attribute-laden tags
+# (href=…) are near-unique, so the cache is capped by token length
+# and entry count — bounded memory per worker, ~hit-everything for
+# the tokens that dominate the stream.
+_TAG_CACHE: dict[str, tuple[str, bool, bool, int, str | None]] = {}
 _TAG_CACHE_MAX_TOKEN = 32
 _TAG_CACHE_MAX_ENTRIES = 4096
+_KIND_OTHER, _KIND_RAW_SKIP, _KIND_ANCHOR, _KIND_BLOCK = 0, 1, 2, 3
+
+
+def _tag_info(t: str) -> tuple[str, bool, bool, int, str | None]:
+    m = _TAG_NAME_RE.match(t)
+    name = m.group(1).lower() if m else ""
+    if name in _RAW_SKIP:
+        kind = _KIND_RAW_SKIP
+    elif name == "a":
+        kind = _KIND_ANCHOR
+    elif name in _BLOCK_TAGS:
+        kind = _KIND_BLOCK
+    else:
+        kind = _KIND_OTHER
+    return (name, t[1] == "/", t.endswith("/>"), kind,
+            name if name in _LABEL_FOR_TAG else None)
 
 
 def lex_blocks(html_text: str) -> list[Block]:
@@ -117,7 +136,6 @@ def lex_blocks(html_text: str) -> list[Block]:
     # tag context for labeling: innermost labeling tag currently open
     label_stack: list[str] = []
     tag_cache = _TAG_CACHE
-    tag_name_match = _TAG_NAME_RE.match
     word_findall = _WORD_RE.findall
     unescape = _html.unescape
 
@@ -142,32 +160,27 @@ def lex_blocks(html_text: str) -> list[Block]:
         if t[0] == "<" and t[1] != "!" and t[1] != "?":
             info = tag_cache.get(t)
             if info is None:
-                m = tag_name_match(t)
-                info = (
-                    m.group(1).lower() if m else "",
-                    t[1] == "/",
-                    t.endswith("/>"),
-                )
+                info = _tag_info(t)
                 if (
                     len(t) <= _TAG_CACHE_MAX_TOKEN
                     and len(tag_cache) < _TAG_CACHE_MAX_ENTRIES
                 ):
                     tag_cache[t] = info
-            name, closing, self_closing = info
+            name, closing, self_closing, kind, label_tag = info
             if skip_until is not None:
                 if closing and name == skip_until:
                     skip_until = None
                 continue
-            if name in _RAW_SKIP and not closing and not self_closing:
+            if kind == _KIND_RAW_SKIP and not closing and not self_closing:
                 skip_until = name
                 continue
-            if name == "a":
+            if kind == _KIND_ANCHOR:
                 if closing:
                     anchor_depth = max(0, anchor_depth - 1)
                 elif not self_closing:
                     anchor_depth += 1
                 continue
-            if name in _BLOCK_TAGS:
+            if kind == _KIND_BLOCK:
                 flush()
                 if name in _BOILER_ANCESTORS:
                     boiler_depth += (-1 if closing else 1)
@@ -178,7 +191,7 @@ def lex_blocks(html_text: str) -> list[Block]:
                 if name in ("head", "title"):
                     head_depth += (-1 if closing else 1)
                     head_depth = max(0, head_depth)
-                if name in _LABEL_FOR_TAG:
+                if label_tag is not None:
                     if closing:
                         if label_stack and label_stack[-1] == name:
                             label_stack.pop()
