@@ -85,11 +85,6 @@ class Block:
         return self.link_words / self.num_words if self.num_words else 0.0
 
 
-def _tag_name(tok: str) -> str:
-    m = _TAG_NAME_RE.match(tok)
-    return m.group(1).lower() if m else ""
-
-
 # Per exact tag token: (name, closing, self_closing, kind, label_tag)
 # where kind pre-resolves every set membership the loop would test —
 # 0 other, 1 raw-skip, 2 anchor, 3 block — and label_tag is the name
