@@ -5185,6 +5185,73 @@ FROM m
 """
 
 
+def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over a binary media column, END TO
+    END on real pixels: render a deterministic 72x64 PNG per doc
+    (cell-grid fixture, `operators.multimodal.cell_grid_image`), add a
+    +10-brightness twin for every 10th doc, then PNG-decode → 8x9
+    box-mean → dHash → pigeonhole Hamming-block join (shared with
+    simhash). The fixture's dHash is ANALYTIC from the seed, so the
+    DuckDB oracle recomputes the expected 64-bit hashes in SQL and
+    replays the pairing — the whole codec+hash+join path is
+    value-gated, not just row-counted. Expected: each twin pairs with
+    its base at Hamming 0."""
+    from docling_eval_spark.operators.multimodal import (
+        cell_grid_image_stage,
+        image_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").cast("string").alias("seed"),
+        F.lit(0).alias("bright"),
+    )
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        F.col("doc_id").cast("string").alias("seed"),
+        F.lit(10).alias("bright"),
+    )
+    rendered = cell_grid_image_stage(base.unionByName(twins))
+    return image_near_dup_pairs(rendered, "id", "media", max_hamming=2).select(
+        F.col("id_l").cast("long").alias("id_l"),
+        F.col("id_r").cast("long").alias("id_r"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def _sql_image_near_dups() -> str:
+    # Recompute the fixture's analytic dHash per id: cell k value is
+    # md5(seed:k) first byte % 201 (brightness twins share the base's
+    # comparisons), bit j set iff cell[(j/8)*9+j%8] > its right
+    # neighbor; bit 63 is the BIGINT sign bit (two's complement).
+    return """
+WITH ids AS (
+  SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS seed FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 10 = 0
+), cells AS (
+  SELECT id, list_transform(range(72), k ->
+      CAST(('0x' || substr(md5(concat(seed, ':', k)), 1, 2)) AS INT) % 201
+  ) AS v
+  FROM ids
+), hashes AS (
+  SELECT id, CAST(list_aggregate(list_transform(range(64), j ->
+      CASE WHEN v[(j // 8) * 9 + (j % 8) + 1] > v[(j // 8) * 9 + (j % 8) + 2]
+           THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+           ELSE 0 END), 'sum') AS BIGINT) AS dhash
+  FROM cells
+)
+SELECT a.id AS id_l, b.id AS id_r,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM hashes a
+JOIN hashes b ON a.id < b.id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+"""
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -5223,8 +5290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": _with_pkg(_q_embedding_dup_clusters),
         "morton_layout": _with_pkg(_q_morton_layout),
         "ann_recall": _with_pkg(_q_ann_recall),
+        "image_near_dups": _with_pkg(_q_image_near_dups),
         "line_dedup": _with_pkg(_q_line_dedup),
-        "winnow_fps": _with_pkg(_q_winnow_fps),
         "duplicate_spans": _with_pkg(_q_duplicate_spans),
         "dedup_clean": _with_pkg(_q_dedup_clean),
         "host_cap": _with_pkg(_q_host_cap),
@@ -5268,12 +5335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_census": _with_pkg(_q_template_census),
         "lang_confusion": _with_pkg(_q_lang_confusion),
         "compaction_groups": _with_pkg(_q_compaction_groups),
-        # canonical_urls/host_stats are driver-green in r02 AND r03 —
-        # rotated just past the 50-slot window to admit the two
+        # canonical_urls/host_stats/winnow_fps are driver-green in r02
+        # AND r03 — rotated just past the 50-slot window to admit the
         # late-registered never-gated queries (morton_layout,
-        # ann_recall); their oracles still gate them locally
+        # ann_recall, image_near_dups); their oracles still gate them
+        # locally
         "canonical_urls": _with_pkg(_q_canonical_urls),
         "host_stats": _with_pkg(_q_host_stats),
+        "winnow_fps": _with_pkg(_q_winnow_fps),
         "event_type_counts": _with_pkg(_q_event_type_counts),
         "delta_histogram": _with_pkg(_q_delta_histogram),
         "histogram_cumsum": _with_pkg(_q_histogram_cumsum),
@@ -5397,6 +5466,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_groups": _SQL_COMPACTION_GROUPS,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
+        "image_near_dups": _sql_image_near_dups(),
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

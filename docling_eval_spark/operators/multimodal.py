@@ -487,3 +487,142 @@ def audio_features_stage(
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------- perceptual hash
+
+def image_dhash(data: bytes) -> int | None:
+    """64-bit difference hash (dHash) of a decodable image, else None.
+
+    The standard perceptual near-dup signature (public technique:
+    gradient/difference hashing as popularized for web-scale image
+    dedup): grayscale → 8x9 box-mean grid → bit j (= r*8+c) set iff
+    grid[r, c] > grid[r, c+1]. Invariant to uniform brightness shifts
+    and any monotone per-pixel transform that preserves cell-mean
+    ordering; robust to recompression noise within a few bits. Returned
+    as a SIGNED i64 (two's complement) so it lands in a Spark LongType
+    column and Hamming distance is ``bit_count(a ^ b)``.
+    """
+    import numpy as np
+
+    try:
+        px = decode_pixels(data)
+    except Exception:
+        return None
+    a = px.astype(np.int64)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:  # integer ITU-R 601 luma (deterministic)
+            gray = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+        else:
+            gray = a[..., 0]
+    else:
+        gray = a
+    if gray.shape[0] < 8 or gray.shape[1] < 9:  # too small for the grid
+        return None
+    grid = np.empty((8, 9), dtype=np.float64)
+    for r, band in enumerate(np.array_split(gray, 8, axis=0)):
+        for c, cell in enumerate(np.array_split(band, 9, axis=1)):
+            grid[r, c] = cell.mean()
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()  # row-major: j = r*8 + c
+    val = np.uint64(0)
+    one = np.uint64(1)
+    for j in np.nonzero(bits)[0]:
+        val |= one << np.uint64(j)
+    return int(val.astype(np.int64))
+
+
+def image_dhash_stage(
+    df: DataFrame, binary_col: str = "media", out_col: str = "dhash"
+) -> DataFrame:
+    """Append the dHash (nullable long) for a binary image column."""
+    fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[fields].copy()
+            out[out_col] = pd.array(
+                [
+                    image_dhash(b) if b is not None else None
+                    for b in pdf[binary_col]
+                ],
+                dtype="Int64",
+            )
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str = "media",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance — the
+    LAION-style image-dedup step, over an opaque binary column.
+
+    Scale shape: decode + hash are one Arrow-batched narrow pass; the
+    candidate join reuses ``dedup.simhash_near_pairs``'s pigeonhole
+    block scheme (two hashes within distance d must agree on one of
+    d+1 disjoint bit blocks), so the only shuffle is the slim
+    (block, block_val) equi-join on 16-byte rows — never all-pairs.
+    Undecodable payloads (dhash NULL) are excluded, never paired.
+    Output: (id_l < id_r, hamming).
+    """
+    from docling_eval_spark.operators.dedup import simhash_near_pairs
+
+    import pyspark.sql.functions as F
+
+    sigs = (
+        image_dhash_stage(df.select(id_col, binary_col), binary_col)
+        .filter(F.col("dhash").isNotNull())
+        .select(F.col(id_col).cast("long").alias("id"), F.col("dhash").alias("simhash"))
+    )
+    return simhash_near_pairs(sigs, max_hamming=max_hamming)
+
+
+def cell_grid_image(seed: str | int, brightness: int = 0) -> bytes:
+    """Deterministic 72x64 grayscale PNG whose 8x9 dHash grid is
+    ANALYTIC: cell (r, c) (k = r*9+c) is filled with
+    ``int(md5(f"{seed}:{k}")[:2], 16) % 201 + brightness`` over an
+    8x8-pixel block, so the box means recover the cell values exactly
+    and the expected dHash is computable from the seed alone (the
+    oracle recomputes it in SQL). ``brightness`` <= 54 never clips, so
+    a brightness-shifted twin has the identical dHash — the fixture
+    for near-dup pairing tests and the driver-gated oracle query."""
+    import numpy as np
+
+    from docling_eval_spark.operators.png_codec import png_encode
+
+    cells = np.empty((8, 9), dtype=np.uint8)
+    for k in range(72):
+        v = int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:2], 16) % 201
+        cells[k // 9, k % 9] = v + brightness
+    return png_encode(np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1))
+
+
+def cell_grid_image_stage(
+    df: DataFrame,
+    seed_col: str = "seed",
+    brightness_col: str = "bright",
+    out_col: str = "media",
+) -> DataFrame:
+    """Render ``cell_grid_image`` per row (executor-side, Arrow-batched)."""
+    fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[fields].copy()
+            out[out_col] = [
+                cell_grid_image(s, int(b))
+                for s, b in zip(pdf[seed_col], pdf[brightness_col])
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -2686,3 +2686,51 @@ def test_qsketch_overflow_bucket_is_defined(spark):
     assert out[1 << 40] == (overflow_idx, 1 << 40)
     assert out[(1 << 40) - 1][1] <= (1 << 40) - 1  # top regular bucket
     assert out[123][1] <= 123 < out[123][1] + max(out[123][1] >> 4, 1)
+
+
+def test_image_dhash_invariances():
+    from docling_eval_spark.operators.multimodal import (
+        cell_grid_image,
+        image_dhash,
+    )
+    from docling_eval_spark.operators.png_codec import png_encode
+
+    import numpy as np
+
+    h = image_dhash(cell_grid_image(42))
+    # brightness shift never changes difference signs
+    assert image_dhash(cell_grid_image(42, brightness=10)) == h
+    assert image_dhash(cell_grid_image(42, brightness=54)) == h
+    # different seed → far in Hamming space
+    h2 = image_dhash(cell_grid_image(43))
+    assert bin((h ^ h2) & (2**64 - 1)).count("1") > 10
+    # RGB image with equal channels hashes like its grayscale twin
+    # (integer 601 luma of (v,v,v) is exactly v)
+    cells = np.arange(72, dtype=np.uint8).reshape(8, 9) * 2
+    gray = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)
+    rgb = np.stack([gray] * 3, axis=-1)
+    assert image_dhash(png_encode(gray)) == image_dhash(png_encode(rgb))
+    # undecodable / too-small payloads → None
+    assert image_dhash(b"not an image") is None
+    assert image_dhash(png_encode(np.zeros((4, 4), dtype=np.uint8))) is None
+
+
+def test_image_near_dup_pairs(spark):
+    from docling_eval_spark.operators.multimodal import (
+        cell_grid_image,
+        image_near_dup_pairs,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, bytearray(cell_grid_image(i))))
+    # twins for 3 images (brightness-shifted → Hamming 0)
+    for i in (0, 5, 9):
+        rows.append((100 + i, bytearray(cell_grid_image(i, brightness=7))))
+    rows.append((999, bytearray(b"corrupt bytes")))  # must never pair
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {
+        (r.id_l, r.id_r, r.hamming)
+        for r in image_near_dup_pairs(df, "id", "media", max_hamming=2).collect()
+    }
+    assert got == {(0, 100, 0), (5, 105, 0), (9, 109, 0)}
