@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "lang_confusion",
     "compaction_groups",
     "morton_layout",
+    "image_near_dups",
 ]
 
 WARM_PASSES = 3
