@@ -581,6 +581,14 @@ def image_near_dup_pairs(
         .filter(F.col("dhash").isNotNull())
         .select(F.col(id_col).cast("long").alias("id"), F.col("dhash").alias("simhash"))
     )
+    # The pigeonhole join self-joins two differently-aliased branches,
+    # which Spark plans as two INDEPENDENT subtrees — without pinning,
+    # the decode kernel would run twice (verified: 4 MapInPandas nodes
+    # in the unpinned plan). Eagerly checkpoint the slim (id, dhash)
+    # projection (16 B/row — for 10^9 images ~16 GB across the
+    # cluster) so both branches read one materialization and pixels
+    # are decoded exactly once.
+    sigs = sigs.localCheckpoint(eager=True)
     return simhash_near_pairs(sigs, max_hamming=max_hamming)
 
 
