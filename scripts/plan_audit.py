@@ -183,6 +183,10 @@ Reading notes:
   shuffle-byte columns DO include them (the status store records every
   stage that ran, checkpointed or not) — that is the per-iteration
   cost evidence the static audit lacked;
+- image_near_dups' STATIC row likewise shows only the post-checkpoint
+  join: the slim (id, dhash) frame is eagerly localCheckpoint-ed at
+  construction so the render+decode kernels run ONCE instead of once
+  per self-join branch (the unpinned plan had 4 MapInPandas nodes);
 - measured bytes come from ONE uncached run per query at this sf; the
   noop sink forces full execution without write-path cost. Queries
   whose construction itself runs jobs (duplicate_spans' postings dump)
