@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "compaction_groups",
     "morton_layout",
     "image_near_dups",
+    "audio_near_dups",
 ]
 
 WARM_PASSES = 3

@@ -634,3 +634,129 @@ def cell_grid_image_stage(
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def audio_ehash(data: bytes) -> int | None:
+    """64-bit energy-difference hash of a decodable PCM WAV, else None.
+
+    The audio twin of ``image_dhash`` (public technique family:
+    frame-energy fingerprinting): mono mix → 65 equal frames → RMS per
+    frame → bit j (0..63) set iff rms[j] > rms[j+1]. Invariant to
+    uniform gain (any positive scale preserves the RMS ordering) and
+    robust to low-level noise; returned as a signed i64 for LongType +
+    ``bit_count(a ^ b)`` Hamming distance."""
+    import numpy as np
+
+    try:
+        arr, _rate = wav_decode(data)
+    except Exception:
+        return None
+    mono = arr.mean(axis=1)
+    if mono.shape[0] < 65:
+        return None
+    rms = np.array(
+        [float(np.sqrt((f * f).mean())) for f in np.array_split(mono, 65)]
+    )
+    bits = rms[:-1] > rms[1:]
+    val = np.uint64(0)
+    one = np.uint64(1)
+    for j in np.nonzero(bits)[0]:
+        val |= one << np.uint64(j)
+    return int(val.astype(np.int64))
+
+
+def audio_ehash_stage(
+    df: DataFrame, binary_col: str = "media", out_col: str = "ehash"
+) -> DataFrame:
+    """Append the energy hash (nullable long) for a binary WAV column."""
+    fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[fields].copy()
+            out[out_col] = pd.array(
+                [
+                    audio_ehash(b) if b is not None else None
+                    for b in pdf[binary_col]
+                ],
+                dtype="Int64",
+            )
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str = "media",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate audio pairs by energy-hash Hamming distance —
+    same scale shape as ``image_near_dup_pairs`` (one Arrow-batched
+    decode pass, eager checkpoint of the slim (id, hash) projection,
+    pigeonhole Hamming-block join). Undecodable payloads never pair."""
+    from docling_eval_spark.operators.dedup import simhash_near_pairs
+
+    import pyspark.sql.functions as F
+
+    sigs = (
+        audio_ehash_stage(df.select(id_col, binary_col), binary_col)
+        .filter(F.col("ehash").isNotNull())
+        .select(F.col(id_col).cast("long").alias("id"), F.col("ehash").alias("simhash"))
+    )
+    sigs = sigs.localCheckpoint(eager=True)  # decode once, not per branch
+    return simhash_near_pairs(sigs, max_hamming=max_hamming)
+
+
+def tone_block_wav(seed: str | int, gain: int = 1) -> bytes:
+    """Deterministic mono 16-bit PCM WAV whose energy hash is
+    ANALYTIC: frame k (k = 0..64, 64 samples each) holds the constant
+    sample ``(int(md5(f"{seed}:{k}")[:2], 16) % 201) * 64 * gain``, so
+    per-frame RMS recovers the cell value exactly (dyadic /32768
+    scaling; sqrt of an exact square) and the expected hash is
+    computable from the seed alone. ``gain`` in [1, 2] never clips
+    (200*64*2 = 25600 < 32767), so a gain-scaled twin has the
+    identical hash — the audio analogue of the brightness-twin PNG."""
+    import struct as st
+
+    import numpy as np
+
+    vals = np.empty(65 * 64, dtype="<i2")
+    for k in range(65):
+        v = int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:2], 16) % 201
+        vals[k * 64 : (k + 1) * 64] = v * 64 * gain
+    pcm = vals.tobytes()
+    hdr = st.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1, 16000,
+        16000 * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def tone_block_wav_stage(
+    df: DataFrame,
+    seed_col: str = "seed",
+    gain_col: str = "gain",
+    out_col: str = "media",
+) -> DataFrame:
+    """Render ``tone_block_wav`` per row (executor-side, Arrow-batched)."""
+    fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[fields].copy()
+            out[out_col] = [
+                tone_block_wav(s, int(g))
+                for s, g in zip(pdf[seed_col], pdf[gain_col])
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

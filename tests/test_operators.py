@@ -2734,3 +2734,45 @@ def test_image_near_dup_pairs(spark):
         for r in image_near_dup_pairs(df, "id", "media", max_hamming=2).collect()
     }
     assert got == {(0, 100, 0), (5, 105, 0), (9, 109, 0)}
+
+
+def test_audio_ehash_invariances():
+    from docling_eval_spark.operators.multimodal import (
+        audio_ehash,
+        tone_block_wav,
+        wav_encode,
+    )
+
+    import numpy as np
+
+    h = audio_ehash(tone_block_wav(42))
+    # uniform gain never changes the RMS ordering
+    assert audio_ehash(tone_block_wav(42, gain=2)) == h
+    # different seed → far in Hamming space
+    h2 = audio_ehash(tone_block_wav(43))
+    assert bin((h ^ h2) & (2**64 - 1)).count("1") > 10
+    # stereo with identical channels hashes like its mono twin
+    mono = np.linspace(-0.5, 0.5, 65 * 64)
+    stereo = np.stack([mono, mono], axis=-1)
+    assert audio_ehash(wav_encode(mono)) == audio_ehash(wav_encode(stereo))
+    # undecodable / too-short payloads → None
+    assert audio_ehash(b"not audio") is None
+    assert audio_ehash(wav_encode(np.zeros(10))) is None
+
+
+def test_audio_near_dup_pairs(spark):
+    from docling_eval_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        tone_block_wav,
+    )
+
+    rows = [(i, bytearray(tone_block_wav(i))) for i in range(15)]
+    for i in (1, 4):  # gain-doubled twins
+        rows.append((100 + i, bytearray(tone_block_wav(i, gain=2))))
+    rows.append((999, bytearray(b"corrupt")))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {
+        (r.id_l, r.id_r, r.hamming)
+        for r in audio_near_dup_pairs(df, "id", "media", max_hamming=2).collect()
+    }
+    assert got == {(1, 101, 0), (4, 104, 0)}
