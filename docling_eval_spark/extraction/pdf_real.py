@@ -42,6 +42,10 @@ _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 # content-stream tokens: strings, hex strings, numbers, names, operators
+# number-token classifier, precompiled: the tokenizer consults it once
+# per non-string token, which dominated the re-module cache lookups
+_CS_NUMBER_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
 _CS_TOKEN_RE = re.compile(
     rb"\((?:\\.|[^\\()])*\)"      # literal string (1-level; nested handled below)
     rb"|<[0-9A-Fa-f\s]*>"         # hex string
@@ -191,7 +195,7 @@ def _parse_content_stream(cs: bytes, page_no: int, page_h: float) -> list[Layout
             stack.append(bytes.fromhex(hexs.decode("ascii")))
         elif tok in (b"[", b"]"):
             pass  # TJ arrays: strings concatenate, kern numbers ignored
-        elif re.fullmatch(rb"[-+]?\d*\.?\d+", tok):
+        elif _CS_NUMBER_RE.fullmatch(tok):
             stack.append(float(tok))
         elif tok[:1] == b"/":
             stack.append(tok)
