@@ -5286,6 +5286,77 @@ def _q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup dedup over a binary AVI column, END TO END on
+    real decoded frames: render a deterministic 65-frame constant-gray
+    DIB AVI per doc (`multimodal.tone_block_avi`), add a
+    +10-brightness twin for every 10th doc, then AVI-decode →
+    per-frame mean intensity → temporal-energy hash → pigeonhole
+    Hamming-block join. The fixture's hash is ANALYTIC from the seed
+    (constant frames recover their gray level exactly), so the DuckDB
+    oracle recomputes the expected 64-bit hashes in SQL and replays
+    the pairing. Completes the near-dup hash family:
+    text (simhash) / image (dHash) / audio (energy) / video
+    (temporal)."""
+    from docling_eval_spark.operators.multimodal import (
+        tone_block_avi_stage,
+        video_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # 'v'-prefixed seeds: distinct hash values from the audio twin, so
+    # the two modality gates are independent evidence
+    seed = F.concat(F.lit("v"), F.col("doc_id").cast("string"))
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        seed.alias("seed"),
+        F.lit(0).alias("bright"),
+    )
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        seed.alias("seed"),
+        F.lit(10).alias("bright"),
+    )
+    rendered = tone_block_avi_stage(base.unionByName(twins))
+    return video_near_dup_pairs(rendered, "id", "media", max_hamming=2).select(
+        F.col("id_l").cast("long").alias("id_l"),
+        F.col("id_r").cast("long").alias("id_r"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def _sql_video_near_dups() -> str:
+    # Identical analytic shape to the audio oracle: 65 md5 frame
+    # values per id, bit j set iff v[j] > v[j+1] (brightness twins
+    # share the base's ordering); bit 63 is the sign bit.
+    return """
+WITH ids AS (
+  SELECT doc_id AS id, concat('v', CAST(doc_id AS VARCHAR)) AS seed
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, concat('v', CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id % 10 = 0
+), cells AS (
+  SELECT id, list_transform(range(65), k ->
+      CAST(('0x' || substr(md5(concat(seed, ':', k)), 1, 2)) AS INT) % 201
+  ) AS v
+  FROM ids
+), hashes AS (
+  SELECT id, CAST(list_aggregate(list_transform(range(64), j ->
+      CASE WHEN v[j + 1] > v[j + 2]
+           THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+           ELSE 0 END), 'sum') AS BIGINT) AS thash
+  FROM cells
+)
+SELECT a.id AS id_l, b.id AS id_r,
+       CAST(bit_count(xor(a.thash, b.thash)) AS INT) AS hamming
+FROM hashes a
+JOIN hashes b ON a.id < b.id
+WHERE bit_count(xor(a.thash, b.thash)) <= 2
+"""
+
+
 def _sql_audio_near_dups() -> str:
     # 65 analytic frame values per id (gain twins share the base's RMS
     # ordering), bit j set iff v[j] > v[j+1]; bit 63 is the sign bit.
@@ -5356,9 +5427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _with_pkg(_q_ann_recall),
         "image_near_dups": _with_pkg(_q_image_near_dups),
         "audio_near_dups": _with_pkg(_q_audio_near_dups),
+        "video_near_dups": _with_pkg(_q_video_near_dups),
         "duplicate_spans": _with_pkg(_q_duplicate_spans),
         "dedup_clean": _with_pkg(_q_dedup_clean),
-        "host_cap": _with_pkg(_q_host_cap),
         "script_profile": _with_pkg(_q_script_profile),
         "nfc_digests": _with_pkg(_q_nfc_digests),
         "page_rank": _with_pkg(_q_page_rank),
@@ -5399,15 +5470,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_census": _with_pkg(_q_template_census),
         "lang_confusion": _with_pkg(_q_lang_confusion),
         "compaction_groups": _with_pkg(_q_compaction_groups),
-        # canonical_urls/host_stats/winnow_fps/line_dedup are
-        # driver-green in r02 AND r03 — rotated just past the 50-slot
+        # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
+        # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
-        # (morton_layout, ann_recall, image_near_dups,
-        # audio_near_dups); their oracles still gate them locally
+        # (morton_layout, ann_recall, image/audio/video_near_dups);
+        # their oracles still gate them locally
         "canonical_urls": _with_pkg(_q_canonical_urls),
         "host_stats": _with_pkg(_q_host_stats),
         "winnow_fps": _with_pkg(_q_winnow_fps),
         "line_dedup": _with_pkg(_q_line_dedup),
+        "host_cap": _with_pkg(_q_host_cap),
         "event_type_counts": _with_pkg(_q_event_type_counts),
         "delta_histogram": _with_pkg(_q_delta_histogram),
         "histogram_cumsum": _with_pkg(_q_histogram_cumsum),
@@ -5533,6 +5605,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),
         "audio_near_dups": _sql_audio_near_dups(),
+        "video_near_dups": _sql_video_near_dups(),
         "contamination": _SQL_CONTAMINATION,
         "chunk_documents": _SQL_CHUNKS,
         "stratified_sample": _SQL_STRATIFIED,

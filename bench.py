@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "morton_layout",
     "image_near_dups",
     "audio_near_dups",
+    "video_near_dups",
 ]
 
 WARM_PASSES = 3

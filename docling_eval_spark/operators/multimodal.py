@@ -760,3 +760,122 @@ def tone_block_wav_stage(
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def video_thash(data: bytes) -> int | None:
+    """64-bit temporal-energy hash of a decodable AVI, else None.
+
+    The video member of the near-dup hash family (image dHash / audio
+    energy hash): per-frame mean intensity → 65 equal frame groups →
+    bit j (0..63) set iff energy[j] > energy[j+1]. Invariant to
+    uniform brightness shifts and any monotone intensity transform
+    that preserves the per-frame ordering; videos shorter than 65
+    frames hash None."""
+    import numpy as np
+
+    from docling_eval_spark.operators.avi_codec import avi_decode
+
+    try:
+        frames, _fps = avi_decode(data)
+    except Exception:
+        return None
+    if frames.shape[0] < 65:
+        return None
+    per_frame = frames.reshape(frames.shape[0], -1).mean(axis=1)
+    energy = np.array([float(g.mean()) for g in np.array_split(per_frame, 65)])
+    bits = energy[:-1] > energy[1:]
+    val = np.uint64(0)
+    one = np.uint64(1)
+    for j in np.nonzero(bits)[0]:
+        val |= one << np.uint64(j)
+    return int(val.astype(np.int64))
+
+
+def video_thash_stage(
+    df: DataFrame, binary_col: str = "media", out_col: str = "thash"
+) -> DataFrame:
+    """Append the temporal hash (nullable long) for a binary AVI column."""
+    fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[fields].copy()
+            out[out_col] = pd.array(
+                [
+                    video_thash(b) if b is not None else None
+                    for b in pdf[binary_col]
+                ],
+                dtype="Int64",
+            )
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str = "media",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate video pairs by temporal-hash Hamming distance —
+    same scale shape as the image/audio twins (one Arrow-batched
+    decode pass, eager checkpoint of the slim (id, hash) projection,
+    pigeonhole Hamming-block join). Undecodable payloads never pair."""
+    from docling_eval_spark.operators.dedup import simhash_near_pairs
+
+    import pyspark.sql.functions as F
+
+    sigs = (
+        video_thash_stage(df.select(id_col, binary_col), binary_col)
+        .filter(F.col("thash").isNotNull())
+        .select(F.col(id_col).cast("long").alias("id"), F.col("thash").alias("simhash"))
+    )
+    sigs = sigs.localCheckpoint(eager=True)  # decode once, not per branch
+    return simhash_near_pairs(sigs, max_hamming=max_hamming)
+
+
+def tone_block_avi(seed: str | int, brightness: int = 0) -> bytes:
+    """Deterministic 65-frame 8x8 DIB AVI whose temporal hash is
+    ANALYTIC: frame k is a constant gray level
+    ``int(md5(f"{seed}:{k}")[:2], 16) % 201 + brightness`` (mean
+    intensity recovers the value exactly), so the expected hash is
+    computable from the seed alone. ``brightness`` <= 54 never clips,
+    so a brightness-shifted twin has the identical hash — the video
+    analogue of the brightness-twin PNG / gain-twin WAV."""
+    import numpy as np
+
+    from docling_eval_spark.operators.avi_codec import avi_encode
+
+    frames = np.empty((65, 8, 8, 3), dtype=np.uint8)
+    for k in range(65):
+        v = int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:2], 16) % 201
+        frames[k] = v + brightness
+    return avi_encode(frames, fps=10.0, codec="dib")
+
+
+def tone_block_avi_stage(
+    df: DataFrame,
+    seed_col: str = "seed",
+    brightness_col: str = "bright",
+    out_col: str = "media",
+) -> DataFrame:
+    """Render ``tone_block_avi`` per row (executor-side, Arrow-batched)."""
+    fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[fields].copy()
+            out[out_col] = [
+                tone_block_avi(s, int(b))
+                for s, b in zip(pdf[seed_col], pdf[brightness_col])
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -2776,3 +2776,41 @@ def test_audio_near_dup_pairs(spark):
         for r in audio_near_dup_pairs(df, "id", "media", max_hamming=2).collect()
     }
     assert got == {(1, 101, 0), (4, 104, 0)}
+
+
+def test_video_thash_invariances():
+    from docling_eval_spark.operators.multimodal import (
+        tone_block_avi,
+        video_thash,
+    )
+
+    h = video_thash(tone_block_avi(42))
+    assert video_thash(tone_block_avi(42, brightness=10)) == h
+    h2 = video_thash(tone_block_avi(43))
+    assert bin((h ^ h2) & (2**64 - 1)).count("1") > 10
+    # undecodable / too-short payloads → None
+    assert video_thash(b"not a video") is None
+    import numpy as np
+
+    from docling_eval_spark.operators.avi_codec import avi_encode
+
+    short = avi_encode(np.zeros((4, 8, 8, 3), dtype=np.uint8))
+    assert video_thash(short) is None
+
+
+def test_video_near_dup_pairs(spark):
+    from docling_eval_spark.operators.multimodal import (
+        tone_block_avi,
+        video_near_dup_pairs,
+    )
+
+    rows = [(i, bytearray(tone_block_avi(i))) for i in range(10)]
+    for i in (2, 7):  # brightness twins
+        rows.append((100 + i, bytearray(tone_block_avi(i, brightness=5))))
+    rows.append((999, bytearray(b"corrupt")))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {
+        (r.id_l, r.id_r, r.hamming)
+        for r in video_near_dup_pairs(df, "id", "media", max_hamming=2).collect()
+    }
+    assert got == {(2, 102, 0), (7, 107, 0)}
