@@ -2279,6 +2279,48 @@ WHERE chunk_idx = 0 OR len(w) > 8
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing of whole documents into 200-token
+    training sequences, 4 shards by doc_id — the batch-assembly step
+    after chunking; the oracle replays the sequential per-shard fold
+    with a recursive CTE."""
+    from docling_eval_spark.operators.text_analysis import (
+        pack_sequences,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        token_count_col("text").cast("long").alias("n"),
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("shard"),
+    )
+    return pack_sequences(d, "doc_id", "n", capacity=200, shard_col="shard")
+
+
+_SQL_PACK = r"""
+WITH RECURSIVE items AS (
+  SELECT CAST(doc_id % 4 AS INTEGER) AS shard, doc_id AS id,
+         CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+              x -> x <> '')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM documents
+),
+fold AS (
+  SELECT shard, id, n, rn,
+         CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off, n AS fill
+  FROM items WHERE rn = 1
+  UNION ALL
+  SELECT i.shard, i.id, i.n, i.rn,
+         f.seq + (CASE WHEN f.fill + i.n > 200 THEN 1 ELSE 0 END),
+         CASE WHEN f.fill + i.n > 200 THEN 0 ELSE f.fill END,
+         CASE WHEN f.fill + i.n > 200 THEN i.n ELSE f.fill + i.n END
+  FROM fold f JOIN items i ON i.shard = f.shard AND i.rn = f.rn + 1
+)
+SELECT shard, id, seq AS seq_id, off AS seq_offset, n AS n_tokens
+FROM fold
+"""
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination scan (Brown et al. 2020 App. C style
     token-8-gram overlap): every 50th document plays the benchmark
@@ -5470,6 +5512,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_census": _with_pkg(_q_template_census),
         "lang_confusion": _with_pkg(_q_lang_confusion),
         "compaction_groups": _with_pkg(_q_compaction_groups),
+        # pack_sequences/dsir_sample registered after the window
+        # filled (position 51+): oracle-gated locally this round,
+        # rotate into the driver window next round
+        "pack_sequences": _with_pkg(_q_pack_sequences),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -5601,6 +5647,7 @@ def oracle_sql() -> dict[str, str]:
         "template_census": _SQL_TEMPLATE_CENSUS,
         "lang_confusion": _SQL_LANG_CONFUSION,
         "compaction_groups": _SQL_COMPACTION_GROUPS,
+        "pack_sequences": _SQL_PACK,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

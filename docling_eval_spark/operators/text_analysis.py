@@ -621,6 +621,95 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """(shard, id, seq_id, seq_offset, n_tokens): greedy next-fit
+    packing of documents into fixed-capacity training sequences — the
+    batch-assembly step AFTER ``chunk_documents``: concatenate whole
+    documents into context windows without splitting them, minimizing
+    pad waste (standard LM pretraining packing; next-fit, not
+    best-fit, so order — and therefore the result — is fully
+    deterministic).
+
+    Semantics per shard, over items sorted by id ascending: keep a
+    running fill; an item goes into the current sequence when
+    ``fill + size <= capacity``, else it OPENS a new sequence at
+    offset 0. An item larger than ``capacity`` gets a sequence of its
+    own (never split — splitting is ``chunk_documents``' job).
+
+    The fold is inherently sequential per shard, so it runs as a SQL
+    higher-order ``aggregate`` over the shard's sorted item list —
+    JVM-side, no Python, exactly the greedy-fold discipline of
+    ``evaluators/layout.greedy_match`` (reference parity: the packing
+    op has no reference twin; it extends the training-data surface).
+
+    Scale shape: ONE shuffle (hash agg on ``shard_col``). Per-shard
+    state is that shard's (id, size) list — the caller picks shard
+    granularity (e.g. ``pmod(hash(id), n)`` for ~10k docs/shard) so a
+    shard is a few hundred KB, same bounded-group contract as the
+    LSH bucket caps. Packing quality is unaffected by shard count:
+    every shard packs independently and sequences never span shards
+    (each shard's sequence ids are local to it)."""
+    items = df.groupBy(F.col(shard_col).alias("shard")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("long").alias("id"),
+                    F.col(size_col).cast("long").alias("n"),
+                )
+            )
+        ).alias("items")
+    )
+    state_t = "array<struct<id:bigint,seq:bigint,off:bigint,fill:bigint>>"
+
+    def step(acc: Column, x: Column) -> Column:
+        last = F.element_at(acc, -1)
+        opens = last["fill"] + x["n"] > capacity
+        nxt = F.when(
+            F.size(acc) == 0,
+            F.struct(
+                x["id"].alias("id"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit(0).cast("long").alias("off"),
+                x["n"].alias("fill"),
+            ),
+        ).otherwise(
+            F.struct(
+                x["id"].alias("id"),
+                (last["seq"] + opens.cast("long")).alias("seq"),
+                F.when(opens, F.lit(0).cast("long"))
+                .otherwise(last["fill"])
+                .alias("off"),
+                (
+                    F.when(opens, F.lit(0).cast("long")).otherwise(last["fill"])
+                    + x["n"]
+                ).alias("fill"),
+            )
+        )
+        return F.concat(acc, F.array(nxt))
+
+    folded = items.select(
+        "shard",
+        F.explode(
+            F.aggregate(F.col("items"), F.expr(f"CAST(array() AS {state_t})"), step)
+        ).alias("p"),
+    )
+    # n_tokens rides along via position: p.fill - p.off is the item's
+    # own size (fill always advances by exactly n)
+    return folded.select(
+        "shard",
+        F.col("p.id").alias("id"),
+        F.col("p.seq").alias("seq_id"),
+        F.col("p.off").alias("seq_offset"),
+        (F.col("p.fill") - F.col("p.off")).alias("n_tokens"),
+    )
+
+
 def _local_scratch_path(base: str) -> str | None:
     """Filesystem path for a local/file: scratch URI, else None
     (hdfs/s3/... — caller manages remote scratch)."""

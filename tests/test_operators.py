@@ -2814,3 +2814,35 @@ def test_video_near_dup_pairs(spark):
         for r in video_near_dup_pairs(df, "id", "media", max_hamming=2).collect()
     }
     assert got == {(2, 102, 0), (7, 107, 0)}
+
+
+def test_pack_sequences_greedy_next_fit(spark):
+    from docling_eval_spark.operators.text_analysis import pack_sequences
+
+    rows = [
+        # shard 0: 50+90 fit (140), 120 opens, +10 fits, 200 opens
+        (0, 50, 0), (2, 90, 0), (4, 120, 0), (6, 10, 0), (8, 200, 0),
+        # shard 1: oversize 300 gets its own bin even mid-stream
+        (1, 80, 1), (3, 300, 1), (5, 10, 1),
+        # shard 2: exact fit boundary 256 = capacity stays in-bin
+        (7, 200, 2), (9, 56, 2), (11, 1, 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n long, shard int")
+    got = {
+        (r.shard, r.id): (r.seq_id, r.seq_offset, r.n_tokens)
+        for r in pack_sequences(df, "doc_id", "n", 256, "shard").collect()
+    }
+    assert got == {
+        (0, 0): (0, 0, 50), (0, 2): (0, 50, 90),
+        (0, 4): (1, 0, 120), (0, 6): (1, 120, 10), (0, 8): (2, 0, 200),
+        (1, 1): (0, 0, 80), (1, 3): (1, 0, 300), (1, 5): (2, 0, 10),
+        (2, 7): (0, 0, 200), (2, 9): (0, 200, 56), (2, 11): (1, 0, 1),
+    }
+    # determinism under different input partitioning
+    got2 = {
+        (r.shard, r.id): (r.seq_id, r.seq_offset, r.n_tokens)
+        for r in pack_sequences(
+            df.repartition(7), "doc_id", "n", 256, "shard"
+        ).collect()
+    }
+    assert got2 == got
