@@ -2321,6 +2321,62 @@ FROM fold
 """
 
 
+def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram
+    importance weights ln(p_en/p_raw) over 512 buckets, integer
+    micro-nat doc scores, top-50 most-English-like documents. The
+    oracle replays the Horner token hash, the single-ln bucket
+    quantization, and the BIGINT score sum bit-for-bit."""
+    from docling_eval_spark.operators.training import dsir_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_topk(
+        d, "doc_id", "text", F.col("lang") == "en", k=50, buckets=512
+    )
+
+
+_SQL_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(list_filter(
+           string_split_regex(trim(text), '[ \t\n\r\f\v]+'), x -> x <> ''
+         ), x -> lower(x)) AS tk
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(u.t) + 1),
+             i -> CAST(unicode(substring(u.t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+           (a, b) -> (a * 1000003 + b) % 2147483647) % 512 AS INTEGER) AS bucket
+  FROM toks, LATERAL unnest(tk) AS u(t)
+),
+counts AS (
+  SELECT bucket, count(*) AS c_raw,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_tgt
+  FROM tok GROUP BY bucket
+),
+totals AS (SELECT sum(c_raw) AS tot_raw, sum(c_tgt) AS tot_tgt FROM counts),
+wts AS (
+  SELECT bucket,
+         CAST(round(ln(CAST((c_tgt + 1) * (tot_raw + 512) AS DOUBLE)
+                     / CAST((c_raw + 1) * (tot_tgt + 512) AS DOUBLE)) * 1e6)
+              AS BIGINT) AS w_micro
+  FROM counts, totals
+),
+scores AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(w.w_micro) AS score_micro
+  FROM tok t JOIN wts w USING (bucket) GROUP BY t.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro
+FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+ORDER BY score_micro DESC, id ASC
+LIMIT 50
+"""
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination scan (Brown et al. 2020 App. C style
     token-8-gram overlap): every 50th document plays the benchmark
@@ -5516,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filled (position 51+): oracle-gated locally this round,
         # rotate into the driver window next round
         "pack_sequences": _with_pkg(_q_pack_sequences),
+        "dsir_sample": _with_pkg(_q_dsir_sample),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -5648,6 +5705,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _SQL_LANG_CONFUSION,
         "compaction_groups": _SQL_COMPACTION_GROUPS,
         "pack_sequences": _SQL_PACK,
+        "dsir_sample": _SQL_DSIR,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

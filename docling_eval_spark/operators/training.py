@@ -130,3 +130,126 @@ def epoch_shard_stats(
             .alias("order_digest"),
         )
     )
+
+
+# -------------------------------------------------- importance resampling
+
+
+def dsir_bucket_weights(
+    df: DataFrame,
+    text_col: str,
+    target_pred: Column,
+    buckets: int = 512,
+    alpha: int = 1,
+) -> DataFrame:
+    """(bucket, w_micro): hashed-unigram importance weights — the
+    model-fitting half of Data Selection via Importance Resampling
+    (DSIR, Xie et al. 2023, public): estimate target and raw token
+    distributions over ``buckets`` hash buckets and emit the per-bucket
+    log-likelihood ratio ln(p_target/p_raw), Laplace-smoothed by
+    ``alpha``.
+
+    Integer-exact quantization, same rule as tf·idf's idf_micro: the
+    ratio is ONE double division of two exact integer products,
+    ln-quantized ONCE per bucket to BIGINT micro-nats — doc scores are
+    then pure integer sums, reproducible bit-for-bit in the DuckDB
+    oracle ([[round4-state]] rule: never hash a float quotient that
+    was accumulated across rows/engines; a single ln(int/int) per
+    bucket is the sanctioned shape).
+
+    Scale shape: ONE corpus pass — a single explode + hash agg on the
+    bucket key computes raw and target counts together (the target
+    count is a conditional sum, not a second scan); the totals ride
+    back via a broadcast of the 1-row agg. Output is at most
+    ``buckets`` rows — always broadcastable to the scorer. Buckets no
+    token hashes into are omitted: their smoothed weight is well-
+    defined but unreachable (no token can ever look one up).
+    """
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\v]+"), lambda x: x != ""),
+        lambda x: F.lower(x),
+    )
+    tok = df.select(
+        target_pred.cast("long").alias("is_t"), F.explode(toks).alias("tok")
+    ).select(
+        "is_t",
+        F.pmod(portable_char_hash(F.col("tok")), F.lit(buckets)).cast("int").alias("bucket"),
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.count("*").alias("c_raw"), F.sum("is_t").alias("c_tgt")
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("tot_raw"), F.sum("c_tgt").alias("tot_tgt")
+    )
+    a, b = int(alpha), int(buckets)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (
+                    (F.col("c_tgt") + F.lit(a)) * (F.col("tot_raw") + F.lit(a * b))
+                ).cast("double")
+                / (
+                    (F.col("c_raw") + F.lit(a)) * (F.col("tot_tgt") + F.lit(a * b))
+                ).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    buckets: int = 512,
+) -> DataFrame:
+    """(id, n_tokens, score_micro): per-document DSIR importance score
+    = Σ w_micro[bucket(token)] over token occurrences (BIGINT-exact).
+    Zero-token documents score 0 (they carry no evidence either way).
+
+    Scale shape: second corpus pass — explode + broadcast join against
+    the ≤``buckets``-row weight table + per-doc hash agg keyed on the
+    document id. No shuffle touches the weight side; the per-doc agg
+    is the one exchange."""
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\v]+"), lambda x: x != ""),
+        lambda x: F.lower(x),
+    )
+    tok = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).select(
+        "id",
+        F.pmod(portable_char_hash(F.col("tok")), F.lit(buckets)).cast("int").alias("bucket"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_micro").alias("score_micro"))
+    )
+    spine = df.select(F.col(id_col).alias("id"))
+    return spine.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    k: int,
+    buckets: int = 512,
+    alpha: int = 1,
+) -> DataFrame:
+    """Top-``k`` documents by DSIR importance score (ties broken by id
+    ascending — fully deterministic): the data-selection step that
+    picks raw-corpus documents most target-like for training. The
+    final top-k is a TakeOrderedAndProject (per-partition heaps + one
+    k-row merge at the driver), never a global sort."""
+    w = dsir_bucket_weights(df, text_col, target_pred, buckets, alpha)
+    s = dsir_scores(df, id_col, text_col, w, buckets)
+    return s.orderBy(F.col("score_micro").desc(), F.col("id").asc()).limit(k)

@@ -2846,3 +2846,37 @@ def test_pack_sequences_greedy_next_fit(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_dsir_weights_separate_target_vocab(spark):
+    """Buckets dominated by target-only tokens get positive weight,
+    raw-only buckets negative, and scoring ranks a target-like doc
+    above a raw-like one."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.training import (
+        dsir_bucket_weights,
+        dsir_scores,
+        dsir_topk,
+    )
+
+    rows = (
+        # target docs: pure "alpha beta" vocabulary
+        [(i, "alpha beta alpha beta", "en") for i in range(10)]
+        # raw-only docs: pure "gamma delta"
+        + [(100 + i, "gamma delta gamma delta", "zh") for i in range(10)]
+        # mixed doc + empty doc
+        + [(200, "alpha gamma", "zh"), (201, "", "zh")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = dsir_bucket_weights(df, "text", F.col("lang") == "en", buckets=64)
+    s = dsir_scores(df, "doc_id", "text", w, buckets=64)
+    by_id = {r.id: r for r in s.collect()}
+    assert by_id[201].score_micro == 0 and by_id[201].n_tokens == 0
+    assert by_id[0].score_micro > 0 > by_id[100].score_micro
+    # mixed doc sits strictly between
+    assert by_id[100].score_micro < by_id[200].score_micro < by_id[0].score_micro
+    top = dsir_topk(
+        df, "doc_id", "text", F.col("lang") == "en", k=10, buckets=64
+    ).collect()
+    assert [r.id for r in top] == list(range(10))  # ties broken by id asc
