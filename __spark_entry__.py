@@ -3140,6 +3140,66 @@ def _q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over the order→part
+    bipartite edge list, exact-integer mode: the oracle unrolls the
+    identical 4 alternating updates as chained CTEs and matches
+    bit-for-bit before the final round(6)."""
+    from docling_eval_spark.operators.web_ops import hits
+
+    edges = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    out = hits(edges, iterations=4)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _sql_hits(iterations: int = 4) -> str:
+    prev_h = "h0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""a{i} AS (
+  SELECT n.node, coalesce(s.s, 0) AS auth
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub) AS s
+    FROM ed e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+  ) s USING (node)
+),
+h{i} AS (
+  SELECT n.node, coalesce(s.s, 0) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.auth) AS s
+    FROM ed e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+  ) s USING (node)
+)"""
+        )
+        prev_h = f"h{i}"
+    chain = ",\n".join(iters)
+    k = iterations
+    return f"""
+WITH ed AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+),
+nodes AS (
+  SELECT src AS node FROM ed UNION SELECT dst FROM ed
+),
+h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
+{chain}
+SELECT n.node,
+       round(CASE WHEN (SELECT max(hub) FROM h{k}) > 0
+             THEN h.hub / (SELECT max(hub) FROM h{k}) ELSE 0 END, 6) AS hub,
+       round(CASE WHEN (SELECT max(auth) FROM a{k}) > 0
+             THEN a.auth / (SELECT max(auth) FROM a{k}) ELSE 0 END, 6) AS auth
+FROM nodes n JOIN h{k} h USING (node) JOIN a{k} a USING (node)
+"""
+
+
 def _sql_page_rank(iterations: int = 5, damping: float = 0.85) -> str:
     prev = "r0"
     iters = []
@@ -5573,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the driver window next round
         "pack_sequences": _with_pkg(_q_pack_sequences),
         "dsir_sample": _with_pkg(_q_dsir_sample),
+        "hits": _with_pkg(_q_hits),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -5706,6 +5767,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_groups": _SQL_COMPACTION_GROUPS,
         "pack_sequences": _SQL_PACK,
         "dsir_sample": _SQL_DSIR,
+        "hits": _sql_hits(),
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

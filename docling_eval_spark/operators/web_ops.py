@@ -1072,3 +1072,105 @@ def template_rollup(
             F.min(url_col).alias("sample_url"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 4,
+    normalize: str = "final",
+) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities (Kleinberg 1999, public)
+    over (src, dst) edges — PageRank's companion crawl-quality signal:
+    hubs are pages linking to many good authorities, authorities are
+    pages linked from many good hubs. Returns (node, hub, auth) for
+    every node on either edge side, each vector scaled to max 1.
+
+    Iteration k: auth_k(v) = Σ_{u→v} hub_{k-1}(u), then
+    hub_k(u) = Σ_{u→v} auth_k(v) — the standard alternating update;
+    parallel edges contribute their multiplicity (A^T A on the
+    multigraph, matching the adjacency-matrix form).
+
+    ``normalize="final"`` (default) skips per-iteration scaling: all
+    intermediate scores stay INTEGER-valued doubles (init 1, integer
+    sums — exact and order-independent below 2^53), and the single
+    final division by each vector's max is one float op per node on
+    identical operands in any engine, so the DuckDB oracle matches
+    bit-for-bit BEFORE rounding. Scores grow ~ (mean in-deg × mean
+    out-deg)^k; keep k small or degrees bounded (4 iterations on a
+    10^8-edge web graph with celebrity nodes of degree 10^6 can
+    exceed 2^53 — use ``normalize="l1"`` there, which rescales both
+    vectors to sum 1 every iteration at the cost of float determinism
+    across engines (values then agree only to rounding).
+
+    Scale shape per iteration: TWO keyed equi-joins (edges⋈hubs on
+    src, edges⋈auths on dst) + two map-side-combining sums — same
+    shape family as :func:`page_rank`, no collect, no driver state;
+    the edge and node frames are persisted once and the hub state is
+    localCheckpoint-ed every ``checkpoint_every`` iterations against
+    lineage blowup."""
+    if normalize not in ("final", "l1"):
+        raise ValueError("normalize must be 'final' or 'l1'")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ed = edges.select("src", "dst").persist()
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("auth", F.lit(0.0))
+    for it in range(iterations):
+        if it > 0 and checkpoint_every and it % checkpoint_every == 0:
+            hubs = hubs.localCheckpoint(eager=True)
+        a = (
+            ed.join(hubs, ed["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        auths = nodes.join(a, nodes["node"] == a["dst"], "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("auth")
+        )
+        h = (
+            ed.join(auths, ed["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        hubs = nodes.join(h, nodes["node"] == h["src"], "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("hub")
+        )
+        if normalize == "l1":
+            a_tot = auths.agg(F.sum("auth").alias("ta"))
+            h_tot = hubs.agg(F.sum("hub").alias("th"))
+            auths = auths.crossJoin(F.broadcast(a_tot)).select(
+                "node",
+                F.when(F.col("ta") > 0, F.col("auth") / F.col("ta"))
+                .otherwise(F.lit(0.0))
+                .alias("auth"),
+            )
+            hubs = hubs.crossJoin(F.broadcast(h_tot)).select(
+                "node",
+                F.when(F.col("th") > 0, F.col("hub") / F.col("th"))
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+            )
+    maxes = hubs.agg(F.max("hub").alias("mh")).crossJoin(
+        auths.agg(F.max("auth").alias("ma"))
+    )
+    out = (
+        hubs.join(auths, "node")
+        .crossJoin(F.broadcast(maxes))
+        .select(
+            "node",
+            F.when(F.col("mh") > 0, F.col("hub") / F.col("mh"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+            F.when(F.col("ma") > 0, F.col("auth") / F.col("ma"))
+            .otherwise(F.lit(0.0))
+            .alias("auth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
+    ed.unpersist()
+    return out

@@ -2880,3 +2880,29 @@ def test_dsir_weights_separate_target_vocab(spark):
         df, "doc_id", "text", F.col("lang") == "en", k=10, buckets=64
     ).collect()
     assert [r.id for r in top] == list(range(10))  # ties broken by id asc
+
+
+def test_hits_hand_graph_exact(spark):
+    """Two hubs, two authorities, worked by hand for 2 iterations:
+    h1→{a1,a2}, h2→{a1} ⇒ auth a1=5, a2=3; hub h1=8, h2=5 (exact
+    integer mode) → normalized (1, .625) hubs and (1, .6) auths."""
+    from docling_eval_spark.operators.web_ops import hits
+
+    edges = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], "src string, dst string"
+    )
+    got = {r.node: (r.hub, r.auth) for r in hits(edges, iterations=2).collect()}
+    assert got == {
+        "h1": (1.0, 0.0),
+        "h2": (0.625, 0.0),
+        "a1": (0.0, 1.0),
+        "a2": (0.0, 0.6),
+    }
+    # l1 mode ranks identically (same fixed point direction)
+    l1 = {r.node: (r.hub, r.auth) for r in
+          hits(edges, iterations=2, normalize="l1").collect()}
+    assert l1["h1"][0] > l1["h2"][0] > 0 and l1["a1"][1] > l1["a2"][1] > 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hits(edges, normalize="l2")
