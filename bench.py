@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "image_near_dups",
     "audio_near_dups",
     "video_near_dups",
+    "pack_sequences",
+    "dsir_sample",
+    "hits",
 ]
 
 WARM_PASSES = 3
