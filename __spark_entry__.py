@@ -3140,6 +3140,46 @@ def _q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (XLM alpha-smoothing, α=0.5)
+    over the lang column, budget 200 — head lang downsampled, tail
+    kept; integer-exact cross-multiplied selection the oracle replays
+    bit-for-bit (sqrt is IEEE-correctly-rounded in both engines)."""
+    from docling_eval_spark.operators.web_ops import temperature_mix_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix_sample(d, "lang", "doc_id", budget=200, alpha=0.5)
+
+
+_SQL_TEMPERATURE_MIX = r"""
+WITH counts AS (SELECT lang AS k, count(*) AS n FROM documents GROUP BY lang),
+sized AS (
+  SELECT k, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s
+  FROM counts
+),
+tot AS (SELECT sum(s) AS stot FROM sized),
+rates AS (
+  SELECT k,
+         CAST(stot AS HUGEINT) * CAST(n AS HUGEINT) AS den,
+         CAST(2147483647 AS HUGEINT) * CAST(200 AS HUGEINT)
+           * CAST(s AS HUGEINT) AS num
+  FROM sized, tot
+),
+h AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, 33),
+             i -> CAST(unicode(substring(md5(CAST(doc_id AS VARCHAR)),
+                                         CAST(i AS INTEGER), 1)) AS BIGINT))),
+           (a, b) -> (a * 1000003 + b) % 2147483647) AS hv
+  FROM documents
+)
+SELECT h.doc_id, h.lang
+FROM h JOIN rates r ON h.lang = r.k
+WHERE CAST(h.hv AS HUGEINT) * r.den < r.num
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -5634,6 +5674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _with_pkg(_q_pack_sequences),
         "dsir_sample": _with_pkg(_q_dsir_sample),
         "hits": _with_pkg(_q_hits),
+        "temperature_mix": _with_pkg(_q_temperature_mix),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -5768,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK,
         "dsir_sample": _SQL_DSIR,
         "hits": _sql_hits(),
+        "temperature_mix": _SQL_TEMPERATURE_MIX,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "dsir_sample",
     "hits",
+    "temperature_mix",
 ]
 
 WARM_PASSES = 3

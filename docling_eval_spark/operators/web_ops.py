@@ -1174,3 +1174,74 @@ def hits(
     nodes.unpersist()
     ed.unpersist()
     return out
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual/domain
+    rebalancing rule of XLM, Conneau & Lample 2019, public): sample
+    domain ``d`` at a rate ∝ p_d^alpha / p_d, flattening the domain
+    distribution so head domains are downsampled and tail domains
+    kept — expected output size = ``budget`` rows. Unlike
+    :func:`stratified_sample` the per-domain rates are COMPUTED from
+    the observed counts, not supplied.
+
+    Fully deterministic and integer-exact: with s_d =
+    round(n_d^alpha · 1e6) quantized ONCE per domain (for the default
+    alpha = 0.5 the pow is an IEEE sqrt — bit-exact in every engine)
+    and S = Σ s_d (BIGINT), a row survives iff
+
+        h(id) · S · n_d  <  M · budget · s_d
+
+    — the cross-multiplied form of h/M < budget·q_d/n_d with
+    q_d = s_d/S, evaluated in DECIMAL(38,0)/int128 so there is NO
+    division, NO float comparison, and no overflow below ~10^38
+    (h·S·n_d ≈ 10^35 even at 10^12 docs/domain); rates ≥ 1 keep every
+    row automatically since h < M always. h is the md5-Horner uniform
+    shared with ``stratified_sample``.
+
+    Scale shape: one count agg over the key (domains are bounded),
+    the ≤|domains|-row rate table broadcasts back, and selection is a
+    pure filter — zero corpus shuffle."""
+    from docling_eval_spark.operators.text_analysis import _FP_BASE, _FP_MOD
+
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count("*").alias("__n")
+    )
+    # alpha = 0.5 routes through IEEE-754 sqrt (correctly rounded by
+    # the standard, so bit-exact in every engine); pow() only promises
+    # 1-ulp accuracy and may differ between libm implementations
+    powed = (
+        F.sqrt(F.col("__n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    s_d = F.round(powed * 1e6).cast("long").alias("__s")
+    sized = counts.select("__k", "__n", s_d)
+    tot = sized.agg(F.sum("__s").alias("__stot"))
+    dec = "decimal(38,0)"
+    rates = sized.crossJoin(F.broadcast(tot)).select(
+        "__k",
+        (F.col("__stot").cast(dec) * F.col("__n").cast(dec)).alias("__den"),
+        (
+            F.lit(int(_FP_MOD)).cast(dec)
+            * F.lit(int(budget)).cast(dec)
+            * F.col("__s").cast(dec)
+        ).alias("__num"),
+    )
+    h = F.aggregate(
+        F.split(F.md5(F.col(id_col).cast("string")), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * _FP_BASE + F.ascii(ch), F.lit(_FP_MOD)),
+    )
+    out = (
+        df.withColumn("__h", h)
+        .join(F.broadcast(rates), F.col(key_col) == F.col("__k"))
+        .filter(F.col("__h").cast(dec) * F.col("__den") < F.col("__num"))
+    )
+    return out.drop("__k", "__h", "__den", "__num")

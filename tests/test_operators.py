@@ -2906,3 +2906,31 @@ def test_hits_hand_graph_exact(spark):
 
     with _pt.raises(ValueError):
         hits(edges, normalize="l2")
+
+
+def test_temperature_mix_flattens_head_domain(spark):
+    from docling_eval_spark.operators.web_ops import temperature_mix_sample
+
+    # head domain 800 rows, tail 50 — alpha=0.5 keeps a LARGER share
+    # of the tail than of the head
+    rows = [(i, "head") for i in range(800)] + [
+        (1000 + i, "tail") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = temperature_mix_sample(df, "dom", "doc_id", budget=200, alpha=0.5)
+    got = {r[0]: r[1] for r in out.groupBy("dom").count().collect()}
+    n_head, n_tail = got.get("head", 0), got.get("tail", 0)
+    # expected ~169 head (rate .21) and ~42 tail (rate .84)
+    assert 120 <= n_head <= 220 and 25 <= n_tail <= 50
+    assert n_tail / 50 > n_head / 800  # flattening
+    assert abs((n_head + n_tail) - 200) < 60  # budget in expectation
+    # deterministic under repartitioning
+    out2 = temperature_mix_sample(
+        df.repartition(5), "dom", "doc_id", budget=200, alpha=0.5
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+    # rate >= 1 keeps every row (tiny corpus, big budget)
+    tiny = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, dom string")
+    assert temperature_mix_sample(tiny, "dom", "doc_id", budget=10).count() == 2
