@@ -3180,6 +3180,79 @@ WHERE CAST(h.hv AS HUGEINT) * r.den < r.num
 """
 
 
+def _q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style deterministic span corruption (block=20, span=3 →
+    15 % corruption rate) over the documents table: input text with
+    per-block sentinels, dropped spans as the target sequence. The
+    oracle replays the per-block Horner offset and the exact splice
+    token-for-token."""
+    from docling_eval_spark.operators.training import span_corrupt
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corrupt(d, "doc_id", "text", block=20, span=3)
+
+
+_SQL_SPAN_CORRUPT = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+base AS (
+  SELECT id, tk, len(tk) AS n,
+         CASE WHEN len(tk) > 0
+              THEN range(0, CAST((len(tk) - 1) // 20 AS INTEGER) + 1)
+              ELSE CAST([] AS BIGINT[]) END AS blocks
+  FROM toks
+),
+blk AS (SELECT id, n, tk, unnest(blocks) AS b FROM base),
+per AS (
+  SELECT id, n, b,
+         list_slice(tk, b * 20 + 1, b * 20 + 20) AS btoks,
+         least(n - b * 20, 20) AS blen,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               range(1, length(CAST(id AS VARCHAR) || ':'
+                               || CAST(b AS VARCHAR)) + 1),
+               j -> CAST(unicode(substring(CAST(id AS VARCHAR) || ':'
+                                 || CAST(b AS VARCHAR),
+                                 CAST(j AS INTEGER), 1)) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647)
+           % 18 AS INTEGER) AS off
+  FROM blk
+),
+made AS (
+  SELECT id, n, b,
+         CASE WHEN blen >= off + 3 THEN
+           list_slice(btoks, 1, off)
+             || ['<extra_id_' || CAST(b AS VARCHAR) || '>']
+             || list_slice(btoks, off + 4, blen)
+         ELSE btoks END AS inp,
+         CASE WHEN blen >= off + 3 THEN
+           ['<extra_id_' || CAST(b AS VARCHAR) || '>']
+             || list_slice(btoks, off + 1, off + 3)
+         ELSE CAST([] AS VARCHAR[]) END AS tgt
+  FROM per
+),
+agg AS (
+  SELECT id,
+         array_to_string(flatten(list(inp ORDER BY b)), ' ') AS input_text,
+         array_to_string(flatten(list(tgt ORDER BY b)), ' ') AS target_text
+  FROM made GROUP BY id
+)
+SELECT base.id AS id,
+       CAST(base.n AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN coalesce(a.target_text, '') = '' THEN 0
+            ELSE len(list_filter(string_split(a.target_text, ' '),
+                     x -> NOT starts_with(x, '<extra_id_'))) END
+            AS BIGINT) AS n_masked,
+       coalesce(a.input_text, '') AS input_text,
+       coalesce(a.target_text, '') AS target_text
+FROM base LEFT JOIN agg a ON base.id = a.id
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -5675,6 +5748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _with_pkg(_q_dsir_sample),
         "hits": _with_pkg(_q_hits),
         "temperature_mix": _with_pkg(_q_temperature_mix),
+        "span_corrupt": _with_pkg(_q_span_corrupt),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -5810,6 +5884,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": _SQL_DSIR,
         "hits": _sql_hits(),
         "temperature_mix": _SQL_TEMPERATURE_MIX,
+        "span_corrupt": _SQL_SPAN_CORRUPT,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

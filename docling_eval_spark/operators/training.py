@@ -253,3 +253,119 @@ def dsir_topk(
     w = dsir_bucket_weights(df, text_col, target_pred, buckets, alpha)
     s = dsir_scores(df, id_col, text_col, w, buckets)
     return s.orderBy(F.col("score_micro").desc(), F.col("id").asc()).limit(k)
+
+
+# ---------------------------------------------------- span corruption
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block: int = 20,
+    span: int = 3,
+) -> DataFrame:
+    """(id, n_tokens, n_masked, input_text, target_text): T5-style
+    span-corruption data prep (Raffel et al. 2020 §3.1.4, public) —
+    mask one ``span``-token span per ``block`` consecutive tokens
+    (≈ span/block corruption rate; 3/20 = T5's 15 %), replace each
+    masked span in the input with a sentinel token and emit the
+    dropped tokens after their sentinel as the target sequence.
+
+    DETERMINISTIC, no RNG: the span offset inside block ``b`` of
+    document ``id`` is ``horner(id:b) mod (block - span + 1)`` — the
+    repo's portable hash family, so every engine (and the DuckDB
+    oracle) reproduces the identical corruption, and a retried task
+    regenerates byte-identical training rows. A trailing partial
+    block too short for a full span is left unmasked. Sentinels are
+    ``<extra_id_B>`` keyed by block index (documented deviation from
+    T5's consecutively-numbered sentinels: per-block numbering needs
+    no cross-block scan and is equally learnable).
+
+    Scale shape: zero shuffle — pure per-row column algebra (tokenize
+    once, one HOF transform over blocks, two flattens); the hot loop
+    never leaves whole-stage codegen."""
+    from docling_eval_spark.functions import let_col
+    from docling_eval_spark.operators.text_analysis import (
+        portable_char_hash,
+        tokens_col,
+    )
+
+    if span >= block:
+        raise ValueError("span must be < block")
+    width = block - span + 1
+    idc = F.col(id_col)
+
+    def over_toks(tk: Column) -> Column:
+        n = F.size(tk)
+        blocks = F.when(
+            n > 0, F.sequence(F.lit(0), F.floor((n - 1) / block).cast("int"))
+        ).otherwise(F.array().cast("array<int>"))
+
+        def parts(b: Column) -> Column:
+            base = b * block  # 0-based start of this block
+            blen = F.least(n - base, F.lit(block))
+            btoks = F.slice(tk, base + 1, block)
+            off = F.pmod(
+                portable_char_hash(
+                    F.concat(idc.cast("string"), F.lit(":"), b.cast("string"))
+                ),
+                F.lit(width),
+            ).cast("int")
+            fits = blen >= off + span
+            sentinel = F.concat(
+                F.lit("<extra_id_"), b.cast("string"), F.lit(">")
+            )
+            inp = F.when(
+                fits,
+                F.concat(
+                    F.slice(btoks, 1, off),
+                    F.array(sentinel),
+                    # slice() errors on negative length under ANSI;
+                    # clamp via greatest for spans ending at blen
+                    F.slice(
+                        btoks,
+                        off + span + 1,
+                        F.greatest(blen - (off + span), F.lit(0)),
+                    ),
+                ),
+            ).otherwise(F.slice(btoks, 1, blen))
+            tgt = F.when(
+                fits,
+                F.concat(F.array(sentinel), F.slice(btoks, off + 1, span)),
+            ).otherwise(F.array().cast("array<string>"))
+            return F.struct(inp.alias("i"), tgt.alias("t"))
+
+        made = F.transform(blocks, parts)
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.array_join(
+                F.flatten(F.transform(made, lambda p: p["i"])), " "
+            ).alias("input_text"),
+            F.array_join(
+                F.flatten(F.transform(made, lambda p: p["t"])), " "
+            ).alias("target_text"),
+        )
+
+    out = df.select(
+        idc.alias("id"), let_col(tokens_col(text_col), over_toks).alias("r")
+    )
+    n_masked = (
+        F.size(F.split(F.col("r.target_text"), " "))
+        - F.size(
+            F.filter(
+                F.split(F.col("r.target_text"), " "),
+                lambda x: x.startswith("<extra_id_"),
+            )
+        )
+    )
+    return out.select(
+        "id",
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.when(F.col("r.target_text") == "", F.lit(0))
+        .otherwise(n_masked)
+        .cast("long")
+        .alias("n_masked"),
+        F.col("r.input_text").alias("input_text"),
+        F.col("r.target_text").alias("target_text"),
+    )

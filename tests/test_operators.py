@@ -2934,3 +2934,62 @@ def test_temperature_mix_flattens_head_domain(spark):
     # rate >= 1 keeps every row (tiny corpus, big budget)
     tiny = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, dom string")
     assert temperature_mix_sample(tiny, "dom", "doc_id", budget=10).count() == 2
+
+
+def test_span_corrupt_roundtrip_and_rate(spark):
+    from docling_eval_spark.operators.training import span_corrupt
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),   # 5 full blocks
+        (2, " ".join(f"w{i}" for i in range(37))),    # partial tail block
+        (3, "only two"),                              # block shorter than span+off (maybe)
+        (4, ""),                                      # empty
+        (5, " ".join(f"w{i}" for i in range(20))),    # exactly one block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in span_corrupt(df, "doc_id", "text").collect()}
+
+    assert out[4].n_tokens == 0 and out[4].n_masked == 0
+    assert out[4].input_text == "" and out[4].target_text == ""
+
+    for did, text in rows:
+        orig = text.split()
+        r = out[did]
+        assert r.n_tokens == len(orig)
+        inp = r.input_text.split() if r.input_text else []
+        tgt = r.target_text.split() if r.target_text else []
+        # parse target into {sentinel: [tokens...]}
+        spans, cur = {}, None
+        for t in tgt:
+            if t.startswith("<extra_id_"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        # every masked span is exactly `span` tokens
+        assert all(len(v) == 3 for v in spans.values())
+        assert r.n_masked == 3 * len(spans)
+        # splice targets back into input -> original token stream
+        rebuilt = []
+        for t in inp:
+            if t.startswith("<extra_id_"):
+                rebuilt.extend(spans[t])
+            else:
+                rebuilt.append(t)
+        assert rebuilt == orig
+        # corruption rate: every FULL block is masked once
+        assert len(spans) >= len(orig) // 20
+
+    # deterministic under repartitioning (no RNG anywhere)
+    out2 = {
+        r.id: r
+        for r in span_corrupt(df.repartition(7), "doc_id", "text").collect()
+    }
+    assert {k: (v.input_text, v.target_text) for k, v in out.items()} == {
+        k: (v.input_text, v.target_text) for k, v in out2.items()
+    }
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        span_corrupt(df, "doc_id", "text", block=3, span=3)
