@@ -3253,6 +3253,46 @@ FROM base LEFT JOIN agg a ON base.id = a.id
 """
 
 
+def _q_term_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-words gate, audit mode: per (lang, source) cell,
+    documents blocked by a whole-token case-insensitive blocklist vs
+    kept — the content-filter accounting a corpus release publishes."""
+    from docling_eval_spark.operators.text_analysis import term_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    flagged = term_filter(d, ["slow", "hash", "shuffle"], keep=True)
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+            F.min(F.when(F.col("blocked"), F.col("doc_id"))).alias(
+                "first_blocked_id"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_TERM_FILTER = r"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         len(list_filter(
+               list_transform(
+                 list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                             x -> x <> ''),
+                 x -> lower(x)),
+               x -> x IN ('hash', 'shuffle', 'slow'))) > 0 AS blocked
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       min(CASE WHEN blocked THEN doc_id END) AS first_blocked_id
+FROM f GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -5749,6 +5789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _with_pkg(_q_hits),
         "temperature_mix": _with_pkg(_q_temperature_mix),
         "span_corrupt": _with_pkg(_q_span_corrupt),
+        "term_filter": _with_pkg(_q_term_filter),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -5885,6 +5926,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _sql_hits(),
         "temperature_mix": _SQL_TEMPERATURE_MIX,
         "span_corrupt": _SQL_SPAN_CORRUPT,
+        "term_filter": _SQL_TERM_FILTER,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

@@ -1491,3 +1491,49 @@ def dedup_sentences_col(
         ),
     )
     return F.array_join(sents, " ")
+
+
+# ---------------------------------------------------- term blocklist
+
+
+def term_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    keep: bool = False,
+    flag_name: str = "blocked",
+) -> DataFrame:
+    """C4-style "bad words" content gate (Raffel et al. 2020 §2.2,
+    public): a document is blocked when ANY whitespace token equals a
+    blocklist term (case-insensitive whole-token match — the C4 rule,
+    not substring match, so 'class' never trips a 'lass' entry).
+
+    ``keep=False`` (default) drops blocked documents; ``keep=True``
+    instead returns every row with a boolean ``flag_name`` column for
+    audit counts.
+
+    Scale shape: the blocklist rides along as an array literal in the
+    plan (broadcast-by-value, no join, no shuffle); the token scan is
+    one ``arrays_overlap`` inside whole-stage codegen. At 100 TB this
+    is a pure narrow map over the corpus — the blocklist (thousands of
+    terms) stays far below literal-size limits; for 10^6+ term lists
+    switch to a broadcast-join on exploded tokens instead.
+
+    Reference scope: DS4SD/docling-eval has no corpus content filter
+    (its filters are label/status gates, e.g. docling_eval/cli/main.py
+    dataset filtering); C4 parity is pipeline capability beyond the
+    reference surface.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lowered = sorted({t.lower() for t in terms})
+    hit = F.coalesce(
+        F.arrays_overlap(
+            F.transform(tokens_col(text_col), lambda x: F.lower(x)),
+            F.array(*[F.lit(t) for t in lowered]),
+        ),
+        F.lit(False),  # NULL text has no tokens -> never blocked
+    )
+    if keep:
+        return df.withColumn(flag_name, hit)
+    return df.filter(~hit)

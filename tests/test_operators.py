@@ -2993,3 +2993,33 @@ def test_span_corrupt_roundtrip_and_rate(spark):
 
     with _pt.raises(ValueError):
         span_corrupt(df, "doc_id", "text", block=3, span=3)
+
+
+def test_term_filter_whole_token_case_insensitive(spark):
+    from docling_eval_spark.operators.text_analysis import term_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the SLOW fox"),        # case-insensitive hit
+            (2, "all good here"),       # clean
+            (3, "slowly does it"),      # substring must NOT trip
+            (4, None),                  # null text -> kept
+            (5, "tab\tslow\nnewline"),  # any whitespace delimiter
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in term_filter(df, ["Slow", "bad"]).collect())
+    assert kept == [2, 3, 4]
+    flags = {
+        r.doc_id: r.blocked
+        for r in term_filter(df, ["slow"], keep=True).collect()
+    }
+    assert flags == {1: True, 2: False, 3: False, 4: False, 5: True}
+    # blocklist rides as a literal: no shuffle, no Python in the plan
+    plan = term_filter(df, ["slow"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        term_filter(df, [])
