@@ -3293,6 +3293,71 @@ FROM f GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction (Sennrich 2016): the first
+    8 merge rules learned from the documents corpus. One corpus-scale
+    counting shuffle, then every iteration runs over the small word
+    table; the oracle unrolls all 8 iterations (pair counts → argmax
+    with the freq-desc/lexicographic tie-break → greedy leftmost
+    fold) as CTEs."""
+    from docling_eval_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return bpe_train(d, merges=8)
+
+
+def _sql_bpe(k: int = 8) -> str:
+    parts = [
+        r"""WITH w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         chr(31) || array_to_string(
+           list_transform(range(1, length(word) + 1),
+             j -> substring(word, CAST(j AS INTEGER), 1)), chr(31))
+           || chr(31) || '</w>' AS s
+  FROM (SELECT lower(unnest(list_filter(
+          string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+          x -> x <> ''))) AS word FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", s{i} AS (
+  SELECT word, freq,
+         list_filter(string_split(s, chr(31)), x -> x <> '') AS sy
+  FROM w{i - 1}
+), p{i} AS (
+  SELECT struct_extract(pr, 'l') AS l, struct_extract(pr, 'r') AS r,
+         CAST(sum(freq) AS BIGINT) AS freq
+  FROM (SELECT freq,
+          unnest(list_transform(range(1, len(sy)),
+            j -> {{'l': list_extract(sy, CAST(j AS INTEGER)),
+                   'r': list_extract(sy, CAST(j + 1 AS INTEGER))}})) AS pr
+        FROM s{i})
+  GROUP BY 1, 2
+), t{i} AS (
+  SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
+)"""
+        )
+        if i < k:
+            parts.append(
+                f""", w{i} AS (
+  SELECT w.word AS word, w.freq AS freq,
+         list_reduce(list_prepend('', w.sy),
+           (acc, x) -> CASE WHEN ends_with(acc, chr(31) || t.l) AND x = t.r
+                            THEN acc || x
+                            ELSE acc || chr(31) || x END) AS s
+  FROM s{i} w CROSS JOIN t{i} t
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f'SELECT {i} AS "rank", l AS "left", r AS "right",'
+        f' l || r AS merged, freq FROM t{i}'
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -5790,6 +5855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _with_pkg(_q_temperature_mix),
         "span_corrupt": _with_pkg(_q_span_corrupt),
         "term_filter": _with_pkg(_q_term_filter),
+        "bpe_merges": _with_pkg(_q_bpe_merges),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -5927,6 +5993,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _SQL_TEMPERATURE_MIX,
         "span_corrupt": _SQL_SPAN_CORRUPT,
         "term_filter": _SQL_TERM_FILTER,
+        "bpe_merges": _sql_bpe(8),
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

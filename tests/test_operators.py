@@ -3023,3 +3023,61 @@ def test_term_filter_whole_token_case_insensitive(spark):
 
     with _pt.raises(ValueError):
         term_filter(df, [])
+
+
+def test_bpe_train_sennrich_example(spark):
+    from docling_eval_spark.operators.bpe import bpe_encode, bpe_train
+
+    # the worked example from Sennrich et al. 2016 (public): vocab
+    # low:5 lower:2 newest:6 widest:3 -> first merges build 'est</w>'
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    m = bpe_train(df, merges=5).collect()
+    got = [(r.rank, r.left, r.right, r.freq) for r in m]
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "est", "</w>", 9),
+        (4, "l", "o", 7),
+        (5, "lo", "w", 7),
+    ]
+    # encode with the learned rules: 'low' fully merges, 'lower' not
+    rules = [(r.left, r.right) for r in m]
+    enc = bpe_encode(
+        spark.createDataFrame([(1, "low lower")], "doc_id long, text string"),
+        rules,
+    )
+    assert enc.first().bpe_tokens == ["low", "</w>", "low", "e", "r", "</w>"]
+    # deterministic under partitioning (tie-break is total)
+    m2 = bpe_train(df.repartition(6), merges=5).collect()
+    assert [(r.rank, r.left, r.right, r.freq) for r in m2] == got
+
+
+def test_bpe_train_early_stop_and_greedy_fold(spark):
+    from docling_eval_spark.operators.bpe import bpe_train
+
+    # single 1-char word: chars + </w> give exactly one pair, then
+    # the fully-merged symbol has no pairs left -> early stop
+    df = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    m = bpe_train(df, merges=10).collect()
+    assert [(r.rank, r.merged) for r in m] == [(1, "a</w>")]
+
+    # greedy leftmost non-overlap: 'aaaa' with merge (a,a) -> aa|aa,
+    # never the regex-scan artifact aa|a|a
+    df2 = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    m2 = bpe_train(df2, merges=2).collect()
+    assert (m2[0].left, m2[0].right, m2[0].freq) == ("a", "a", 9)
+    # after merging (a,a) greedily, each word is [aa, aa, </w>]
+    # (NOT the regex-scan artifact [aa, a, a]): rank-2 candidates are
+    # (aa,aa) and (aa,</w>) both at freq 3 — the lexicographic
+    # tie-break picks (aa,</w>) since '<' sorts before 'a'
+    assert (m2[1].left, m2[1].right, m2[1].freq) == ("aa", "</w>", 3)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bpe_train(df, merges=0)
