@@ -3358,6 +3358,98 @@ def _sql_bpe(k: int = 8) -> str:
     return "".join(parts) + "\n" + union
 
 
+def _q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style deterministic MLM masking over documents: 15 %
+    selection, 80/10/10 mask/random/keep, random replacements drawn
+    from the top-8 corpus tokens (freq desc, token asc — computed
+    first, rides as a literal). The oracle replays every per-position
+    hash decision and the vocab derivation."""
+    from docling_eval_spark.operators.text_analysis import tokens_col
+    from docling_eval_spark.operators.training import mlm_mask
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = [
+        r.w
+        for r in d.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(8)
+        .collect()
+    ]
+    return mlm_mask(d, "doc_id", vocab)
+
+
+_SQL_MLM = r"""
+WITH vocab AS (
+  SELECT list(word ORDER BY cnt DESC, word) AS vs
+  FROM (
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(list_filter(
+            string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+            x -> x <> '')) AS word FROM documents)
+    GROUP BY word ORDER BY cnt DESC, word LIMIT 8
+  )
+),
+docs AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+per AS (
+  SELECT id, tk, unnest(range(1, len(tk) + 1)) AS i FROM docs
+),
+hashed AS (
+  SELECT id, i, list_extract(tk, CAST(i AS INTEGER)) AS tok,
+         (h0 * h0) % 2147483647 AS h
+  FROM (
+    SELECT id, i, tk,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          range(1, length(CAST(id AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)) + 1),
+          j -> CAST(unicode(substring(CAST(id AS VARCHAR) || ':'
+                            || CAST(i AS VARCHAR),
+                            CAST(j AS INTEGER), 1)) AS BIGINT))),
+        (acc, x) -> (acc * 1000003 + x) % 2147483647) AS h0
+    FROM per
+  )
+),
+decided AS (
+  SELECT id, i, tok,
+         h % 100 < 15 AS selected,
+         (h // 100) % 10 AS branch,
+         (h // 1000) % 8 + 1 AS vidx
+  FROM hashed
+),
+masked AS (
+  SELECT d.id, d.i,
+         CASE WHEN NOT d.selected THEN d.tok
+              WHEN d.branch < 8 THEN '[MASK]'
+              WHEN d.branch = 8 THEN list_extract(v.vs, CAST(d.vidx AS INTEGER))
+              ELSE d.tok END AS m,
+         CASE WHEN d.selected
+              THEN CAST(d.i AS VARCHAR) || ':' || d.tok END AS lb
+  FROM decided d CROSS JOIN vocab v
+),
+agg AS (
+  SELECT id,
+         array_to_string(list(m ORDER BY i), ' ') AS masked_text,
+         array_to_string(list(lb ORDER BY i) FILTER (lb IS NOT NULL), ' ')
+           AS labels,
+         CAST(count(*) FILTER (lb IS NOT NULL) AS BIGINT) AS n_selected
+  FROM masked GROUP BY id
+)
+SELECT docs.id AS id,
+       CAST(len(docs.tk) AS BIGINT) AS n_tokens,
+       coalesce(a.n_selected, 0) AS n_selected,
+       coalesce(a.masked_text, '') AS masked_text,
+       coalesce(a.labels, '') AS labels
+FROM docs LEFT JOIN agg a ON docs.id = a.id
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -5856,6 +5948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt": _with_pkg(_q_span_corrupt),
         "term_filter": _with_pkg(_q_term_filter),
         "bpe_merges": _with_pkg(_q_bpe_merges),
+        "mlm_mask": _with_pkg(_q_mlm_mask),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -5994,6 +6087,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corrupt": _SQL_SPAN_CORRUPT,
         "term_filter": _SQL_TERM_FILTER,
         "bpe_merges": _sql_bpe(8),
+        "mlm_mask": _SQL_MLM,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

@@ -369,3 +369,104 @@ def span_corrupt(
         F.col("r.input_text").alias("input_text"),
         F.col("r.target_text").alias("target_text"),
     )
+
+
+# ---------------------------------------------------- MLM masking
+
+
+def mlm_mask(
+    df: DataFrame,
+    id_col: str,
+    vocab: list[str],
+    text_col: str = "text",
+    rate_pct: int = 15,
+) -> DataFrame:
+    """(id, n_tokens, n_selected, masked_text, labels): BERT-style
+    masked-LM data prep (Devlin et al. 2018 §3.1, public) — select
+    ``rate_pct`` % of whitespace tokens; of those, 80 % become
+    ``[MASK]``, 10 % a "random" vocab token, 10 % stay unchanged.
+    ``labels`` records the selected positions as ``pos:token`` pairs
+    (1-based), space-joined — the prediction targets.
+
+    DETERMINISTIC, no RNG: every decision derives from the portable
+    Horner hash of ``"{id}:{pos}"`` — selection from ``h mod 100``,
+    the 80/10/10 branch from ``(h div 100) mod 10``, the replacement
+    vocab index from ``(h div 1000) mod |vocab|`` — so retried tasks
+    regenerate byte-identical rows and the DuckDB oracle replays every
+    choice. The vocab (a tokenizer's, thousands of entries) rides as a
+    plan literal; the whole operator is a zero-shuffle narrow map in
+    whole-stage codegen."""
+    from docling_eval_spark.functions import let_col
+    from docling_eval_spark.operators.text_analysis import (
+        portable_char_hash,
+        tokens_col,
+    )
+
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    if not 0 < rate_pct <= 100:
+        raise ValueError("rate_pct must be in (0, 100]")
+    idc = F.col(id_col)
+    varr = F.array(*[F.lit(v) for v in vocab])
+
+    def over_toks(tk: Column) -> Column:
+        n = F.size(tk)
+        idxs = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def pick(i: Column) -> Column:
+            h0 = portable_char_hash(
+                F.concat(idc.cast("string"), F.lit(":"), i.cast("string"))
+            )
+            # Horner hashes of consecutive positions are consecutive
+            # integers (only the last digit changes), which would turn
+            # `mod 100` selection into runs of adjacent masked tokens.
+            # One modular squaring breaks the affinity; h0 < 2^31 so
+            # h0*h0 fits a long exactly in both engines.
+            h = F.pmod(h0 * h0, F.lit((1 << 31) - 1))
+            tok = F.element_at(tk, i.cast("int"))
+            selected = F.pmod(h, F.lit(100)) < rate_pct
+            branch = F.pmod(F.floor(h / 100).cast("long"), F.lit(10))
+            repl = F.element_at(
+                varr,
+                (F.pmod(F.floor(h / 1000).cast("long"), F.lit(len(vocab)))
+                 + 1).cast("int"),
+            )
+            out = F.when(~selected, tok).otherwise(
+                F.when(branch < 8, F.lit("[MASK]"))
+                .when(branch == 8, repl)
+                .otherwise(tok)
+            )
+            label = F.when(
+                selected, F.concat(i.cast("string"), F.lit(":"), tok)
+            ).otherwise(F.lit(None).cast("string"))
+            return F.struct(out.alias("m"), label.alias("lb"))
+
+        made = F.transform(idxs, pick)
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(made, lambda p: p["m"]), " "
+            ).alias("masked_text"),
+            F.array_join(
+                F.filter(
+                    F.transform(made, lambda p: p["lb"]), lambda x: x.isNotNull()
+                ),
+                " ",
+            ).alias("labels"),
+        )
+
+    out = df.select(
+        idc.alias("id"), let_col(tokens_col(text_col), over_toks).alias("r")
+    )
+    n_selected = F.when(
+        F.col("r.labels") == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col("r.labels"), " ")))
+    return out.select(
+        "id",
+        F.col("r.n_tokens").alias("n_tokens"),
+        n_selected.cast("long").alias("n_selected"),
+        F.col("r.masked_text").alias("masked_text"),
+        F.col("r.labels").alias("labels"),
+    )

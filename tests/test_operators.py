@@ -3081,3 +3081,66 @@ def test_bpe_train_early_stop_and_greedy_fold(spark):
 
     with _pt.raises(ValueError):
         bpe_train(df, merges=0)
+
+
+def test_mlm_mask_deterministic_801010(spark):
+    from docling_eval_spark.operators.training import mlm_mask
+
+    vocab = ["alpha", "beta", "gamma"]
+    rows = [(i, " ".join(f"w{j}" for j in range(200))) for i in range(20)] + [
+        (100, ""),
+        (101, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in mlm_mask(df, "doc_id", vocab).collect()}
+
+    assert out[100].n_tokens == 0 and out[100].masked_text == ""
+    big = [out[i] for i in range(20)]
+    # selection rate ~15% corpus-wide
+    rate = sum(r.n_selected for r in big) / sum(r.n_tokens for r in big)
+    assert 0.12 < rate < 0.18, rate
+    n_mask = n_rand = n_keep = 0
+    for r in big:
+        toks = r.masked_text.split()
+        orig = [f"w{j}" for j in range(200)]
+        assert len(toks) == 200
+        labels = dict(
+            p.split(":", 1) for p in (r.labels.split() if r.labels else [])
+        )
+        assert len(labels) == r.n_selected
+        for pos, t in labels.items():
+            assert t == orig[int(pos) - 1]  # label = original token
+        for j, t in enumerate(toks, start=1):
+            if str(j) in labels:
+                if t == "[MASK]":
+                    n_mask += 1
+                elif t in vocab:
+                    n_rand += 1
+                else:
+                    assert t == orig[j - 1]
+                    n_keep += 1
+            else:
+                assert t == orig[j - 1]  # unselected tokens untouched
+    tot = n_mask + n_rand + n_keep
+    assert n_mask / tot > 0.7 and 0.03 < n_rand / tot < 0.2, (
+        n_mask, n_rand, n_keep,
+    )
+    # no RNG: identical under repartitioning
+    out2 = {
+        r.id: r.masked_text
+        for r in mlm_mask(df.repartition(9), "doc_id", vocab).collect()
+    }
+    assert out2 == {k: v.masked_text for k, v in out.items()}
+    # zero shuffle, no Python
+    plan = (
+        mlm_mask(df, "doc_id", vocab)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mlm_mask(df, "doc_id", [])
+    with _pt.raises(ValueError):
+        mlm_mask(df, "doc_id", vocab, rate_pct=0)
