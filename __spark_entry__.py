@@ -3450,6 +3450,68 @@ FROM docs LEFT JOIN agg a ON docs.id = a.id
 """
 
 
+def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle data prep (Bavarian 2022) in PSM order over
+    documents: a deterministic 50 % of docs rewritten as
+    prefix/suffix/middle with sentinel tokens, the rest passed through
+    — the oracle replays the apply decision and both cut points."""
+    from docling_eval_spark.operators.training import fim_transform
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(d, "doc_id", fim_pct=50, min_tokens=4)
+
+
+_SQL_FIM = r"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+keys AS (
+  SELECT id, k, (h0 * h0) % 2147483647 AS h
+  FROM (
+    SELECT d.id AS id, u.k AS k,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          range(1, length(CAST(d.id AS VARCHAR) || ':fim' || u.k) + 1),
+          j -> CAST(unicode(substring(CAST(d.id AS VARCHAR) || ':fim'
+                            || u.k, CAST(j AS INTEGER), 1)) AS BIGINT))),
+        (acc, x) -> (acc * 1000003 + x) % 2147483647) AS h0
+    FROM docs d
+    CROSS JOIN (SELECT unnest(['apply', 'c1', 'c2']) AS k) u
+  )
+),
+hs AS (
+  SELECT id,
+         max(CASE WHEN k = 'apply' THEN h END) AS ha,
+         max(CASE WHEN k = 'c1' THEN h END) AS h1,
+         max(CASE WHEN k = 'c2' THEN h END) AS h2
+  FROM keys GROUP BY id
+),
+cut AS (
+  SELECT d.id, d.tk, len(d.tk) AS n, hs.ha,
+         least(hs.h1 % nullif(len(d.tk) - 1, 0) + 1,
+               hs.h2 % nullif(len(d.tk) - 1, 0) + 1) AS a,
+         greatest(hs.h1 % nullif(len(d.tk) - 1, 0) + 1,
+                  hs.h2 % nullif(len(d.tk) - 1, 0) + 1) AS b
+  FROM docs d JOIN hs ON d.id = hs.id
+)
+SELECT id,
+       CAST(n AS BIGINT) AS n_tokens,
+       (ha % 100 < 50 AND n >= 4) AS fim_applied,
+       CASE WHEN ha % 100 < 50 AND n >= 4 THEN
+         '<fim_prefix> '
+         || coalesce(array_to_string(list_slice(tk, 1, a), ' '), '')
+         || ' <fim_suffix> '
+         || coalesce(array_to_string(list_slice(tk, b + 1, n), ' '), '')
+         || ' <fim_middle> '
+         || coalesce(array_to_string(list_slice(tk, a + 1, b), ' '), '')
+       ELSE array_to_string(tk, ' ') END AS output_text
+FROM cut
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -5949,6 +6011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_filter": _with_pkg(_q_term_filter),
         "bpe_merges": _with_pkg(_q_bpe_merges),
         "mlm_mask": _with_pkg(_q_mlm_mask),
+        "fim_transform": _with_pkg(_q_fim_transform),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -6088,6 +6151,7 @@ def oracle_sql() -> dict[str, str]:
         "term_filter": _SQL_TERM_FILTER,
         "bpe_merges": _sql_bpe(8),
         "mlm_mask": _SQL_MLM,
+        "fim_transform": _SQL_FIM,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

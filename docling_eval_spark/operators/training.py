@@ -470,3 +470,84 @@ def mlm_mask(
         F.col("r.masked_text").alias("masked_text"),
         F.col("r.labels").alias("labels"),
     )
+
+
+# ---------------------------------------------------- fill-in-middle
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    fim_pct: int = 50,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """(id, n_tokens, fim_applied, output_text): fill-in-the-middle
+    data prep (Bavarian et al. 2022, public) in PSM order — a
+    ``fim_pct`` % deterministic subset of documents is rewritten as
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M`` where (P, M, S)
+    is a token-level split of the document; the rest (and documents
+    shorter than ``min_tokens``) pass through unchanged, so the
+    transform is exactly the paper's joint FIM+AR training mix.
+
+    DETERMINISTIC, no RNG: the apply decision and both split points
+    come from the squared Horner hash of ``"{id}:fim{k}"`` (squaring
+    for the same adjacent-key reason as :func:`mlm_mask`); the two
+    cut points are drawn independently and sorted, giving the
+    uniform-over-ordered-pairs split of the paper. Zero shuffle, no
+    Python in the plan; the oracle replays every cut."""
+    from docling_eval_spark.functions import let_col
+    from docling_eval_spark.operators.text_analysis import (
+        portable_char_hash,
+        tokens_col,
+    )
+
+    if not 0 <= fim_pct <= 100:
+        raise ValueError("fim_pct must be in [0, 100]")
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    idc = F.col(id_col)
+    mod = (1 << 31) - 1
+
+    def h(k: str) -> Column:
+        h0 = portable_char_hash(
+            F.concat(idc.cast("string"), F.lit(":fim" + k))
+        )
+        return F.pmod(h0 * h0, F.lit(mod))
+
+    def over_toks(tk: Column) -> Column:
+        n = F.size(tk)
+        apply_fim = (F.pmod(h("apply"), F.lit(100)) < fim_pct) & (
+            n >= min_tokens
+        )
+        # two independent cut points in [1, n-1] (token-boundary
+        # indices: prefix = tokens[1..a], middle = (a..b], suffix =
+        # (b..n]), sorted so a <= b
+        c1 = (F.pmod(h("c1"), (n - 1).cast("long")) + 1).cast("int")
+        c2 = (F.pmod(h("c2"), (n - 1).cast("long")) + 1).cast("int")
+        a, b = F.least(c1, c2), F.greatest(c1, c2)
+        joined = F.concat(
+            F.lit("<fim_prefix> "),
+            F.array_join(F.slice(tk, 1, a), " "),
+            F.lit(" <fim_suffix> "),
+            F.array_join(F.slice(tk, b + 1, F.greatest(n - b, F.lit(0))), " "),
+            F.lit(" <fim_middle> "),
+            F.array_join(F.slice(tk, a + 1, b - a), " "),
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            apply_fim.alias("fim_applied"),
+            F.when(apply_fim, joined)
+            .otherwise(F.array_join(tk, " "))
+            .alias("output_text"),
+        )
+
+    out = df.select(
+        idc.alias("id"), let_col(tokens_col(text_col), over_toks).alias("r")
+    )
+    return out.select(
+        "id",
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.fim_applied").alias("fim_applied"),
+        F.col("r.output_text").alias("output_text"),
+    )

@@ -3144,3 +3144,59 @@ def test_mlm_mask_deterministic_801010(spark):
         mlm_mask(df, "doc_id", [])
     with _pt.raises(ValueError):
         mlm_mask(df, "doc_id", vocab, rate_pct=0)
+
+
+def test_fim_transform_reconstruction(spark):
+    from docling_eval_spark.operators.training import fim_transform
+
+    rows = [(i, " ".join(f"w{j}" for j in range(30))) for i in range(30)] + [
+        (100, "a b"),   # below min_tokens -> passthrough
+        (101, ""),      # empty -> passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in fim_transform(df, "doc_id").collect()}
+
+    assert not out[100].fim_applied and out[100].output_text == "a b"
+    assert not out[101].fim_applied and out[101].output_text == ""
+
+    applied = [out[i] for i in range(30) if out[i].fim_applied]
+    passed = [out[i] for i in range(30) if not out[i].fim_applied]
+    assert 5 <= len(applied) <= 25  # ~50% apply rate
+    for r in passed:
+        assert r.output_text == " ".join(f"w{j}" for j in range(30))
+    for r in applied:
+        toks = r.output_text.split()
+        ip, isuf, imid = (
+            toks.index("<fim_prefix>"),
+            toks.index("<fim_suffix>"),
+            toks.index("<fim_middle>"),
+        )
+        assert (ip, toks[0]) == (0, "<fim_prefix>")
+        prefix, suffix, middle = (
+            toks[1:isuf], toks[isuf + 1 : imid], toks[imid + 1 :],
+        )
+        # PSM reassembly reproduces the original token stream
+        assert prefix + middle + suffix == [f"w{j}" for j in range(30)]
+        assert len(prefix) >= 1 and len(suffix) >= 1  # middle may be empty
+
+    # deterministic under repartitioning
+    out2 = {
+        r.id: r.output_text
+        for r in fim_transform(df.repartition(7), "doc_id").collect()
+    }
+    assert out2 == {k: v.output_text for k, v in out.items()}
+    # fim_pct=0 -> pure passthrough; 100 -> every eligible doc
+    all_off = fim_transform(df, "doc_id", fim_pct=0).collect()
+    assert not any(r.fim_applied for r in all_off)
+    all_on = {
+        r.id: r for r in fim_transform(df, "doc_id", fim_pct=100).collect()
+    }
+    assert all(all_on[i].fim_applied for i in range(30))
+    assert not all_on[100].fim_applied  # still below min_tokens
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fim_transform(df, "doc_id", fim_pct=101)
+    with _pt.raises(ValueError):
+        fim_transform(df, "doc_id", min_tokens=1)
