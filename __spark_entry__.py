@@ -3512,6 +3512,83 @@ FROM cut
 """
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility evaluation: train 4 BPE merges on the
+    corpus, encode every document with them, and report per-lang
+    words / symbols / integer-micro fertility (symbols per word) —
+    the standard tokenizer-quality rollup. Driver-gates bpe_encode
+    end-to-end: the oracle re-learns the merges AND replays the
+    greedy encode fold per word."""
+    from docling_eval_spark.operators.bpe import bpe_encode, bpe_train
+    from docling_eval_spark.operators.text_analysis import tokens_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    rules = [
+        (r.left, r.right)
+        for r in bpe_train(d.select("text"), merges=4).collect()
+    ]
+    enc = bpe_encode(d, rules)
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum(F.size(tokens_col("text"))).cast("long").alias("n_words"),
+            F.sum(F.size(F.col("bpe_tokens"))).cast("long").alias("n_symbols"),
+        )
+        .withColumn(
+            "fertility_micro",
+            F.expr("1000000 * n_symbols DIV n_words").cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_bpe_fertility(k: int = 4) -> str:
+    """Re-learn k merges (same CTEs as _sql_bpe) then replay the
+    greedy encode fold over every word occurrence."""
+    learn = _sql_bpe(k)
+    learn_ctes = learn[: learn.index("\nSELECT 1 AS")]  # keep WITH chain
+    parts = [
+        learn_ctes,
+        r""", dw AS (
+  SELECT lang, lower(unnest(list_filter(
+           string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+           x -> x <> ''))) AS w
+  FROM documents
+), e0 AS (
+  SELECT lang,
+         chr(31) || array_to_string(
+           list_transform(range(1, length(w) + 1),
+             j -> substring(w, CAST(j AS INTEGER), 1)), chr(31))
+           || chr(31) || '</w>' AS s
+  FROM dw
+)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", e{i} AS (
+  SELECT e.lang AS lang,
+         list_reduce(list_prepend('',
+             list_filter(string_split(e.s, chr(31)), x -> x <> '')),
+           (acc, x) -> CASE WHEN ends_with(acc, chr(31) || t.l) AND x = t.r
+                            THEN acc || x
+                            ELSE acc || chr(31) || x END) AS s
+  FROM e{i - 1} e CROSS JOIN t{i} t
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(list_filter(string_split(s, chr(31)), x -> x <> '')))
+            AS BIGINT) AS n_symbols,
+       (1000000 * CAST(sum(len(list_filter(string_split(s, chr(31)),
+                                           x -> x <> ''))) AS BIGINT))
+         // CAST(count(*) AS BIGINT) AS fertility_micro
+FROM e{k} GROUP BY lang ORDER BY lang"""
+    )
+    return "".join(parts)
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -6012,6 +6089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _with_pkg(_q_bpe_merges),
         "mlm_mask": _with_pkg(_q_mlm_mask),
         "fim_transform": _with_pkg(_q_fim_transform),
+        "bpe_fertility": _with_pkg(_q_bpe_fertility),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -6152,6 +6230,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _sql_bpe(8),
         "mlm_mask": _SQL_MLM,
         "fim_transform": _SQL_FIM,
+        "bpe_fertility": _sql_bpe_fertility(4),
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),
