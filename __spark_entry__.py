@@ -3589,6 +3589,63 @@ FROM e{k} GROUP BY lang ORDER BY lang"""
     return "".join(parts)
 
 
+def _q_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining (CCAligned/WikiMatrix shape): en→zh
+    document alignment by rare-trigram blocking (df <= 5 bounds the
+    join fanout), integer-micro Jaccard scoring, deterministic top-1
+    per source doc. The oracle replays blocking, scoring, and the
+    tie-break."""
+    from docling_eval_spark.operators.alignment import (
+        align_top1,
+        bitext_candidates,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    c = bitext_candidates(
+        d, "doc_id", "en", "zh", max_df=5, min_shared=2, ngram=3
+    )
+    return align_top1(c)
+
+
+_SQL_BITEXT = r"""
+WITH toks AS (
+  SELECT doc_id AS id, lang,
+         list_transform(
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                       x -> x <> ''),
+           x -> lower(x)) AS tk
+  FROM documents
+),
+units AS (
+  SELECT id, lang, unnest(list_distinct(
+      list_transform(range(1, len(tk) - 1),
+        j -> array_to_string(list_slice(tk, j, j + 2), ' ')))) AS tok
+  FROM toks
+),
+d AS (SELECT tok FROM units GROUP BY tok HAVING count(*) <= 5),
+rare AS (SELECT u.id, u.lang, u.tok FROM units u JOIN d USING (tok)),
+sizes AS (SELECT id, count(*) AS n_rare FROM rare GROUP BY id),
+p AS (SELECT r.id, r.lang, r.tok, s.n_rare
+      FROM rare r JOIN sizes s USING (id)),
+pairs AS (
+  SELECT s.id AS src_id, t.id AS tgt_id,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         any_value(s.n_rare) AS n_src, any_value(t.n_rare) AS n_tgt
+  FROM p s JOIN p t ON s.tok = t.tok
+  WHERE s.lang = 'en' AND t.lang = 'zh'
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT src_id, tgt_id, n_shared,
+       CAST((1000000 * n_shared) // (n_src + n_tgt - n_shared) AS BIGINT)
+         AS jaccard_micro
+FROM pairs
+QUALIFY row_number() OVER (
+  PARTITION BY src_id
+  ORDER BY (1000000 * n_shared) // (n_src + n_tgt - n_shared) DESC, tgt_id
+) = 1
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -6090,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlm_mask": _with_pkg(_q_mlm_mask),
         "fim_transform": _with_pkg(_q_fim_transform),
         "bpe_fertility": _with_pkg(_q_bpe_fertility),
+        "bitext_align": _with_pkg(_q_bitext_align),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -6231,6 +6289,7 @@ def oracle_sql() -> dict[str, str]:
         "mlm_mask": _SQL_MLM,
         "fim_transform": _SQL_FIM,
         "bpe_fertility": _sql_bpe_fertility(4),
+        "bitext_align": _SQL_BITEXT,
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

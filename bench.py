@@ -126,6 +126,12 @@ BENCH_QUERIES = [
     "dsir_sample",
     "hits",
     "temperature_mix",
+    "span_corrupt",
+    "term_filter",
+    "mlm_mask",
+    "fim_transform",
+    "bpe_merges",
+    "bpe_fertility",
 ]
 
 WARM_PASSES = 3

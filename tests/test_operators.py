@@ -3200,3 +3200,56 @@ def test_fim_transform_reconstruction(spark):
         fim_transform(df, "doc_id", fim_pct=101)
     with _pt.raises(ValueError):
         fim_transform(df, "doc_id", min_tokens=1)
+
+
+def test_bitext_rare_token_blocking(spark):
+    from docling_eval_spark.operators.alignment import (
+        align_top1,
+        bitext_candidates,
+        rare_token_postings,
+    )
+
+    rows = [
+        (1, "en", "rareA common common rareB uniq1"),
+        (2, "en", "nothing shared here common"),
+        (3, "zh", "rareA rareB common other stuff"),
+        (4, "zh", "rareA common lone"),
+        (5, "zh", "uniq1 rareB xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    c = bitext_candidates(df, "doc_id", "en", "zh", max_df=3, min_shared=2)
+    got = {(r.src_id, r.tgt_id): (r.n_shared, r.jaccard_micro)
+           for r in c.collect()}
+    # doc1 rare = {rareA, rareB, uniq1}; doc3 rare = {rareA, rareB,
+    # other, stuff} -> shared 2, union 5; doc5 rare = {uniq1, rareB,
+    # xx} -> shared 2, union 4. 'common' (df 4 > 3) never blocks.
+    assert got == {(1, 3): (2, 400000), (1, 5): (2, 500000)}
+    top = align_top1(c).collect()
+    assert [(r.src_id, r.tgt_id) for r in top] == [(1, 5)]
+
+    # hot tokens are excluded BEFORE the join: no posting for 'common'
+    post = rare_token_postings(df, "doc_id", max_df=3)
+    assert post.filter(post.tok == "common").count() == 0
+
+    # n-gram blocking units
+    p3 = rare_token_postings(df, "doc_id", max_df=3, ngram=3)
+    assert p3.filter(p3.tok == "rarea common common").count() == 1
+    # doc shorter than the gram width contributes nothing
+    tiny = spark.createDataFrame(
+        [(9, "en", "a b")], "doc_id long, lang string, text string"
+    )
+    assert rare_token_postings(tiny, "doc_id", max_df=9, ngram=3).count() == 0
+
+    # deterministic top-1 under ties: equal score -> smallest tgt_id
+    c2 = spark.createDataFrame(
+        [(1, 7, 2, 500000), (1, 3, 2, 500000), (1, 9, 2, 400000)],
+        "src_id long, tgt_id long, n_shared long, jaccard_micro long",
+    )
+    assert align_top1(c2).first().tgt_id == 3
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rare_token_postings(df, "doc_id", max_df=0)
+    with _pt.raises(ValueError):
+        rare_token_postings(df, "doc_id", ngram=0)
