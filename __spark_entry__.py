@@ -3646,6 +3646,85 @@ QUALIFY row_number() OVER (
 """
 
 
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-domain quality percentile gate: keep each
+    source's top quartile by per-token classifier score, threshold
+    learned per group from the integer quantile sketch. Gates the
+    COMPOSED pipeline (classifier → sketch → broadcast threshold →
+    filter); the oracle replays score, bucket walk, and rollup."""
+    from docling_eval_spark.pipelines import quality_percentile_gate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    g = quality_percentile_gate(d, "doc_id", "source")
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.min("thr").cast("long").alias("thr_milli"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _sql_quality_gate() -> str:
+    from docling_eval_spark.operators.sketch import (
+        qsketch_idx_sql,
+        qsketch_lo_sql,
+    )
+    from docling_eval_spark.operators.text_analysis import lr_weights
+
+    wlist = ", ".join(str(w) for w in lr_weights())
+    return rf"""
+WITH w AS (SELECT [{wlist}] AS wv),
+toks AS (
+  SELECT doc_id, source,
+         list_transform(list_filter(
+           string_split_regex(trim(text), '[ \t\n\r\f\v]+'), x -> x <> ''
+         ), x -> lower(x)) AS tk
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, source AS grp, CAST(len(tk) AS BIGINT) AS n_tokens,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk,
+      t -> wv[1 + CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(unicode(substring(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             (a, b) -> (a * 1000003 + b) % 2147483647) % 256 AS INTEGER)])),
+      (a, b) -> a + b) AS score_milli
+  FROM toks, w
+),
+m AS (
+  SELECT doc_id, grp, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN (score_milli + 1024 * n_tokens) // n_tokens END
+           AS mean_milli
+  FROM sc
+),
+b AS (
+  SELECT grp, {qsketch_idx_sql("mean_milli", k=8)} AS idx, count(*) AS c
+  FROM m WHERE n_tokens > 0 GROUP BY grp, idx
+),
+cum AS (
+  SELECT grp, idx,
+         sum(c) OVER (PARTITION BY grp ORDER BY idx) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS total
+  FROM b
+),
+thr AS (
+  SELECT grp, CAST({qsketch_lo_sql("min(idx)", k=8)} AS BIGINT) AS thr
+  FROM cum WHERE cum * 100 >= 75 * total GROUP BY grp
+)
+SELECT m.grp AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN m.n_tokens > 0 AND m.mean_milli >= thr.thr
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(min(thr.thr) AS BIGINT) AS thr_milli
+FROM m LEFT JOIN thr ON m.grp = thr.grp
+GROUP BY m.grp ORDER BY m.grp
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over the order→part
     bipartite edge list, exact-integer mode: the oracle unrolls the
@@ -6148,6 +6227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": _with_pkg(_q_fim_transform),
         "bpe_fertility": _with_pkg(_q_bpe_fertility),
         "bitext_align": _with_pkg(_q_bitext_align),
+        "quality_gate": _with_pkg(_q_quality_gate),
         # canonical_urls/host_stats/winnow_fps/line_dedup/host_cap
         # are driver-green in r02/r03 — rotated just past the 50-slot
         # window to admit the late-registered never-gated queries
@@ -6290,6 +6370,7 @@ def oracle_sql() -> dict[str, str]:
         "fim_transform": _SQL_FIM,
         "bpe_fertility": _sql_bpe_fertility(4),
         "bitext_align": _SQL_BITEXT,
+        "quality_gate": _sql_quality_gate(),
         "morton_layout": _sql_morton_layout(),
         "ann_recall": _sql_ann_recall(),
         "image_near_dups": _sql_image_near_dups(),

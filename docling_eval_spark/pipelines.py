@@ -505,3 +505,91 @@ def web_ingest(
     )
     out = pii_scrub(out, text_col)
     return out.withColumn("entropy", char_entropy_col("scrubbed_text"))
+
+
+# --------------------------------------------------- quality percentile
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    id_col: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    pct: int = 75,
+    shift_milli: int = 1024,
+    weights: list[int] | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """(id, grp, mean_milli, thr, keep): FineWeb-style per-domain
+    quality gating (Penedo et al. 2024, public) — keep each group's
+    top (100-pct) % of documents by per-token classifier score, with
+    the threshold learned from the data itself rather than fixed
+    globally (a global cutoff would empty low-resource domains and
+    keep every doc of high-quality ones).
+
+    Composition of two gated operators: ``quality_lr_score`` (integer
+    milli-unit hashed-BoW classifier) and the integer log-bucket
+    quantile sketch (``qsketch_*``). The per-token mean is shifted by
+    ``shift_milli`` (> max |weight|, asserted) so it is strictly
+    positive — positive integer DIV truncation agrees across engines
+    and every value stays in the sketch's positive bucket range; the
+    threshold is the group's nearest-rank pct bucket lower bound.
+
+    Sketch resolution matters here: per-token means concentrate near
+    the weight-table average (CLT), so the gate runs the sketch at its
+    finest mantissa (k=8, 2^-8 relative error) and keeps the shift as
+    LOW as correctness allows (just above max |weight|) — a log-bucket
+    sketch resolves RELATIVE differences, and pushing the cluster
+    toward zero maximizes the buckets spanning it. The kept share is
+    >= the nominal tail by at most one bucket's worth of ties.
+
+    Scale shape: the score is a zero-shuffle narrow map; the sketch is
+    ONE bounded-key shuffle (|groups| x ~600 counter rows); the
+    threshold table (|groups| rows) broadcasts back. Zero-token
+    documents never pass (keep = false) and are excluded from the
+    percentile estimate."""
+    from docling_eval_spark.operators.sketch import (
+        qsketch_buckets,
+        qsketch_quantiles,
+    )
+    from docling_eval_spark.operators.text_analysis import (
+        lr_weights,
+        quality_lr_score,
+    )
+
+    if weights is None:
+        weights = lr_weights()
+    if not 1 <= pct <= 99:
+        raise ValueError("pct must be in [1, 99]")
+    if shift_milli <= max(abs(w) for w in weights):
+        raise ValueError("shift_milli must exceed max |weight|")
+    scores = quality_lr_score(
+        df.select(id_col, text_col), id_col, text_col, weights=weights
+    )
+    grp = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+    )
+    s = scores.join(grp, "id").withColumn(
+        "mean_milli",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN "
+            f"(score_milli + {int(shift_milli)} * n_tokens) DIV n_tokens END"
+        ).cast("long"),
+    )
+    nonempty = s.filter(F.col("n_tokens") > 0)
+    thr = qsketch_quantiles(
+        qsketch_buckets(nonempty, ["grp"], "mean_milli", k=k),
+        ["grp"],
+        pcts=(pct,),
+        k=k,
+    ).select("grp", F.col("q_lo").alias("thr"))
+    return s.join(F.broadcast(thr), "grp", "left").select(
+        "id",
+        "grp",
+        F.when(F.col("n_tokens") > 0, F.col("mean_milli")).alias("mean_milli"),
+        "thr",
+        (
+            (F.col("n_tokens") > 0)
+            & (F.col("mean_milli") >= F.col("thr"))
+        ).alias("keep"),
+    )

@@ -3253,3 +3253,63 @@ def test_bitext_rare_token_blocking(spark):
         rare_token_postings(df, "doc_id", max_df=0)
     with _pt.raises(ValueError):
         rare_token_postings(df, "doc_id", ngram=0)
+
+
+def test_quality_percentile_gate_per_group_threshold(spark):
+    import pyspark.sql.functions as F
+    from docling_eval_spark.pipelines import quality_percentile_gate
+
+    # two groups with DIFFERENT score regimes: weights put all mass on
+    # one vocab bucket, so docs made of 'good' score high and docs of
+    # 'bad' score low — group A mixes both, group B is all low
+    w = [0] * 256
+    from docling_eval_spark.operators.text_analysis import (
+        portable_char_hash,
+    )
+
+    probe = spark.range(1).select(
+        F.pmod(portable_char_hash(F.lit("good")), F.lit(256)).alias("g"),
+        F.pmod(portable_char_hash(F.lit("bad")), F.lit(256)).alias("b"),
+    ).first()
+    w[probe.g] = 500
+    w[probe.b] = -500
+    rows = (
+        [(i, "A", "good " * (i + 5)) for i in range(8)]
+        + [(100 + i, "A", "bad " * (i + 5)) for i in range(8)]
+        + [(200 + i, "B", "bad " * (i + 5)) for i in range(8)]
+        + [(300, "B", "")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    g = quality_percentile_gate(
+        df, "doc_id", "src", pct=75, shift_milli=1024, weights=w
+    )
+    out = {r.id: r for r in g.collect()}
+    # empty doc: never kept, excluded from the estimate
+    assert not out[300].keep and out[300].mean_milli is None
+    # group A: the 'good' half scores 1524/token, the 'bad' half 524;
+    # nearest-rank p75 over the 50/50 mix lands in the high bucket ->
+    # exactly the good docs survive
+    for i in range(8):
+        assert out[i].keep and out[i].mean_milli == 1524
+        assert not out[100 + i].keep and out[100 + i].mean_milli == 524
+    # group B is ALL 'bad' docs, same 524 score A rejected — but B's
+    # OWN p75 keeps them: the threshold is per-group, not global
+    assert all(out[200 + i].keep for i in range(8))
+    # thresholds differ between groups
+    assert out[0].thr > out[200].thr
+    # deterministic under repartitioning
+    g2 = quality_percentile_gate(
+        df.repartition(5), "doc_id", "src", pct=75, shift_milli=1024, weights=w
+    )
+    assert {r.id: r.keep for r in g2.collect()} == {
+        k: v.keep for k, v in out.items()
+    }
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        quality_percentile_gate(df, "doc_id", "src", pct=0)
+    with _pt.raises(ValueError):
+        quality_percentile_gate(
+            df, "doc_id", "src", shift_milli=400, weights=w
+        )
