@@ -1869,7 +1869,10 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, q, "doc_id", k=10)
 
 
-_SQL_BM25 = r"""
+# CTE chain shared by the bm25_topk oracle and the hard_negatives
+# oracle (which re-ranks the same fixed-point candidates after an
+# anti-join on positives); {k} is the per-query candidate cap.
+_BM25_RANKED_CTES = r"""
 WITH q(query_id, qtext) AS (
   VALUES ('q1', 'hash join'),
          ('q2', 'slow table scan'),
@@ -1927,9 +1930,15 @@ ranked AS (
          ) AS rank
   FROM scores
 )
+"""
+
+_SQL_BM25 = (
+    _BM25_RANKED_CTES
+    + r"""
 SELECT query_id, id, CAST(rank AS INTEGER) AS rank, score_micro
 FROM ranked WHERE rank <= 10
 """
+)
 
 
 def _q_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6140,6 +6149,261 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_extract_match_stats(spark, "/root/testdata/sf0.001")
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (Jégou et al. 2011) against
+    FIXED seeded codebooks (8 subspaces × 16 codes over 64 dims): the
+    encode (argmin ``c·c − 2·s·c``, low-code tiebreak) and ADC scoring
+    (one sequential 64-fold over the reconstruction) replay exactly in
+    the oracle, which recomputes codes relationally from codebook
+    literals and reassembles the reconstruction with an ordered list
+    aggregate."""
+    from docling_eval_spark.operators.pq import pq_codebooks, pq_topk
+
+    e, q = _emb_tables(spark, sf_dir)
+    cb = pq_codebooks(64, m=8, n_codes=16, seed=13)
+    out = pq_topk(e, q, cb, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_pq_topk() -> str:
+    from docling_eval_spark.operators.pq import pq_codebooks
+
+    cb = pq_codebooks(64, m=8, n_codes=16, seed=13)
+    m, n_codes, _sub = cb.shape
+    rows = ", ".join(
+        "("
+        + str(j)
+        + ", "
+        + str(c)
+        + ", ["
+        + ", ".join(repr(float(x)) for x in cb[j, c])
+        + "])"
+        for j in range(m)
+        for c in range(n_codes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+cb AS (SELECT * FROM (VALUES {rows}) AS t(j, code, cv)),
+sub AS (
+  SELECT e.vec_id, js.j, list_slice(e.v, js.j * 8 + 1, js.j * 8 + 8) AS sv
+  FROM e CROSS JOIN (SELECT unnest(range(0, {m})) AS j) js
+),
+dist AS (
+  SELECT s.vec_id, s.j, c.code, c.cv,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(s.sv, c.cv) AS d
+  FROM sub s JOIN cb c ON c.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, cv FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT vec_id, flatten(list(cv ORDER BY j)) AS rv FROM codes GROUP BY vec_id
+),
+scores AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         list_inner_product(q.qv, r.rv) AS score
+  FROM recon r CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank,
+         score
+  FROM scores
+)
+SELECT query_id, neighbor_id, rank, round(score, 4) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): centroid-clustered embedding
+    near-dup flags. Same fixed seed-11 centroids the IVF gate proved
+    assign-exact; input doubles each vector with a ×2-scaled twin
+    (same cluster by scale invariance, cosine exactly 1.0) so every
+    twin must flag — plus whatever organic near-pairs the corpus
+    holds. The oracle replays cluster assignment and the within-
+    cluster lower-id pair sweep relationally."""
+    from docling_eval_spark.operators.similarity import (
+        hyperplanes,
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = e.unionByName(
+        e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    cents = hyperplanes(64, 8, seed=11)
+    out = semantic_dedup(dup, cents, threshold=0.999)
+    return out.select("vec_id", F.col("centroid").cast("int").alias("centroid"), "is_dup")
+
+
+def _sql_semantic_dedup() -> str:
+    from docling_eval_spark.operators.similarity import hyperplanes
+
+    cents = hyperplanes(64, 8, seed=11)
+    cent_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    cos_assign = _DUCK_COSINE.format(l="d.v", r="c.cv")
+    cos_pair = _DUCK_COSINE.format(l="l.v", r="r.v")
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dup AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+  FROM base
+),
+cents AS (SELECT * FROM (VALUES {cent_rows}) AS t(cidx, cv)),
+csims AS (
+  SELECT d.vec_id, d.v, c.cidx, {cos_assign} AS sim
+  FROM dup d CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, cidx AS centroid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY sim DESC, cidx ASC) AS rn
+    FROM csims
+  ) WHERE rn = 1
+),
+sizes AS (SELECT centroid, count(*) AS n FROM assign GROUP BY centroid),
+ok AS (SELECT centroid FROM sizes WHERE n <= 100000),
+dup_ids AS (
+  SELECT DISTINCT r.vec_id
+  FROM assign l
+  JOIN assign r ON l.centroid = r.centroid AND l.vec_id < r.vec_id
+  JOIN ok ON ok.centroid = l.centroid
+  WHERE ({cos_pair}) >= 0.999
+)
+SELECT a.vec_id, CAST(a.centroid AS INTEGER) AS centroid,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dup_ids d USING (vec_id)
+"""
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (DPR recipe): top-20 candidates per
+    query, anti-join the labeled positives (here the deterministic
+    rule doc_id % 5 == 2, so the oracle can regenerate the label set),
+    keep the 10 best survivors. Scores ride the fixed-point BM25
+    pipeline — bit-replayable ranking."""
+    from docling_eval_spark.operators.retrieval import hard_negatives
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(
+        [
+            ("q1", "hash join"),
+            ("q2", "slow table scan"),
+            ("q3", "spark window the window"),
+        ],
+        ["query_id", "qtext"],
+    )
+    positives = q.select("query_id").crossJoin(
+        d.select(F.col("doc_id").alias("id")).filter(F.col("id") % 5 == 2)
+    )
+    return hard_negatives(
+        d, q, positives, "doc_id", k_retrieve=20, n_neg=10
+    )
+
+
+_SQL_HARD_NEGATIVES = (
+    _BM25_RANKED_CTES
+    + r"""
+, neg AS (
+  SELECT query_id, id, score_micro, rank
+  FROM ranked WHERE rank <= 20 AND id % 5 <> 2
+),
+renr AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank ASC)
+           AS neg_rank,
+         score_micro
+  FROM neg
+)
+SELECT query_id, id, CAST(neg_rank AS INTEGER) AS neg_rank, score_micro
+FROM renr WHERE neg_rank <= 10
+"""
+)
+
+
+def _q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-n lexical diversity (Li et al. 2016) —
+    integer micro-ratios over exact two-level gram aggregates; the
+    oracle replays tokenization, the \\x01 bigram join, and the
+    integer division."""
+    from docling_eval_spark.operators.text_analysis import (
+        distinct_ngram_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    return distinct_ngram_stats(d, "text", "lang")
+
+
+_SQL_DISTINCT_NGRAMS = r"""
+WITH docs AS (
+  SELECT lang,
+         list_transform(
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                       x -> x <> ''),
+           t -> lower(t)) AS toks
+  FROM documents
+),
+uni AS (SELECT lang, t FROM docs, LATERAL unnest(toks) AS u(t)),
+utf AS (SELECT lang, t, count(*) AS c FROM uni GROUP BY 1, 2),
+u AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS distinct_unigrams
+  FROM utf GROUP BY lang
+),
+big AS (
+  SELECT lang, toks[CAST(i AS INTEGER)] || chr(1)
+               || toks[CAST(i AS INTEGER) + 1] AS g
+  FROM docs, LATERAL unnest(range(1, len(toks))) AS r(i)
+),
+btf AS (SELECT lang, g, count(*) AS c FROM big GROUP BY 1, 2),
+b AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         count(*) AS distinct_bigrams
+  FROM btf GROUP BY lang
+)
+SELECT u.lang, n_tokens,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       distinct_unigrams,
+       coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+       (1000000 * distinct_unigrams) // n_tokens AS distinct1_micro,
+       CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN (1000000 * coalesce(distinct_bigrams, 0))
+                 // coalesce(n_bigrams, 1)
+            ELSE 0 END AS BIGINT) AS distinct2_micro
+FROM u LEFT JOIN b USING (lang)
+"""
+
+
 def _with_pkg(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6291,6 +6555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles still gate them in every local sweep
         "pricing_summary": _with_pkg(_q_pricing_summary),
         "stats_discount": _with_pkg(_q_stats_discount),
+        # appended post-rotation: next round's window candidates
+        "pq_topk": _with_pkg(_q_pq_topk),
+        "semantic_dedup": _with_pkg(_q_semantic_dedup),
+        "hard_negatives": _with_pkg(_q_hard_negatives),
+        "distinct_ngrams": _with_pkg(_q_distinct_ngrams),
     }
 
 
@@ -6413,4 +6682,8 @@ def oracle_sql() -> dict[str, str]:
         "sentence_dedup": _SQL_SENTENCE_DEDUP,
         "crawl_rate": _SQL_CRAWL_RATE,
         "token_budget": _SQL_TOKEN_BUDGET,
+        "pq_topk": _sql_pq_topk(),
+        "semantic_dedup": _sql_semantic_dedup(),
+        "hard_negatives": _SQL_HARD_NEGATIVES,
+        "distinct_ngrams": _SQL_DISTINCT_NGRAMS,
     }

@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "fim_transform",
     "bpe_merges",
     "bpe_fertility",
+    "pq_topk",
+    "semantic_dedup",
+    "hard_negatives",
+    "distinct_ngrams",
 ]
 
 WARM_PASSES = 3

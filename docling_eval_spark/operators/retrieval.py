@@ -240,3 +240,48 @@ def bm25_topk(
         n_salt=n_salt,
     )
     return top.select("query_id", "id", "rank", "score_micro")
+
+
+# ----------------------------------------------------- hard negatives
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k_retrieve: int = 50,
+    n_neg: int = 10,
+    n_salt: int = 16,
+) -> DataFrame:
+    """``(query_id, id, neg_rank, score_micro)``: BM25 hard-negative
+    mining for contrastive retriever training (the DPR recipe —
+    Karpukhin et al. 2020, §3.2): retrieve ``k_retrieve`` candidates
+    per query, drop the labeled positives, keep the ``n_neg``
+    highest-scoring survivors. High-rank non-positives are the
+    informative negatives; random negatives are trivially separable.
+
+    ``positives`` is a ``(query_id, id)`` frame of labeled relevant
+    documents. Scale: candidates are ≤ ``k_retrieve`` rows per query
+    by construction (post-BM25), so the anti-join and the re-rank
+    window are bounded per key regardless of corpus size; all heavy
+    lifting (corpus explode, salted top-k) happens inside
+    :func:`bm25_topk`. The positives frame joins broadcast — a labeled
+    training set is human-scale by contract."""
+    from pyspark.sql import Window
+
+    cand = bm25_topk(
+        df, queries, id_col, text_col, k=k_retrieve, n_salt=n_salt
+    )
+    neg = cand.join(
+        F.broadcast(positives.select("query_id", "id").distinct()),
+        ["query_id", "id"],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select("query_id", "id", "neg_rank", "score_micro")
+    )

@@ -293,3 +293,59 @@ def embedding_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark as semantic duplicates the rows whose
+    cosine to another row in the SAME cluster exceeds τ. Returns one
+    row per input — ``(id, centroid, is_dup)`` — so the caller filters
+    ``~is_dup`` to dedup or inspects the flagged set.
+
+    Keep policy (deterministic, partitioning-invariant): within a
+    cluster, a row is a duplicate iff SOME lower-id row (kept or
+    itself flagged) lies within τ. (The paper keeps the member
+    farthest from the centroid and sweeps greedily; the any-lower-id
+    rule flags the same ε-neighborhoods with a fixed total order that
+    is exactly replayable in SQL — it can only flag a superset of the
+    greedy sweep, never drop a genuine near-pair.)
+
+    Scale shape: the pairwise step is confined to clusters — with
+    k ≈ √N centroids the expected cluster is √N rows and the join cost
+    Σ s_c², not N². Clusters larger than ``max_cluster`` are an input
+    pathology (e.g. a zero-vector lake): their rows are kept UNFLAGGED
+    rather than joined quadratically, and surfaced via the companion
+    overflow frame (same refusal contract as minhash/near-dup LSH).
+    The cluster assignment itself is a narrow map against the
+    broadcast centroid matrix (see ``ivf.assign_centroids``)."""
+    from docling_eval_spark.operators.ivf import assign_centroids
+
+    a = assign_centroids(corpus, centroids, id_col, vec_col)
+    sizes = a.groupBy("centroid").agg(F.count("*").alias("__n"))
+    ok = sizes.filter(F.col("__n") <= max_cluster).select("centroid")
+    joinable = a.join(F.broadcast(ok), "centroid")
+    l = joinable.select(
+        "centroid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    r = joinable.select(
+        "centroid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    dup_ids = (
+        l.join(r, "centroid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine_col("a_vec", "b_vec") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return a.select(id_col, "centroid").join(
+        dup_ids.withColumn("is_dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col, "centroid", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )

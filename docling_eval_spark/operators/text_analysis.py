@@ -1537,3 +1537,73 @@ def term_filter(
     if keep:
         return df.withColumn(flag_name, hit)
     return df.filter(~hit)
+
+
+def distinct_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "lang",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Corpus lexical-diversity rollup per ``key_col``: ``(key,
+    n_tokens, n_bigrams, distinct_unigrams, distinct_bigrams,
+    distinct1_micro, distinct2_micro)`` — the distinct-n diversity
+    ratios of Li et al. 2016 (arXiv:1510.03055 §5, "A
+    Diversity-Promoting Objective"), the standard corpus-level check
+    that a filtered/deduplicated training mix has not collapsed into
+    template text (low distinct-2 = boilerplate-heavy shard).
+
+    Ratios are integer micro-units (``(1e6·distinct) div total``) —
+    no float aggregation, exact in any engine/partitioning. Tokens are
+    lowercased whitespace tokens (the corpus-stats convention used by
+    ``vocab_stats``); bigrams join adjacent tokens with ``\\x01`` so a
+    token containing a space-free separator cannot alias a pair.
+
+    Scale shape: ONE explode per n-gram order feeding a two-level hash
+    agg — ``(key, gram)`` map-side-combined counts, then a slim
+    ``(key)`` rollup of ``count(*)``/``sum``; no count-distinct window,
+    no row ever wider than (key, gram). Totals ride the same tf rows,
+    so each order costs exactly one shuffle of its distinct grams."""
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+    base = df.select(F.col(key_col).alias("key"), toks.alias("t"))
+
+    def rollup(grams: Column, total_name: str, dist_name: str) -> DataFrame:
+        tf = (
+            base.select("key", F.explode(grams).alias("g"))
+            .groupBy("key", "g")
+            .agg(F.count("*").alias("tf"))
+        )
+        return tf.groupBy("key").agg(
+            F.sum("tf").alias(total_name), F.count("*").alias(dist_name)
+        )
+
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("\x01"), b),
+    )
+    u = rollup(F.col("t"), "n_tokens", "distinct_unigrams")
+    b = rollup(bigrams, "n_bigrams", "distinct_bigrams")
+    return (
+        u.join(b, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "distinct_unigrams",
+            F.coalesce("distinct_bigrams", F.lit(0)).alias("distinct_bigrams"),
+            F.expr(f"({quant} * distinct_unigrams) div n_tokens").alias(
+                "distinct1_micro"
+            ),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr(
+                    f"({quant} * coalesce(distinct_bigrams, 0))"
+                    " div coalesce(n_bigrams, 1)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("distinct2_micro"),
+        )
+    )
