@@ -6404,6 +6404,67 @@ FROM u LEFT JOIN b USING (lang)
 """
 
 
+def _q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release data-card rollup per (lang, source): volume, exact-dup
+    rate, Gopher pass rate — integer micro-units throughout. The
+    fixture doubles doc_id<25 so the dup-rate path is non-trivial; the
+    oracle recomputes digests, replays the full Gopher rule set, and
+    mirrors the two-level distinct-by-digest aggregation."""
+    from docling_eval_spark.pipelines import data_card
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    dup = d.unionByName(
+        d.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang",
+            "source",
+            "text",
+        )
+    )
+    return data_card(dup)
+
+
+def _sql_data_card() -> str:
+    # replay the Gopher pass flag over the doubled corpus by swapping
+    # the table reference inside the shared gopher CTE chain
+    gopher_on_dup = _SQL_GOPHER.replace("FROM documents", "FROM dup")
+    return f"""
+WITH dup AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source, text
+  FROM documents WHERE doc_id < 25
+),
+g AS ({gopher_on_dup}),
+per AS (
+  SELECT d.lang, d.source,
+         CAST(len(list_filter(string_split_regex(trim(d.text),
+              '[ \t\n\r\f\v]+'), x -> x <> '')) AS BIGINT) AS tk,
+         CAST(length(d.text) AS BIGINT) AS ch,
+         sha256(d.text) AS dg,
+         CASE WHEN g.passes_gopher THEN 1 ELSE 0 END AS gp
+  FROM dup d JOIN g USING (doc_id)
+),
+lvl AS (
+  SELECT lang, source, dg, count(*) AS n, sum(tk) AS tk,
+         sum(ch) AS ch, sum(gp) AS gp
+  FROM per GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(tk) AS BIGINT) AS n_tokens,
+       CAST(sum(ch) AS BIGINT) AS n_chars,
+       count(*) AS distinct_texts,
+       CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+         AS dup_rate_micro,
+       CAST(sum(gp) AS BIGINT) AS gopher_pass,
+       CAST((1000000 * sum(gp)) // sum(n) AS BIGINT) AS gopher_pass_micro
+FROM lvl GROUP BY 1, 2
+"""
+
+
 def _with_pkg(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6560,6 +6621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _with_pkg(_q_semantic_dedup),
         "hard_negatives": _with_pkg(_q_hard_negatives),
         "distinct_ngrams": _with_pkg(_q_distinct_ngrams),
+        "data_card": _with_pkg(_q_data_card),
     }
 
 
@@ -6686,4 +6748,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "distinct_ngrams": _SQL_DISTINCT_NGRAMS,
+        "data_card": _sql_data_card(),
     }

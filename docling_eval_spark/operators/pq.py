@@ -173,7 +173,11 @@ def pq_topk_adc(
     ``n_partitions · k`` rows per query. Ranking is pytest-asserted
     identical to :func:`pq_topk` (float sum order differs, so scores
     agree to ~1e-12, not bitwise — the fold path remains the
-    oracle-gated one)."""
+    oracle-gated one). Caveat: EXACT score ties straddling the k-th
+    slot of a partition prune are kept by batch position, so a tied
+    lower-id row from another partition can displace differently than
+    the fold path's global (score, id) order — ties are measure-zero
+    on real embeddings but make the fold path the canonical one."""
     from pyspark.sql import Window
 
     cb = codebooks.astype(float)

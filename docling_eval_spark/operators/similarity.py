@@ -302,6 +302,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 100_000,
+    snapshot: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark as semantic duplicates the rows whose
@@ -324,10 +325,16 @@ def semantic_dedup(
     rather than joined quadratically, and surfaced via the companion
     overflow frame (same refusal contract as minhash/near-dup LSH).
     The cluster assignment itself is a narrow map against the
-    broadcast centroid matrix (see ``ivf.assign_centroids``)."""
+    broadcast centroid matrix (see ``ivf.assign_centroids``); the
+    assigned frame is consumed by FOUR branches (sizes, both pair
+    sides, the final flag join), so ``snapshot=True`` (default) lazily
+    ``localCheckpoint``s it — the corpus is scanned and the kernel run
+    ONCE, not once per branch. Disable for pure plan inspection."""
     from docling_eval_spark.operators.ivf import assign_centroids
 
     a = assign_centroids(corpus, centroids, id_col, vec_col)
+    if snapshot:
+        a = a.localCheckpoint(eager=False)
     sizes = a.groupBy("centroid").agg(F.count("*").alias("__n"))
     ok = sizes.filter(F.col("__n") <= max_cluster).select("centroid")
     joinable = a.join(F.broadcast(ok), "centroid")

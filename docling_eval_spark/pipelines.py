@@ -593,3 +593,62 @@ def quality_percentile_gate(
             & (F.col("mean_milli") >= F.col("thr"))
         ).alias("keep"),
     )
+
+
+def data_card(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Release-manifest rollup — the per-slice summary table a
+    training-data release ships (datasheets, Gebru et al. 2021;
+    the Dolma/FineWeb release-table shape): for every ``key_cols``
+    slice, document/token/char volume, EXACT-duplicate rate (sha256
+    text identity), and the Gopher quality-gate pass rate, all in
+    integer micro-units.
+
+    Scale shape: the per-doc signals (token count, length, digest,
+    Gopher flags — all codegen column algebra) feed a two-level hash
+    agg: ``(key, digest)`` map-side-combined partials, then the slim
+    per-key rollup where ``count(*)`` of the first level IS the
+    distinct-text count — corpus-size keys never meet a
+    count-distinct window, and text itself never shuffles (only its
+    digest does)."""
+    from docling_eval_spark.operators.quality_rules import gopher_flags
+    from docling_eval_spark.operators.text_analysis import token_count_col
+
+    g = gopher_flags(df.select(*key_cols, text_col), text_col)
+    per = g.select(
+        *key_cols,
+        token_count_col(text_col).cast("long").alias("tk"),
+        F.length(text_col).cast("long").alias("ch"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("dg"),
+        F.col("passes_gopher").cast("long").alias("gp"),
+    )
+    lvl = per.groupBy(*key_cols, "dg").agg(
+        F.count("*").alias("n"),
+        F.sum("tk").alias("tk"),
+        F.sum("ch").alias("ch"),
+        F.sum("gp").alias("gp"),
+    )
+    card = lvl.groupBy(*key_cols).agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("tk").alias("n_tokens"),
+        F.sum("ch").alias("n_chars"),
+        F.count("*").alias("distinct_texts"),
+        F.sum("gp").alias("gopher_pass"),
+    )
+    return card.select(
+        *key_cols,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "distinct_texts",
+        F.expr("(1000000 * (n_docs - distinct_texts)) div n_docs").alias(
+            "dup_rate_micro"
+        ),
+        "gopher_pass",
+        F.expr("(1000000 * gopher_pass) div n_docs").alias(
+            "gopher_pass_micro"
+        ),
+    )

@@ -205,3 +205,32 @@ def test_distinct_ngram_stats_hand_case(spark):
     assert de["n_bigrams"] == 0 and de["distinct2_micro"] == 0
     # fr: only NULL text -> no token rows at all -> lang absent
     assert "fr" not in rows
+
+
+def test_data_card_hand_case(spark):
+    from docling_eval_spark.pipelines import data_card
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog to be of and that"]
+        * 5
+    )
+    df = spark.createDataFrame(
+        [
+            ("en", "web", good),
+            ("en", "web", good),          # exact dup
+            ("en", "web", "short junk"),  # fails gopher (too few words)
+            ("de", "web", good),
+        ],
+        ["lang", "source", "text"],
+    )
+    rows = {(r["lang"], r["source"]): r for r in data_card(df).collect()}
+    en = rows[("en", "web")]
+    assert en["n_docs"] == 3
+    assert en["distinct_texts"] == 2
+    assert en["dup_rate_micro"] == (1_000_000 * 1) // 3
+    assert en["gopher_pass"] == 2
+    assert en["gopher_pass_micro"] == (1_000_000 * 2) // 3
+    assert en["n_tokens"] == 2 * (14 * 5) + 2
+    de = rows[("de", "web")]
+    assert de["n_docs"] == 1 and de["dup_rate_micro"] == 0
+    assert de["gopher_pass"] == 1
