@@ -2403,6 +2403,68 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(d, bench, "doc_id", n=8, portable=True)
 
 
+def _q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-8-gram fraction per document
+    (RefinedWeb's dedup diagnostic / Kandpal et al. 2022): a window
+    counts iff ≥2 DISTINCT documents share it, so cross-page
+    boilerplate scores and within-doc self-repetition does not.
+    Portable token-hash path so the oracle replays both Horner hash
+    levels bit-for-bit (prod xxhash64 path is differential-pytest
+    gated, the contamination/simhash precedent)."""
+    from docling_eval_spark.operators.text_analysis import dup_ngram_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_ngram_stats(d, "doc_id", n=8, portable=True)
+
+
+_SQL_DUP_NGRAM_FRAC = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(
+           string_split_regex(trim(text), '[ \t\n\r\f\v]+'), x -> x <> ''
+         ), x -> lower(x)) AS tk
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(tk, t -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(unicode(substring(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+           (a, b) -> (a * 1000003 + b) % 2147483647)) AS hs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 8 THEN
+           list_transform(range(1, len(hs) - 6), i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_slice(hs, i, i + 7)),
+             (a, b) -> (a * 1000003 + b) % 2147483647))
+         ELSE [CAST(-1 AS BIGINT)] END AS gs
+  FROM th
+),
+lvl AS (
+  SELECT u.g AS g, doc_id,
+         sum(CASE WHEN u.g = -1 THEN 0 ELSE 1 END) AS n_win
+  FROM grams, LATERAL unnest(gs) AS u(g)
+  GROUP BY 1, 2
+),
+gd AS (SELECT g, count(*) AS n_docs FROM lvl GROUP BY 1),
+per AS (
+  SELECT doc_id, sum(n_win) AS n_grams,
+         sum(CASE WHEN l.g <> -1 AND gd.n_docs >= 2 THEN n_win ELSE 0 END)
+           AS n_dup
+  FROM lvl l JOIN gd USING (g) GROUP BY 1
+)
+SELECT doc_id AS id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       CAST(CASE WHEN n_grams = 0 THEN 0
+            ELSE (1000000 * n_dup) // n_grams END AS BIGINT) AS dup_micro
+FROM per
+"""
+
+
 _SQL_CONTAMINATION = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -6622,6 +6684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _with_pkg(_q_hard_negatives),
         "distinct_ngrams": _with_pkg(_q_distinct_ngrams),
         "data_card": _with_pkg(_q_data_card),
+        "dup_ngram_frac": _with_pkg(_q_dup_ngram_frac),
     }
 
 
@@ -6749,4 +6812,5 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "distinct_ngrams": _SQL_DISTINCT_NGRAMS,
         "data_card": _sql_data_card(),
+        "dup_ngram_frac": _SQL_DUP_NGRAM_FRAC,
     }

@@ -560,6 +560,79 @@ def contamination_check(
     )
 
 
+def dup_ngram_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, n_grams, n_dup, dup_micro): per document, how many of its
+    ``n``-token windows also occur in at least one OTHER document —
+    the corpus-level duplicated-n-gram fraction RefinedWeb (Penedo et
+    al. 2023 §Dedup) and the memorization study of Kandpal et al.
+    2022 report per document (public metric). Complements
+    ``quality_rules.repetition_signals`` (WITHIN-doc repetition):
+    a window counts here only when ≥2 DISTINCT documents share it,
+    so boilerplate shared across pages scores, self-repetition does
+    not. ``dup_micro`` = ``1e6 · n_dup / n_grams`` integer-division
+    (0 for docs shorter than ``n`` tokens).
+
+    Hash modes mirror :func:`token_ngram_hash_col` (the simhash /
+    contamination precedent): prod = per-token ``xxhash64`` folded
+    into the ~2⁴³ prime field; ``portable=True`` = the per-code-point
+    polynomial the DuckDB oracle replays bit-for-bit.
+
+    Scale shape — the postings shape of substring dedup, but over
+    8-byte window hashes (text never shuffles): explode → two-level
+    hash agg, ``(g, id)`` multiplicity then ``g`` distinct-doc count
+    (both map-side combined — a boilerplate gram shared by 10⁸ pages
+    arrives at its reducer as per-partition partials, never raw
+    rows), one join back on ``g`` (AQE skew-split handles hot grams)
+    and a final per-id rollup. Three keyed exchanges total,
+    independent of document length."""
+    # docs with < n tokens get a single -1 sentinel window (hashes
+    # live in [0, mod)) so the equi-joins below never see a NULL key
+    # and every input id survives to the output with n_grams = 0
+    arr = let_col(
+        token_ngram_hash_col(text_col, n, portable),
+        lambda a: F.when(F.size(a) > 0, a).otherwise(
+            F.array(F.lit(-1).cast("long"))
+        ),
+    )
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(arr).alias("g")
+    )
+    # (g, id) level: per-doc multiplicity of each window hash
+    lvl = grams.groupBy("g", "id").agg(
+        F.sum(F.when(F.col("g") == -1, 0).otherwise(1)).alias("n_win")
+    )
+    gdocs = lvl.groupBy("g").agg(F.count("*").alias("n_docs"))
+    per = (
+        lvl.join(gdocs, "g")
+        .groupBy("id")
+        .agg(
+            F.sum("n_win").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(
+                    (F.col("g") != -1) & (F.col("n_docs") >= 2),
+                    F.col("n_win"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per.select(
+        "id",
+        "n_grams",
+        "n_dup",
+        F.when(F.col("n_grams") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("(1000000 * n_dup) div n_grams"))
+        .alias("dup_micro"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -119,3 +119,23 @@ def test_simhash_prod_portable_decision_invariants(spark):
     prod0, port0 = pairs_at(False, 0), pairs_at(True, 0)
     assert exact_pairs <= prod0, sorted(exact_pairs - prod0)[:5]
     assert exact_pairs <= port0, sorted(exact_pairs - port0)[:5]
+
+
+def test_dup_ngram_prod_portable_same_decisions(spark):
+    """dup_ngram_stats decisions are exact-match semantics like
+    contamination: a shared 8-gram collides in both hash fields by
+    construction, and cross-field false collisions are ~N/field per
+    gram — so the full (id, n_grams, n_dup, dup_micro) row set must
+    be identical between the prod xxhash64 path and the portable
+    polynomial path on the sf0.01 corpus."""
+    from docling_eval_spark.operators.text_analysis import dup_ngram_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = lambda p: {  # noqa: E731
+        tuple(r) for r in dup_ngram_stats(docs, "doc_id", portable=p).collect()
+    }
+    prod, port = rows(False), rows(True)
+    assert prod == port
+    assert any(r[2] > 0 for r in prod), "fixture has no duplicated 8-grams"

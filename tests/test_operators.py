@@ -3313,3 +3313,31 @@ def test_quality_percentile_gate_per_group_threshold(spark):
         quality_percentile_gate(
             df, "doc_id", "src", shift_milli=400, weights=w
         )
+
+
+def test_dup_ngram_stats_hand_case(spark):
+    from docling_eval_spark.operators.text_analysis import dup_ngram_stats
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 tailA"  # windows: [1..8], [2..9]
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 tailB"  # shares window [1..8] with a
+    c = "x x x x x x x x x x"            # self-repeats only: 3 windows, all same hash, ONE doc
+    d = "too short"                      # < 8 tokens -> zero windows
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d), (5, None)],
+        ["doc_id", "text"],
+    )
+    for portable in (False, True):
+        rows = {
+            r["id"]: r
+            for r in dup_ngram_stats(df, "doc_id", portable=portable).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4, 5}
+        assert rows[1]["n_grams"] == 2 and rows[1]["n_dup"] == 1
+        assert rows[1]["dup_micro"] == 500000
+        assert rows[2]["n_grams"] == 2 and rows[2]["n_dup"] == 1
+        # within-doc repetition alone never counts as duplication
+        assert rows[3]["n_grams"] == 3 and rows[3]["n_dup"] == 0
+        for short_id in (4, 5):
+            r = rows[short_id]
+            assert r["n_grams"] == 0 and r["n_dup"] == 0
+            assert r["dup_micro"] == 0
