@@ -264,6 +264,124 @@ def minhash_signatures_from_codes(
     return code_df.select("id", sig.alias("signature"))
 
 
+def _codepoints_of_norm(norm: F.Column) -> F.Column:
+    """Normalized text → array<long> of per-character code points,
+    empty array for empty text (Spark's split("", "") yields [""] whose
+    ascii is 0 — guard it out so downstream window counts can trust
+    ``size(codes)``). ``ascii`` returns the full Unicode code point of
+    a one-char string (verified: 'é'→233, '漢'→28450)."""
+
+    def body(nrm: F.Column) -> F.Column:
+        return F.when(
+            F.length(nrm) > 0,
+            F.transform(F.split(nrm, ""), lambda ch: F.ascii(ch).cast("long")),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return let_col(norm, body)
+
+
+def shingle_sig_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 30,
+    seed: int = 1,
+    engine: str = "arrow",
+) -> DataFrame:
+    """(id, shingles: array<long>, signature: array<long>[num_perm]) in
+    ONE pass — the minhash front half that every LSH consumer persists.
+
+    engine="arrow" (production): normalization + code-point split stay
+    JVM-side (string semantics are the engine's), then one Arrow-batched
+    numpy kernel does the k-window polynomial hashing, first-occurrence
+    dedup, and the num_perm permutation minima. Bit-identical to the
+    "sql" twin (differential-tested): same fold order ``(acc·B + c) mod
+    p`` per window, same ``((x·a) mod p + b) mod p`` per permutation,
+    all in int64 (p = 2^31−1 keeps every product under 2^63).
+
+    engine="sql": the pure-expression shape the DuckDB oracle mirrors
+    (:func:`_shingle_codes_of_norm` + :func:`minhash_signatures_from_codes`).
+    Kept as the oracle-documented reference; it evaluates Catalyst
+    higher-order-function lambdas interpreted per element — measured
+    ~20× slower than the Arrow kernel on the bench corpus, which is why
+    it is not the default.
+    """
+    if engine == "sql":
+        code_df = shingle_code_table(df, id_col, text_col, k)
+        coeffs = F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in _perm_coeffs(num_perm, seed)
+            ]
+        )
+        sig = F.aggregate(
+            F.col("shingles"),
+            F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm),
+            lambda acc, x: F.zip_with(
+                acc,
+                coeffs,
+                lambda m, c: F.least(
+                    m,
+                    F.pmod(
+                        F.pmod(x * c["a"], F.lit(_MERSENNE)) + c["b"],
+                        F.lit(_MERSENNE),
+                    ),
+                ),
+            ),
+        )
+        return code_df.select("id", "shingles", sig.alias("signature"))
+    if engine != "arrow":
+        raise ValueError(f"unknown engine {engine!r} (want 'arrow' or 'sql')")
+
+    proj = df.select(
+        F.col(id_col).alias("id"),
+        _codepoints_of_norm(_norm(text_col)).alias("__codes"),
+    )
+    id_field = proj.schema["id"]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("shingles", T.ArrayType(T.LongType()), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    coeffs = _perm_coeffs(num_perm, seed)
+    a_row = np.array([a for a, _ in coeffs], dtype=np.int64)[None, :]
+    b_row = np.array([b for _, b in coeffs], dtype=np.int64)[None, :]
+    p, base, kk = _MERSENNE, _POLY_BASE, k
+    empty_sig = [p] * num_perm
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shingles_out: list[list[int]] = []
+            sigs_out: list[list[int]] = []
+            for codes in pdf["__codes"]:
+                c = np.asarray(codes, dtype=np.int64)
+                n = c.shape[0]
+                if n == 0:
+                    shingles_out.append([])
+                    sigs_out.append(empty_sig)
+                    continue
+                w = max(n - kk + 1, 1)
+                h = np.zeros(w, dtype=np.int64)
+                for j in range(min(kk, n)):
+                    h = (h * base + c[j : j + w]) % p
+                sh = pd.unique(h)  # first-occurrence order = array_distinct
+                sig = (((sh[:, None] * a_row) % p) + b_row) % p
+                shingles_out.append(sh.tolist())
+                sigs_out.append(sig.min(axis=0).tolist())
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "shingles": shingles_out,
+                    "signature": sigs_out,
+                }
+            )
+
+    return proj.mapInPandas(kernel, out_schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -271,10 +389,15 @@ def minhash_signatures(
     k: int = 5,
     num_perm: int = 30,
     seed: int = 1,
+    engine: str = "arrow",
 ) -> DataFrame:
-    return minhash_signatures_from_codes(
-        shingle_code_table(df, id_col, text_col, k), num_perm, seed
-    )
+    if engine == "sql":
+        return minhash_signatures_from_codes(
+            shingle_code_table(df, id_col, text_col, k), num_perm, seed
+        )
+    return shingle_sig_table(
+        df, id_col, text_col, k, num_perm, seed, engine
+    ).select("id", "signature")
 
 
 def _banded(sig_df: DataFrame, bands: int) -> DataFrame:
@@ -364,6 +487,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     seed: int = 1,
     estimate_margin: float = 0.2,
+    engine: str = "arrow",
 ) -> DataFrame:
     """End-to-end near-dup pairs: LSH candidates → signature-estimate
     prefilter → exact Jaccard over distinct hashed shingles ≥ threshold
@@ -377,12 +501,17 @@ def minhash_dedup_pairs(
     the (much larger) shingle arrays. With 30 permutations the
     estimate's σ ≈ 0.085 at s=0.7, so margin 0.2 ≈ 2.4σ — the extra
     miss probability on borderline pairs is <1% on top of the banding
-    S-curve. Shingle and signature tables are persisted: each feeds
-    two plan branches (at warehouse scale: materialized intermediate
-    tables).
+    S-curve. The (shingles, signature) front half comes from ONE
+    persisted :func:`shingle_sig_table` pass (Arrow numpy kernel by
+    default, ``engine="sql"`` for the oracle-shaped expression twin);
+    it feeds four plan branches (at warehouse scale: a materialized
+    intermediate table).
     """
-    with_sh = shingle_code_table(df, id_col, text_col, k).persist()
-    sigs = minhash_signatures_from_codes(with_sh, num_perm, seed).persist()
+    front = shingle_sig_table(
+        df, id_col, text_col, k, num_perm, seed, engine
+    ).persist()
+    with_sh = front.select("id", "shingles")
+    sigs = front.select("id", "signature")
     pairs = minhash_lsh_pairs(sigs, bands)
     est = (
         pairs.join(
@@ -674,18 +803,19 @@ def lsh_quality_eval(
     The dedup-quality report docling-eval-style evaluators produce for
     extraction metrics, applied to the dedup operator itself.
 
-    The codes projection is persisted for the duration of the plan:
-    the lineage forks FOUR ways from it (signatures, postings, and the
-    two ground-truth join-backs), and each fork would otherwise re-run
-    the whole shingle-hashing kernel — measured 2x wall on the sf0.1
-    eval corpus. MEMORY_AND_DISK: an eval-sized corpus fits, and a
-    spill beats four kernel recomputes."""
+    The (shingles, signature) front half is persisted for the duration
+    of the plan: the lineage forks FOUR ways from it (band buckets,
+    postings, and the two ground-truth join-backs), and each fork would
+    otherwise re-run the whole shingle-hashing kernel — measured 2x
+    wall on the sf0.1 eval corpus. MEMORY_AND_DISK: an eval-sized
+    corpus fits, and a spill beats four kernel recomputes."""
     from pyspark import StorageLevel
 
-    codes = shingle_code_table(df, id_col, text_col, k).persist(
+    front = shingle_sig_table(df, id_col, text_col, k, num_perm).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures_from_codes(codes, num_perm)
+    codes = front.select("id", "shingles")
+    sigs = front.select("id", "signature")
     cand = minhash_lsh_pairs(sigs, bands, max_bucket)
     true_pairs = exact_jaccard_pairs(codes, threshold, gt_max_df)
     tp = cand.join(true_pairs.select("id_l", "id_r"), ["id_l", "id_r"])

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame, Window
 
 
@@ -81,7 +82,14 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
 
 def bucket_col(vec_col: Column | str, planes: np.ndarray) -> Column:
     """Sign-bit LSH bucket id (int) for an embedding column; the dot
-    products are unrolled into codegen arithmetic per plane."""
+    products are unrolled into codegen arithmetic per plane.
+
+    This is the expression twin the DuckDB oracle mirrors. Its literal
+    tree (n_planes × dim constants, one interpreted fold per plane) is
+    exactly what :func:`bucket_assign` replaces in production: Catalyst
+    analysis+codegen of the unrolled tree dominated the COLD wall of
+    every bucketed query (measured 18 s of near_dup_pairs' 22 s cold at
+    12×64), and the per-element lambdas are interpreted per row warm."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
@@ -93,6 +101,58 @@ def bucket_col(vec_col: Column | str, planes: np.ndarray) -> Column:
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def bucket_assign(
+    df: DataFrame,
+    vec_col: str,
+    planes: np.ndarray,
+    out_col: str = "bucket",
+    engine: str = "arrow",
+) -> DataFrame:
+    """Append the sign-bit LSH bucket id of ``vec_col`` as ``out_col``.
+
+    engine="arrow" (production): one Arrow-batched numpy kernel.
+    Bit-identical to the ``bucket_col`` expression twin: the per-plane
+    dot product is an ELEMENTWISE product followed by ``np.cumsum``
+    along the vector axis (cumsum is a strict left-to-right partial-sum
+    loop), i.e. the same ``fold(0.0, acc + x·y)`` float-addition order
+    the expression and the DuckDB oracle use — float addition is not
+    associative, so a BLAS ``dot`` (SIMD/pairwise reordering) would NOT
+    reproduce the oracle's signs on knife-edge dots. The only residual
+    difference is ``-0.0`` vs ``+0.0`` when a dot is exactly zero
+    (fold starts at +0.0), and the sign test ``dot >= 0`` treats both
+    identically. engine="sql" keeps the unrolled expression tree.
+    """
+    if engine == "sql":
+        return df.withColumn(out_col, bucket_col(vec_col, planes))
+    if engine != "arrow":
+        raise ValueError(f"unknown engine {engine!r} (want 'arrow' or 'sql')")
+    pl = np.asarray(planes, dtype=np.float64)
+    n_planes = pl.shape[0]
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType(), False)]
+    )
+    bits = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+    cols = list(df.columns)
+
+    def kernel(batches):
+        for pdf in batches:
+            vals = pdf[vec_col]
+            buckets = np.zeros(len(vals), dtype=np.int64)
+            if len(vals):
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vals]
+                )  # (rows, dim)
+                # (rows, planes, dim) products, folded left-to-right
+                prods = mat[:, None, :] * pl[None, :, :]
+                dots = np.cumsum(prods, axis=2)[:, :, -1]
+                buckets = ((dots >= 0) * bits).sum(axis=1)
+            out = pdf[cols].copy()
+            out[out_col] = buckets.astype(np.int32)
+            yield out
+
+    return df.mapInPandas(kernel, schema)
 
 
 def lsh_bucketed_topk(
@@ -114,7 +174,9 @@ def lsh_bucketed_topk(
     distance 1 from the query's bucket (flip each bit once)."""
     dim = len(queries.select(query_vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    cb = corpus.withColumn("bucket", bucket_col(vec_col, planes))
+    cb = bucket_assign(corpus, vec_col, planes)
+    # query side is tiny (broadcast below): the expression twin avoids
+    # spinning a Python worker stage for a handful of rows
     qb = queries.withColumn("bucket", bucket_col(query_vec_col, planes))
     if multiprobe:
         probes = F.array(
@@ -152,8 +214,8 @@ def embedding_near_dup_pairs(
     rather than joined — a quadratic bucket at corpus scale is an
     error, not work (same guard as minhash_lsh_pairs). Inspect the
     overflow with ``near_dup_bucket_overflow``."""
-    planes_df = corpus.withColumn(
-        "bucket", bucket_col(vec_col, hyperplanes_for(corpus, vec_col, n_planes, seed))
+    planes_df = bucket_assign(
+        corpus, vec_col, hyperplanes_for(corpus, vec_col, n_planes, seed)
     )
     ok = (
         planes_df.groupBy("bucket")
@@ -187,9 +249,8 @@ def near_dup_bucket_overflow(
 ) -> DataFrame:
     """(bucket, n) rows for buckets the near-dup join refuses to expand."""
     return (
-        corpus.withColumn(
-            "bucket",
-            bucket_col(vec_col, hyperplanes_for(corpus, vec_col, n_planes, seed)),
+        bucket_assign(
+            corpus, vec_col, hyperplanes_for(corpus, vec_col, n_planes, seed)
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))

@@ -139,3 +139,64 @@ def test_dup_ngram_prod_portable_same_decisions(spark):
     prod, port = rows(False), rows(True)
     assert prod == port
     assert any(r[2] > 0 for r in prod), "fixture has no duplicated 8-grams"
+
+
+def test_shingle_sig_arrow_sql_bit_identical(spark):
+    """The Arrow numpy minhash front half must reproduce the expression
+    twin (the oracle-documented shape) BIT-FOR-BIT: same window fold
+    ``(acc·B + c) mod p``, same first-occurrence shingle dedup, same
+    permutation minima — including the edge rows (empty text,
+    whitespace-only text, text shorter than k, non-ASCII code points).
+    """
+    from docling_eval_spark.operators.dedup import shingle_sig_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "ab"), (90003, "   "), (90004, "é漢xé漢x test")],
+        ["doc_id", "text"],
+    )
+    docs = docs.unionByName(edge)
+    a = shingle_sig_table(docs, "doc_id", engine="arrow").orderBy("id").collect()
+    s = shingle_sig_table(docs, "doc_id", engine="sql").orderBy("id").collect()
+    assert len(a) == len(s) and len(a) > 0
+    for ra, rs in zip(a, s):
+        assert ra.id == rs.id
+        assert list(ra.shingles) == list(rs.shingles)
+        assert list(ra.signature) == list(rs.signature)
+    # edge semantics pinned: empty/short texts
+    by_id = {r.id: r for r in a}
+    assert by_id[90001].shingles == [] and by_id[90003].shingles == []
+    assert len(by_id[90002].shingles) == 1  # one clamped window
+    p = (1 << 31) - 1
+    assert by_id[90001].signature == [p] * 30  # empty → all-p signature
+
+
+def test_bucket_assign_arrow_sql_bit_identical(spark):
+    """The Arrow LSH bucket kernel must agree with the unrolled
+    ``bucket_col`` expression twin on every row: the cumsum fold
+    reproduces the expression's left-to-right float addition order, so
+    the sign bits (and hence bucket ids) are identical."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.similarity import (
+        bucket_assign,
+        bucket_col,
+        hyperplanes,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dim = len(e.select("embedding").first()[0])
+    planes = hyperplanes(dim, 12, seed=7)
+    arrow = bucket_assign(e, "embedding", planes).select("vec_id", "bucket")
+    sql = e.withColumn("bucket", bucket_col("embedding", planes)).select(
+        "vec_id", "bucket"
+    )
+    a = {r.vec_id: r.bucket for r in arrow.collect()}
+    s = {r.vec_id: r.bucket for r in sql.collect()}
+    assert a == s and len(a) > 0
+    assert len(set(a.values())) > 1  # buckets actually split the corpus
