@@ -699,10 +699,19 @@ def minhash_incremental_pairs(
     shingles, so the exact-Jaccard confirm belongs to the caller if it
     retains text). Per-band buckets are capped on the ALL side like
     minhash_lsh_pairs, whose banding scheme is shared (`_banded`).
-    Output: (id_l < id_r, est)."""
+    Output: (id_l < id_r, est).
+
+    Both signature frames are persisted for the plan's duration: the
+    lineage forks three ways (bucket sizes, the all-side join input,
+    the new-side banding), and each fork would otherwise re-run the
+    caller's signature kernel over the corpus — measured 5 full kernel
+    passes (2×store + 3×new) unpersisted vs one per side (at warehouse
+    scale the store IS a materialized signature table, which is the
+    whole point of the incremental shape)."""
+    new_sigs = new_sigs.select("id", "signature").persist()
     all_sigs = store_sigs.select("id", "signature").unionByName(
-        new_sigs.select("id", "signature")
-    )
+        new_sigs
+    ).persist()
     b_all = _banded(all_sigs, bands)
     sizes = (
         b_all.groupBy("band", "band_hash")
