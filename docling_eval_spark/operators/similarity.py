@@ -213,10 +213,16 @@ def embedding_near_dup_pairs(
     all-zero embeddings landing in one hyperplane cell) are DROPPED
     rather than joined — a quadratic bucket at corpus scale is an
     error, not work (same guard as minhash_lsh_pairs). Inspect the
-    overflow with ``near_dup_bucket_overflow``."""
+    overflow with ``near_dup_bucket_overflow``.
+
+    The bucketed frame is persisted for the plan's duration: it feeds
+    the size census and both self-join sides, and each branch would
+    otherwise re-scan the corpus and re-run the bucket kernel (the
+    plan audit counted 8 embedding scans unpersisted — at warehouse
+    scale this is a materialized bucket-assignment table)."""
     planes_df = bucket_assign(
         corpus, vec_col, hyperplanes_for(corpus, vec_col, n_planes, seed)
-    )
+    ).persist()
     ok = (
         planes_df.groupBy("bucket")
         .agg(F.count("*").alias("__n"))
