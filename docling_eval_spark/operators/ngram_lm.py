@@ -59,11 +59,17 @@ def trigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     derived c2 counts only windows with a following char, which IS the
     conditional's denominator — documents' final bigrams never start a
     trigram.)"""
-    tri = (
+    return trigram_model_from_grams(
         df.select(F.explode(_grams_of(_norm(text_col), 3)).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("c3"))
     )
+
+
+def trigram_model_from_grams(grams: DataFrame) -> DataFrame:
+    """Same model, built from an already-exploded ``gram`` column —
+    lets the self-trained scoring path reuse ONE persisted gram frame
+    for both the model aggregation and the scoring join instead of
+    exploding the corpus twice."""
+    tri = grams.groupBy("gram").agg(F.count("*").alias("c3"))
     ctx = (
         tri.groupBy(F.substring("gram", 1, 2).alias("ctx"))
         .agg(F.sum("c3").alias("c2"))
@@ -109,14 +115,18 @@ def ngram_lm_score(
     charsets (CJK-heavy crawls approach charset³ distinct trigrams)
     pass False and let Spark's size-based planning pick a shuffle
     join instead of collecting an oversized model to the driver."""
-    if model is None:
-        model = trigram_model(df, text_col)
-    if broadcast_model:
-        model = F.broadcast(model)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(_grams_of(_norm(text_col), 3)).alias("gram"),
     )
+    if model is None:
+        # self-trained: ONE persisted explode feeds both the model
+        # aggregation and the scoring join (previously two full
+        # corpus explodes)
+        grams = grams.persist()
+        model = trigram_model_from_grams(grams)
+    if broadcast_model:
+        model = F.broadcast(model)
     scored = grams.join(model, "gram", "left").select(
         "id",
         F.coalesce(
