@@ -5618,7 +5618,11 @@ def _q_crawl_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spike = f.filter(
         (F.col("host") == "host3") & (F.dayofmonth("crawl_ts") == 5)
     )
-    boosted = f.unionByName(spike).unionByName(spike).unionByName(spike)
+    # the spike branch re-derives the fetch synthesis 3x and the burst
+    # detector double-references its input — persist the union once
+    boosted = (
+        f.unionByName(spike).unionByName(spike).unionByName(spike).persist()
+    )
     b = crawl_bursts(boosted, z=3, min_fetches=10)
     return b.select(
         "host",
@@ -5941,8 +5945,15 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe=2, hyperplane-LSH multiprobe) against brute-force cosine
     truth on the SAME gated fixtures — (method, n_true, n_hit,
     recall_ppm), integer-exact via DIV. Third member of the
-    measure-your-own-operator family (lsh_eval, lang_confusion)."""
-    brute = _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    measure-your-own-operator family (lsh_eval, lang_confusion).
+
+    The brute-force truth table is persisted: it feeds the hit join
+    AND the n_true census for BOTH methods (4 references), and each
+    unpersisted evaluation re-runs the full brute-force cosine pass —
+    the plan audit counted 12 embedding scans for this one query."""
+    brute = (
+        _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    )
     approx = {
         "ivf": _q_ivf_topk(spark, sf_dir),
         "lsh": _q_lsh_topk(spark, sf_dir),

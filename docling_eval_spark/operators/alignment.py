@@ -107,8 +107,14 @@ def bitext_candidates(
         jaccard_micro = 1e6 * shared DIV (n_src + n_tgt - shared)
 
     The token-keyed join is the only src-x-tgt contact and its fanout
-    per token is bounded by ``max_df`` on each side."""
-    post = rare_token_postings(df, id_col, text_col, lang_col, max_df, ngram)
+    per token is bounded by ``max_df`` on each side.
+
+    The postings table is persisted: both language branches filter it,
+    and each unpersisted branch re-runs the full tokenize + df-census
+    pipeline (the plan audit counted 4 text scans)."""
+    post = rare_token_postings(
+        df, id_col, text_col, lang_col, max_df, ngram
+    ).persist()
     src = post.filter(F.col("lang") == src_lang).select(
         F.col("id").alias("src_id"), "tok", F.col("n_rare").alias("n_src")
     )

@@ -168,7 +168,7 @@ def bm25_topk(
     salted exact :func:`topk_per_key`, so a stopword query matching
     the whole corpus still ranks without a hot reducer.
     """
-    from docling_eval_spark.operators.text_analysis import token_count_col, tokens_col
+    from docling_eval_spark.operators.text_analysis import tokens_col
 
     qtoks = F.transform(tokens_col("qtext"), lambda x: F.lower(x))
     qterms = (
@@ -177,26 +177,30 @@ def bm25_topk(
         .agg(F.count("*").alias("qtf"))
     )
 
+    # tokenize the corpus ONCE: the doc-length table, the corpus
+    # scalars, and the term postings all derive from one persisted
+    # slim (id, dl) projection + one explode — previously three
+    # separate full tokenize passes over the text column
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+    tokd = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    dls = tokd.select(
+        "id", F.size("__toks").alias("dl")
+    ).persist()
+
     # corpus scalars as a 1-row broadcast frame (no driver collect)
-    stats = df.select(token_count_col(text_col).alias("dl")).agg(
+    stats = dls.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
-    )
-    stats = stats.select(
+    ).select(
         "n_docs",
         F.expr("(1000 * total_tokens) div n_docs").alias("avgdl_milli"),
     )
 
-    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
-    terms = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    terms = tokd.select("id", F.explode("__toks").alias("term"))
     cand = terms.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     )
     tf = cand.groupBy("term", "id").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("term_df"))
-
-    dls = df.select(
-        F.col(id_col).alias("id"), token_count_col(text_col).alias("dl")
-    )
 
     scored = (
         tf.join(F.broadcast(dfreq), "term")
