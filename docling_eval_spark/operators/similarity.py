@@ -155,6 +155,67 @@ def bucket_assign(
     return df.mapInPandas(kernel, schema)
 
 
+def cosine_assign(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str = "cosine",
+    engine: str = "arrow",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Append the cosine of two vector columns as ``out_col``.
+
+    engine="arrow" (production): one Arrow-batched numpy kernel,
+    bit-identical to the :func:`cosine_col` expression twin on every
+    pair: the dot and both squared norms are elementwise products
+    folded by ``np.cumsum`` (strict left-to-right partial sums — the
+    same float-addition order as the expression's ``aggregate`` and
+    the DuckDB oracle), ``sqrt`` and the final division are single
+    IEEE ops on identical operands. Zero-norm guard matches: either
+    norm 0 → cosine 0.0. The expression twin's per-element lambdas
+    are interpreted per pair×dimension — the dominant cost of
+    cluster-confined pairwise scans like SemDeDup. engine="sql" keeps
+    the expression.
+
+    ``keep``: output columns besides ``out_col`` (default: all input
+    columns). Pair scans should keep only the id columns — returning
+    the vectors through the Arrow boundary is pure copy cost.
+    """
+    if engine == "sql":
+        out = df.withColumn(out_col, cosine_col(a_col, b_col))
+        return out.select(*keep, out_col) if keep is not None else out
+    if engine != "arrow":
+        raise ValueError(f"unknown engine {engine!r} (want 'arrow' or 'sql')")
+    cols = keep if keep is not None else list(df.columns)
+    schema = T.StructType(
+        [df.schema[c] for c in cols]
+        + [T.StructField(out_col, T.DoubleType(), False)]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf[cols].copy()
+            if n == 0:
+                out[out_col] = np.zeros(0, dtype=np.float64)
+                yield out
+                continue
+            va = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[a_col]])
+            vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[b_col]])
+            dot = np.cumsum(va * vb, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(va * va, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(vb * vb, axis=1)[:, -1])
+            cos = np.zeros(n, dtype=np.float64)
+            ok = (na > 0) & (nb > 0)
+            cos[ok] = dot[ok] / (na[ok] * nb[ok])
+            out[out_col] = cos
+            yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -236,10 +297,9 @@ def embedding_near_dup_pairs(
     r = capped.select(
         "bucket", F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r")
     )
+    cand = l.join(r, "bucket").filter(F.col("id_l") < F.col("id_r"))
     return (
-        l.join(r, "bucket")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn("cosine", cosine_col("v_l", "v_r"))
+        cosine_assign(cand, "v_l", "v_r", keep=["id_l", "id_r"])
         .filter(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")
         .distinct()
@@ -411,10 +471,10 @@ def semantic_dedup(
     r = joinable.select(
         "centroid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
     )
+    cand = l.join(r, "centroid").filter(F.col("a_id") < F.col("b_id"))
     dup_ids = (
-        l.join(r, "centroid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine_col("a_vec", "b_vec") >= threshold)
+        cosine_assign(cand, "a_vec", "b_vec", keep=["b_id"])
+        .filter(F.col("cosine") >= threshold)
         .select(F.col("b_id").alias(id_col))
         .distinct()
     )

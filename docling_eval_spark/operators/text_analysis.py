@@ -505,6 +505,119 @@ def token_ngram_hash_col(
     return let_col(tok_hashes, over_tok_hashes)
 
 
+def token_ngram_hash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    portable: bool = False,
+    engine: str = "arrow",
+) -> DataFrame:
+    """(id, n_grams, grams: array<long>) — :func:`token_ngram_hash_col`
+    as a table, with the window count (``max(0, tokens − n + 1)``)
+    computed alongside so no caller re-evaluates the hash pipeline to
+    count windows.
+
+    engine="arrow" (production): tokenization + lowercasing (and on
+    the prod path the per-token ``xxhash64``) stay JVM-side — string
+    semantics are the engine's — then one Arrow-batched numpy kernel
+    does the portable per-code-point token folds and the n-token
+    window Horner folds. Bit-identical to the ``engine="sql"``
+    expression twin (differential-tested): same ``(acc·B + x) mod m``
+    fold order, int64 throughout (the ~2⁴³ prod field keeps
+    ``(m−1)·(B+1) < 2⁶³`` exactly as the expression path does). The
+    portable char fold consumes Python code points, which match
+    Spark's ``split('')``/``ascii`` per-code-point semantics
+    (differential-tested through non-BMP rows). The sql twin's
+    interpreted per-element HOF lambdas are what the kernel replaces —
+    the same cold-analysis + warm-interpretation cost profile measured
+    on the minhash front half."""
+    if engine == "sql":
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.greatest(
+                F.size(tokens_col(text_col)) - (n - 1), F.lit(0)
+            ).alias("n_grams"),
+            token_ngram_hash_col(text_col, n, portable).alias("grams"),
+        )
+    if engine != "arrow":
+        raise ValueError(f"unknown engine {engine!r} (want 'arrow' or 'sql')")
+
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    mod = _FP_MOD if portable else _NGRAM_PROD_MOD
+    base = _FP_BASE
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+    if portable:
+        proj = df.select(F.col(id_col).alias("id"), toks.alias("__in"))
+    else:
+        proj = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_NGRAM_PROD_MOD))
+            ).alias("__in"),
+        )
+    out_schema = T.StructType(
+        [
+            proj.schema["id"],
+            T.StructField("n_grams", T.LongType(), False),
+            T.StructField("grams", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def _token_hashes(flat: list[str]) -> np.ndarray:
+        """Portable per-token char-code Horner folds, vectorized: one
+        concatenated code-point array + per-char-position masked
+        updates (loop length = longest token, not token count)."""
+        if not flat:
+            return np.zeros(0, dtype=np.int64)
+        lens = np.fromiter((len(t) for t in flat), dtype=np.int64, count=len(flat))
+        big = "".join(flat)
+        codes = np.fromiter(map(ord, big), dtype=np.int64, count=len(big))
+        starts = np.zeros(len(flat), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        h = np.zeros(len(flat), dtype=np.int64)
+        for j in range(int(lens.max())):
+            act = lens > j
+            h[act] = (h[act] * base + codes[starts[act] + j]) % _FP_MOD
+        return h
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = list(pdf["__in"])
+            if portable:
+                sizes = [len(r) for r in rows]
+                th_flat = _token_hashes([t for r in rows for t in r])
+                offs = np.zeros(len(rows) + 1, dtype=np.int64)
+                np.cumsum(np.asarray(sizes, dtype=np.int64), out=offs[1:])
+                ths = [th_flat[offs[i] : offs[i + 1]] for i in range(len(rows))]
+            else:
+                ths = [np.asarray(r, dtype=np.int64) for r in rows]
+            n_grams_out: list[int] = []
+            grams_out: list[list[int]] = []
+            for th in ths:
+                t_cnt = th.shape[0]
+                w = t_cnt - n + 1
+                if w <= 0:
+                    n_grams_out.append(0)
+                    grams_out.append([])
+                    continue
+                g = np.zeros(w, dtype=np.int64)
+                for j in range(n):
+                    g = (g * base + th[j : j + w]) % mod
+                n_grams_out.append(w)
+                grams_out.append(g.tolist())
+            yield pd.DataFrame(
+                {"id": pdf["id"], "n_grams": n_grams_out, "grams": grams_out}
+            )
+
+    return proj.mapInPandas(kernel, out_schema)
+
+
 def contamination_check(
     docs: DataFrame,
     bench: DataFrame,
@@ -514,6 +627,7 @@ def contamination_check(
     n: int = 8,
     broadcast_bench: bool = True,
     portable: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, n_grams, n_hits): per training document, how many of its
     ``n``-token windows appear anywhere in the benchmark set — the
@@ -533,23 +647,23 @@ def contamination_check(
     benchmark text)."""
     btc = bench_text_col or text_col
     bench_set = (
-        bench.select(
-            F.explode(token_ngram_hash_col(btc, n, portable)).alias("g")
+        token_ngram_hash_table(
+            bench.select(F.lit(0).alias("__bid"), F.col(btc).alias("__bt")),
+            "__bid",
+            "__bt",
+            n,
+            portable,
+            engine,
         )
+        .select(F.explode("grams").alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     if broadcast_bench:
         bench_set = F.broadcast(bench_set)
-    rows = docs.select(
-        F.col(id_col).alias("id"),
-        # window count = max(0, T - n + 1): derived from the cheap
-        # token split so the hash expression is referenced ONCE
-        F.greatest(
-            F.size(tokens_col(text_col)) - (n - 1), F.lit(0)
-        ).alias("n_grams"),
-        F.explode_outer(token_ngram_hash_col(text_col, n, portable)).alias("g"),
-    )
+    rows = token_ngram_hash_table(
+        docs, id_col, text_col, n, portable, engine
+    ).select("id", "n_grams", F.explode_outer("grams").alias("g"))
     return (
         rows.join(bench_set, "g", "left")
         .groupBy("id")
@@ -566,6 +680,7 @@ def dup_ngram_stats(
     text_col: str = "text",
     n: int = 8,
     portable: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, n_grams, n_dup, dup_micro): per document, how many of its
     ``n``-token windows also occur in at least one OTHER document —
@@ -594,15 +709,11 @@ def dup_ngram_stats(
     # docs with < n tokens get a single -1 sentinel window (hashes
     # live in [0, mod)) so the equi-joins below never see a NULL key
     # and every input id survives to the output with n_grams = 0
-    arr = let_col(
-        token_ngram_hash_col(text_col, n, portable),
-        lambda a: F.when(F.size(a) > 0, a).otherwise(
-            F.array(F.lit(-1).cast("long"))
-        ),
+    tbl = token_ngram_hash_table(docs, id_col, text_col, n, portable, engine)
+    arr = F.when(F.size("grams") > 0, F.col("grams")).otherwise(
+        F.array(F.lit(-1).cast("long"))
     )
-    grams = docs.select(
-        F.col(id_col).alias("id"), F.explode(arr).alias("g")
-    )
+    grams = tbl.select("id", F.explode(arr).alias("g"))
     # (g, id) level: per-doc multiplicity of each window hash
     lvl = grams.groupBy("g", "id").agg(
         F.sum(F.when(F.col("g") == -1, 0).otherwise(1)).alias("n_win")

@@ -1084,7 +1084,7 @@ def template_rollup(
 def hits(
     edges: DataFrame,
     iterations: int = 4,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
     normalize: str = "final",
 ) -> DataFrame:
     """Fixed-iteration HITS hubs/authorities (Kleinberg 1999, public)
@@ -1161,6 +1161,11 @@ def hits(
                 .otherwise(F.lit(0.0))
                 .alias("hub"),
             )
+    # the final scaling references each vector TWICE (max census +
+    # output join): pin ONE evaluation of the converged state, or the
+    # whole remaining iteration lineage re-executes per reference
+    hubs = hubs.localCheckpoint(eager=True)
+    auths = auths.localCheckpoint(eager=True)
     maxes = hubs.agg(F.max("hub").alias("mh")).crossJoin(
         auths.agg(F.max("auth").alias("ma"))
     )

@@ -200,3 +200,98 @@ def test_bucket_assign_arrow_sql_bit_identical(spark):
     s = {r.vec_id: r.bucket for r in sql.collect()}
     assert a == s and len(a) > 0
     assert len(set(a.values())) > 1  # buckets actually split the corpus
+
+
+def test_token_ngram_table_arrow_sql_bit_identical(spark):
+    """The Arrow token-n-gram kernel must reproduce the expression twin
+    bit-for-bit in BOTH hash modes — portable (per-code-point folds,
+    including non-BMP code points: Spark's split('')/ascii are
+    code-point semantics matching Python ord, probed 𝄞→119070) and
+    prod (JVM xxhash64 token hashes, window fold in the kernel) — plus
+    the short-doc (< n tokens) and empty-text edges."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.text_analysis import (
+        token_ngram_hash_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (90001, ""),
+            (90002, "one two three"),  # < n tokens
+            (90003, "a 𝄞clef😀 b c d e f g h astral token mix"),
+            (90004, "  padded   whitespace\tand\nnewlines " + "tok " * 12),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = docs.unionByName(edge)
+    for portable in (True, False):
+        a = (
+            token_ngram_hash_table(docs, "doc_id", portable=portable)
+            .orderBy("id")
+            .collect()
+        )
+        s = (
+            token_ngram_hash_table(
+                docs, "doc_id", portable=portable, engine="sql"
+            )
+            .orderBy("id")
+            .collect()
+        )
+        assert len(a) == len(s) and len(a) > 0
+        for ra, rs in zip(a, s):
+            assert ra.id == rs.id
+            assert ra.n_grams == rs.n_grams
+            assert list(ra.grams) == list(rs.grams), (portable, ra.id)
+    by_id = {r.id: r for r in a}
+    assert by_id[90001].n_grams == 0 and by_id[90001].grams == []
+    assert by_id[90002].n_grams == 0 and by_id[90002].grams == []
+    assert by_id[90003].n_grams > 0
+
+
+def test_cosine_assign_arrow_sql_bit_identical(spark):
+    """The Arrow pairwise-cosine kernel must agree bit-for-bit with the
+    cosine_col expression twin (cumsum == the expression's left-fold
+    addition order; sqrt/divide are single IEEE ops), including the
+    zero-norm guard."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.similarity import cosine_assign
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dim = len(e.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(990001, [0.0] * dim)], ["vec_id", "embedding"]
+    )
+    e = e.unionByName(zero)
+    pairs = (
+        e.select(F.col("vec_id").alias("id_l"), F.col("embedding").alias("v_l"))
+        .crossJoin(
+            e.select(
+                F.col("vec_id").alias("id_r"), F.col("embedding").alias("v_r")
+            ).filter(F.col("id_r") % 7 == 0)
+        )
+    )
+    a = {
+        (r.id_l, r.id_r): r.cosine
+        for r in cosine_assign(
+            pairs, "v_l", "v_r", keep=["id_l", "id_r"]
+        ).collect()
+    }
+    s = {
+        (r.id_l, r.id_r): r.cosine
+        for r in cosine_assign(
+            pairs, "v_l", "v_r", engine="sql", keep=["id_l", "id_r"]
+        ).collect()
+    }
+    assert len(a) == len(s) > 0
+    diffs = [k for k in a if a[k] != s[k]]
+    assert diffs == []
+    zero_pairs = [v for (l_, r_), v in a.items() if l_ == 990001]
+    assert zero_pairs and all(v == 0.0 for v in zero_pairs)
