@@ -136,18 +136,34 @@ def bucket_assign(
     bits = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
     cols = list(df.columns)
 
+    zero_dim = pl.shape[1]
+
     def kernel(batches):
         for pdf in batches:
-            vals = pdf[vec_col]
+            vals = [
+                # NULL vector: the expression twin's NULL dots fail
+                # every `dot >= 0` test → bucket 0; an all-zero stand-in
+                # reproduces that (+0.0 >= 0 is true for every plane —
+                # NOT the same!), so mask them out instead
+                v
+                for v in pdf[vec_col]
+            ]
+            nulls = np.array([v is None for v in vals], dtype=bool)
             buckets = np.zeros(len(vals), dtype=np.int64)
-            if len(vals):
+            if len(vals) and not nulls.all():
                 mat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in vals]
+                    [
+                        np.zeros(zero_dim)
+                        if v is None
+                        else np.asarray(v, dtype=np.float64)
+                        for v in vals
+                    ]
                 )  # (rows, dim)
                 # (rows, planes, dim) products, folded left-to-right
                 prods = mat[:, None, :] * pl[None, :, :]
                 dots = np.cumsum(prods, axis=2)[:, :, -1]
                 buckets = ((dots >= 0) * bits).sum(axis=1)
+                buckets[nulls] = 0
             out = pdf[cols].copy()
             out[out_col] = buckets.astype(np.int32)
             yield out
@@ -202,8 +218,25 @@ def cosine_assign(
                 out[out_col] = np.zeros(0, dtype=np.float64)
                 yield out
                 continue
-            va = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[a_col]])
-            vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[b_col]])
+            la, lb = list(pdf[a_col]), list(pdf[b_col])
+            # NULL vectors: the expression's NULL norms fail the
+            # (na>0)&(nb>0) gate → 0.0; zero stand-ins take the same
+            # branch (norm 0), so no extra masking is needed
+            dim = next(
+                (len(v) for v in la + lb if v is not None), 1
+            )
+            va = np.stack(
+                [
+                    np.zeros(dim) if v is None else np.asarray(v, np.float64)
+                    for v in la
+                ]
+            )
+            vb = np.stack(
+                [
+                    np.zeros(dim) if v is None else np.asarray(v, np.float64)
+                    for v in lb
+                ]
+            )
             dot = np.cumsum(va * vb, axis=1)[:, -1]
             na = np.sqrt(np.cumsum(va * va, axis=1)[:, -1])
             nb = np.sqrt(np.cumsum(vb * vb, axis=1)[:, -1])

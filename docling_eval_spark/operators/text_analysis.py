@@ -587,16 +587,25 @@ def token_ngram_hash_table(
         return h
 
     def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        # NULL text → NULL tokens array → same (0, []) as a short doc:
+        # the twin's window-index `when` chain bottoms out on an
+        # empty-array LITERAL, so a NULL input still emits [] grams
+        empty = np.zeros(0, dtype=np.int64)
         for pdf in batches:
             rows = list(pdf["__in"])
             if portable:
-                sizes = [len(r) for r in rows]
-                th_flat = _token_hashes([t for r in rows for t in r])
+                sizes = [0 if r is None else len(r) for r in rows]
+                th_flat = _token_hashes(
+                    [t for r in rows if r is not None for t in r]
+                )
                 offs = np.zeros(len(rows) + 1, dtype=np.int64)
                 np.cumsum(np.asarray(sizes, dtype=np.int64), out=offs[1:])
                 ths = [th_flat[offs[i] : offs[i + 1]] for i in range(len(rows))]
             else:
-                ths = [np.asarray(r, dtype=np.int64) for r in rows]
+                ths = [
+                    empty if r is None else np.asarray(r, dtype=np.int64)
+                    for r in rows
+                ]
             n_grams_out: list[int] = []
             grams_out: list[list[int]] = []
             for th in ths:

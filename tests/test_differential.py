@@ -191,6 +191,10 @@ def test_bucket_assign_arrow_sql_bit_identical(spark):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     dim = len(e.select("embedding").first()[0])
+    nullrow = spark.createDataFrame(
+        [(990002, None)], schema=e.schema
+    )  # NULL vector: every twin sign test fails -> bucket 0
+    e = e.unionByName(nullrow)
     planes = hyperplanes(dim, 12, seed=7)
     arrow = bucket_assign(e, "embedding", planes).select("vec_id", "bucket")
     sql = e.withColumn("bucket", bucket_col("embedding", planes)).select(
@@ -224,6 +228,7 @@ def test_token_ngram_table_arrow_sql_bit_identical(spark):
             (90002, "one two three"),  # < n tokens
             (90003, "a 𝄞clef😀 b c d e f g h astral token mix"),
             (90004, "  padded   whitespace\tand\nnewlines " + "tok " * 12),
+            (90005, None),  # NULL text: twin emits (0, []) like a short doc
         ],
         ["doc_id", "text"],
     )
@@ -245,11 +250,14 @@ def test_token_ngram_table_arrow_sql_bit_identical(spark):
         for ra, rs in zip(a, s):
             assert ra.id == rs.id
             assert ra.n_grams == rs.n_grams
-            assert list(ra.grams) == list(rs.grams), (portable, ra.id)
+            ga = None if ra.grams is None else list(ra.grams)
+            gs = None if rs.grams is None else list(rs.grams)
+            assert ga == gs, (portable, ra.id)
     by_id = {r.id: r for r in a}
     assert by_id[90001].n_grams == 0 and by_id[90001].grams == []
     assert by_id[90002].n_grams == 0 and by_id[90002].grams == []
     assert by_id[90003].n_grams > 0
+    assert by_id[90005].n_grams == 0 and by_id[90005].grams == []
 
 
 def test_cosine_assign_arrow_sql_bit_identical(spark):
@@ -269,7 +277,9 @@ def test_cosine_assign_arrow_sql_bit_identical(spark):
     zero = spark.createDataFrame(
         [(990001, [0.0] * dim)], ["vec_id", "embedding"]
     )
-    e = e.unionByName(zero)
+    e = e.unionByName(zero).unionByName(
+        spark.createDataFrame([(990003, None)], schema=e.schema)
+    )
     pairs = (
         e.select(F.col("vec_id").alias("id_l"), F.col("embedding").alias("v_l"))
         .crossJoin(
