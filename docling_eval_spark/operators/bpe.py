@@ -76,8 +76,54 @@ def _syms(col):
     return F.filter(F.split(col, SEP), lambda x: x != "")
 
 
-def _pair_counts(words: DataFrame) -> DataFrame:
-    """(l, r, freq): adjacent-pair frequencies over the word table."""
+def _pair_counts(words: DataFrame, engine: str = "arrow") -> DataFrame:
+    """(l, r, freq): adjacent-pair frequencies over the word table.
+
+    engine="arrow": the per-word pair expansion happens in an Arrow
+    kernel that emits PRE-COMBINED per-batch partial counts (a dict
+    per batch — the map-side combine the explode shape pays a full
+    exchange of raw pairs for); the keyed sum over partials is exact
+    integer arithmetic either way, so the counts are engine-equal.
+    Python's ``s.split(SEP)`` with empties dropped matches the
+    expression twin's ``filter(split(s, SEP), x != '')`` — SEP is a
+    regex-inert control char. engine="sql" keeps the expression shape
+    (the one the DuckDB oracle mirrors)."""
+    if engine == "arrow":
+        import pyspark.sql.types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("l", T.StringType(), False),
+                T.StructField("r", T.StringType(), False),
+                T.StructField("freq", T.LongType(), False),
+            ]
+        )
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                acc: dict[tuple[str, str], int] = {}
+                for s, freq in zip(pdf["s"], pdf["freq"]):
+                    sy = [x for x in s.split(SEP) if x != ""]
+                    f = int(freq)
+                    for i in range(len(sy) - 1):
+                        key = (sy[i], sy[i + 1])
+                        acc[key] = acc.get(key, 0) + f
+                if acc:
+                    ks = list(acc.keys())
+                    yield pd.DataFrame(
+                        {
+                            "l": [k[0] for k in ks],
+                            "r": [k[1] for k in ks],
+                            "freq": [acc[k] for k in ks],
+                        }
+                    )
+
+        partial = words.select("s", "freq").mapInPandas(kernel, out_schema)
+        return partial.groupBy("l", "r").agg(
+            F.sum("freq").cast("long").alias("freq")
+        )
     sy = _syms(F.col("s"))
     # sequence(1, 0) DESCENDS in Spark — guard single-symbol words
     idx = F.when(
@@ -97,14 +143,60 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+def _merge_syms(sy: list[str], left: str, right: str) -> list[str]:
+    """Greedy leftmost non-overlapping (left, right) merge over a
+    symbol list — the kernel-side twin of the ``_apply_merge``
+    expression fold (a just-merged symbol never re-merges within the
+    pass, exactly like the fold's SEP+left suffix test)."""
+    out: list[str] = []
+    i, m = 0, len(sy)
+    merged = left + right
+    while i < m:
+        if i + 1 < m and sy[i] == left and sy[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sy[i])
+            i += 1
+    return out
+
+
+def _apply_merge(
+    words: DataFrame, left: str, right: str, engine: str = "arrow"
+) -> DataFrame:
     """Greedy leftmost non-overlapping merge of (left, right) in every
-    word's symbol string — the exact single-node BPE apply step, as a
-    string fold: append the right symbol WITHOUT a separator when the
-    accumulator ends in SEP+left (symbol boundary guaranteed: symbols
-    never contain SEP), else append SEP+symbol. A just-merged symbol
-    can never re-merge within the iteration because the accumulator
-    then ends in SEP+left+right, not SEP+left."""
+    word's symbol string — the exact single-node BPE apply step.
+
+    engine="sql": a string fold — append the right symbol WITHOUT a
+    separator when the accumulator ends in SEP+left (symbol boundary
+    guaranteed: symbols never contain SEP), else append SEP+symbol. A
+    just-merged symbol can never re-merge within the iteration because
+    the accumulator then ends in SEP+left+right, not SEP+left.
+
+    engine="arrow": the same merge over symbol lists in a kernel; the
+    fold's output string is identically ``SEP + SEP.join(syms)``, so
+    the rebuilt column is byte-equal (differential-gated through
+    bpe_train's learned-rule equality)."""
+    if engine == "arrow":
+        import pyspark.sql.types as T
+
+        schema = words.schema
+
+        def kernel(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["s"] = [
+                    SEP
+                    + SEP.join(
+                        _merge_syms(
+                            [x for x in s.split(SEP) if x != ""], left, right
+                        )
+                    )
+                    for s in pdf["s"]
+                ]
+                yield pdf
+
+        return words.mapInPandas(kernel, schema)
     folded = F.aggregate(
         _syms(F.col("s")),
         F.lit(""),
@@ -121,6 +213,7 @@ def bpe_train(
     merges: int = 8,
     lowercase: bool = True,
     min_freq: int = 1,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(rank, left, right, merged, freq): the first ``merges`` BPE
     merge rules learned from the corpus, in order. Ties broken
@@ -134,12 +227,18 @@ def bpe_train(
         raise ValueError("merges must be >= 1")
     spark = df.sparkSession
     words = word_symbol_table(df, text_col, lowercase, min_freq).persist()
-    words.count()
     learned: list[tuple[int, str, str, str, int]] = []
+    # the per-iteration frames stay persisted until the END: each
+    # nxt's lineage is one _apply_merge over its cached parent, so the
+    # parent must outlive nxt's first materialization — which happens
+    # inside the NEXT iteration's pair-count collect (ONE job per
+    # merge; the old eager count-then-unpersist spent two). The chain
+    # holds `merges` vocab-sized frames — small next to any corpus.
+    chain = [words]
     try:
         for rank in range(1, merges + 1):
             top = (
-                _pair_counts(words)
+                _pair_counts(words, engine)
                 .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
                 .limit(1)
                 .collect()
@@ -148,12 +247,11 @@ def bpe_train(
                 break
             l, r, freq = top[0].l, top[0].r, top[0].freq
             learned.append((rank, l, r, l + r, freq))
-            nxt = _apply_merge(words, l, r).persist()
-            nxt.count()  # materialize so iteration plans never nest
-            words.unpersist()
-            words = nxt
+            words = _apply_merge(words, l, r, engine).persist()
+            chain.append(words)
     finally:
-        words.unpersist()
+        for fr in chain:
+            fr.unpersist()
     return spark.createDataFrame(
         learned,
         "rank int, left string, right string, merged string, freq long",
@@ -166,15 +264,35 @@ def bpe_encode(
     text_col: str = "text",
     lowercase: bool = True,
     out_col: str = "bpe_tokens",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Apply learned merge rules (in rank order) to every document,
     adding ``out_col`` as the array of BPE symbols per whitespace
     token (with ``</w>`` markers), flattened across the document.
 
-    Scale shape: the rule list is a plan literal (tokenizers are a few
-    thousand rules); the encode is a chain of per-row folds — a narrow
-    map, no shuffle. For very long rule lists prefer re-chunking the
-    chain with localCheckpoint at the caller."""
+    engine="arrow" (production): tokenization + lowercasing stay
+    JVM-side; one Arrow-batched kernel replays the same greedy
+    leftmost non-overlapping merge per rule over symbol LISTS,
+    memoized per DISTINCT word within each batch — the classic encode
+    trick: a batch's vocabulary is far smaller than its token count,
+    so each distinct word pays the rule chain once instead of per
+    occurrence. Bit-identical to the ``engine="sql"`` fold chain
+    (differential-tested, including a left==right rule): Python list
+    iteration is per code point exactly like Spark's ``split('')``,
+    and symbol equality/concatenation are locale-free.
+
+    engine="sql": the expression twin — a chain of per-row folds, one
+    per rule (narrow map, no shuffle), whose per-symbol string-concat
+    lambdas are interpreted; kept as the oracle-documented shape. The
+    rule list is a plan literal either way (tokenizers are a few
+    thousand rules); for very long rule lists on the sql path prefer
+    re-chunking the chain with localCheckpoint at the caller."""
+    if engine == "arrow":
+        return _bpe_encode_arrow(
+            df, merge_rules, text_col, lowercase, out_col
+        )
+    if engine != "sql":
+        raise ValueError(f"unknown engine {engine!r} (want 'arrow' or 'sql')")
     word_syms = F.transform(
         tokens_col(text_col) if not lowercase else F.transform(
             tokens_col(text_col), lambda x: F.lower(x)
@@ -203,3 +321,67 @@ def bpe_encode(
         F.transform(col, lambda s: F.filter(F.split(s, SEP), lambda x: x != ""))
     )
     return df.withColumn(out_col, flat)
+
+
+def _bpe_encode_arrow(
+    df: DataFrame,
+    merge_rules: list[tuple[str, str]],
+    text_col: str,
+    lowercase: bool,
+    out_col: str,
+) -> DataFrame:
+    """Arrow kernel behind :func:`bpe_encode` (engine="arrow")."""
+    import pyspark.sql.types as T
+
+    toks = tokens_col(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda x: F.lower(x))
+    schema = T.StructType(
+        list(df.schema.fields)
+        # nullable: NULL text → NULL bpe_tokens (the sql twin's
+        # transform/flatten chain propagates the NULL)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()), True)]
+    )
+    cols = list(df.columns)
+    rules = list(merge_rules)
+
+    def encode_word(word: str) -> list[str]:
+        sy: list[str] = list(word)
+        sy.append(EOW)
+        for left, right in rules:
+            out: list[str] = []
+            i, m = 0, len(sy)
+            merged = left + right
+            while i < m:
+                if i + 1 < m and sy[i] == left and sy[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sy[i])
+                    i += 1
+            sy = out
+        return sy
+
+    def kernel(batches):
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            out_rows: list[list[str]] = []
+            for words in pdf["__toks"]:
+                if words is None:
+                    out_rows.append(None)
+                    continue
+                flat: list[str] = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = encode_word(w)
+                        memo[w] = enc
+                    flat.extend(enc)
+                out_rows.append(flat)
+            out = pdf[cols].copy()
+            out[out_col] = out_rows
+            yield out
+
+    return df.withColumn("__toks", toks).mapInPandas(
+        kernel, schema
+    )

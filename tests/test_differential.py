@@ -305,3 +305,64 @@ def test_cosine_assign_arrow_sql_bit_identical(spark):
     assert diffs == []
     zero_pairs = [v for (l_, r_), v in a.items() if l_ == 990001]
     assert zero_pairs and all(v == 0.0 for v in zero_pairs)
+
+
+def test_bpe_encode_arrow_sql_bit_identical(spark):
+    """The memoized Arrow BPE encoder must reproduce the expression
+    fold chain symbol-for-symbol — including a left==right rule over a
+    repeated-char run (non-overlapping leftmost semantics), multi-rule
+    chains where an earlier merge feeds a later rule, and NULL text."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (90001, "aaa aaaa baaab"),      # left==right runs
+            (90002, "the the theology"),    # merged symbol prefix reuse
+            (90003, ""),
+            (90004, None),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = docs.unionByName(edge)
+    rules = [("a", "a"), ("t", "h"), ("th", "e"), ("e", "</w>")]
+    a = (
+        bpe_encode(docs, rules, engine="arrow")
+        .select("doc_id", "bpe_tokens")
+        .orderBy("doc_id")
+        .collect()
+    )
+    s = (
+        bpe_encode(docs, rules, engine="sql")
+        .select("doc_id", "bpe_tokens")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(a) == len(s) > 0
+    for ra, rs in zip(a, s):
+        assert ra.doc_id == rs.doc_id
+        ta = None if ra.bpe_tokens is None else list(ra.bpe_tokens)
+        ts = None if rs.bpe_tokens is None else list(rs.bpe_tokens)
+        assert ta == ts, ra.doc_id
+    by_id = {r.doc_id: r for r in a}
+    assert list(by_id[90001].bpe_tokens)[:3] == ["aa", "a", "</w>"]
+    assert by_id[90004].bpe_tokens is None
+
+
+def test_bpe_train_arrow_sql_identical_rules(spark):
+    """BPE training must learn the IDENTICAL rule sequence (rank, pair,
+    merged symbol, frequency) under the Arrow pair-count/merge kernels
+    and the expression twins — the frequencies are exact integers and
+    the tie-break is total, so any divergence is a kernel bug."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("text")
+    from docling_eval_spark.operators.bpe import bpe_train
+
+    a = [tuple(r) for r in bpe_train(docs, merges=6, engine="arrow").collect()]
+    s = [tuple(r) for r in bpe_train(docs, merges=6, engine="sql").collect()]
+    assert a == s and len(a) == 6
