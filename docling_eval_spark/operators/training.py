@@ -380,6 +380,7 @@ def mlm_mask(
     vocab: list[str],
     text_col: str = "text",
     rate_pct: int = 15,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, n_tokens, n_selected, masked_text, labels): BERT-style
     masked-LM data prep (Devlin et al. 2018 §3.1, public) — select
@@ -394,18 +395,34 @@ def mlm_mask(
     vocab index from ``(h div 1000) mod |vocab|`` — so retried tasks
     regenerate byte-identical rows and the DuckDB oracle replays every
     choice. The vocab (a tokenizer's, thousands of entries) rides as a
-    plan literal; the whole operator is a zero-shuffle narrow map in
-    whole-stage codegen."""
+    plan literal (sql) or a closure constant (arrow); the operator is
+    a zero-shuffle narrow map either way.
+
+    engine="arrow" (production): tokenization stays JVM-side; the
+    position-hash fold is vectorized by digit count (the ``"{id}:"``
+    prefix hash is one scalar per doc, positions sharing a digit count
+    fold their decimal digits in d numpy steps) and every decision is
+    the same exact int64 arithmetic (``floor(h/100)`` over an
+    exactly-representable double equals integer ``h div 100`` —
+    h < 2³¹ ≪ 2⁵³). Bit-exact vs the ``engine="sql"`` expression twin
+    (differential-tested): ids and positions render as ASCII digits,
+    so Python ``str()``/``ord`` match the engine's cast/``ascii``.
+    The sql twin (the shape the DuckDB oracle mirrors) pays an
+    interpreted per-position char-fold lambda."""
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    if not 0 < rate_pct <= 100:
+        raise ValueError("rate_pct must be in (0, 100]")
+    if engine == "arrow":
+        return _mlm_mask_arrow(df, id_col, vocab, text_col, rate_pct)
+    if engine != "sql":
+        raise ValueError(f"unknown engine {engine!r} (want 'arrow' or 'sql')")
     from docling_eval_spark.functions import let_col
     from docling_eval_spark.operators.text_analysis import (
         portable_char_hash,
         tokens_col,
     )
 
-    if not vocab:
-        raise ValueError("vocab must be non-empty")
-    if not 0 < rate_pct <= 100:
-        raise ValueError("rate_pct must be in (0, 100]")
     idc = F.col(id_col)
     varr = F.array(*[F.lit(v) for v in vocab])
 
@@ -470,6 +487,107 @@ def mlm_mask(
         F.col("r.masked_text").alias("masked_text"),
         F.col("r.labels").alias("labels"),
     )
+
+
+def _mlm_mask_arrow(
+    df: DataFrame,
+    id_col: str,
+    vocab: list[str],
+    text_col: str,
+    rate_pct: int,
+) -> DataFrame:
+    """Arrow kernel behind :func:`mlm_mask` (engine="arrow")."""
+    import pyspark.sql.types as T
+
+    from docling_eval_spark.operators.text_analysis import tokens_col
+
+    base, p = 1_000_003, (1 << 31) - 1
+    v = len(vocab)
+    proj = df.select(
+        F.col(id_col).alias("__oid"),
+        F.col(id_col).cast("string").alias("__id"),
+        tokens_col(text_col).alias("__toks"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType, True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("n_selected", T.LongType(), False),
+            T.StructField("masked_text", T.StringType(), False),
+            T.StructField("labels", T.StringType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            nt_out, ns_out, mt_out, lb_out = [], [], [], []
+            for sid, toks in zip(pdf["__id"], pdf["__toks"]):
+                if toks is None:
+                    # NULL text: twin's size(NULL) → NULL n_tokens,
+                    # empty joins
+                    nt_out.append(None)
+                    ns_out.append(0)
+                    mt_out.append("")
+                    lb_out.append("")
+                    continue
+                n = len(toks)
+                nt_out.append(n)
+                if n == 0:
+                    ns_out.append(0)
+                    mt_out.append("")
+                    lb_out.append("")
+                    continue
+                # prefix hash of "{id}:" — one scalar per doc
+                hp = 0
+                for ch in sid + ":":
+                    hp = (hp * base + ord(ch)) % p
+                # fold the decimal digits of each 1-based position,
+                # vectorized per digit-count group
+                pos = np.arange(1, n + 1, dtype=np.int64)
+                h0 = np.empty(n, dtype=np.int64)
+                lo = 1
+                d = 1
+                while lo <= n:
+                    hi = min(n, 10**d - 1)
+                    seg = pos[lo - 1 : hi]
+                    h = np.full(seg.shape, hp, dtype=np.int64)
+                    for k in range(d - 1, -1, -1):
+                        digit = (seg // (10**k)) % 10 + 48
+                        h = (h * base + digit) % p
+                    h0[lo - 1 : hi] = h
+                    lo = 10**d
+                    d += 1
+                h = (h0 * h0) % p
+                selected = (h % 100) < rate_pct
+                branch = (h // 100) % 10
+                repl_idx = (h // 1000) % v
+                out_toks = list(toks)
+                labels = []
+                for i in np.flatnonzero(selected):
+                    tok = toks[i]
+                    labels.append(f"{i + 1}:{tok}")
+                    b = branch[i]
+                    if b < 8:
+                        out_toks[i] = "[MASK]"
+                    elif b == 8:
+                        out_toks[i] = vocab[repl_idx[i]]
+                ns_out.append(len(labels))
+                mt_out.append(" ".join(out_toks))
+                lb_out.append(" ".join(labels))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__oid"],
+                    "n_tokens": nt_out,
+                    "n_selected": ns_out,
+                    "masked_text": mt_out,
+                    "labels": lb_out,
+                }
+            )
+
+    return proj.mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------- fill-in-middle

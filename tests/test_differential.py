@@ -366,3 +366,29 @@ def test_bpe_train_arrow_sql_identical_rules(spark):
     a = [tuple(r) for r in bpe_train(docs, merges=6, engine="arrow").collect()]
     s = [tuple(r) for r in bpe_train(docs, merges=6, engine="sql").collect()]
     assert a == s and len(a) == 6
+
+
+def test_mlm_mask_arrow_sql_bit_identical(spark):
+    """The Arrow MLM-mask kernel must reproduce every deterministic
+    hash decision of the expression twin — selection, 80/10/10 branch,
+    replacement vocab pick, label positions — byte-for-byte across the
+    real corpus plus empty/NULL-text edges."""
+    from docling_eval_spark.operators.training import mlm_mask
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, None), (90003, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    docs = docs.unionByName(edge)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    a = mlm_mask(docs, "doc_id", vocab, engine="arrow").orderBy("id").collect()
+    s = mlm_mask(docs, "doc_id", vocab, engine="sql").orderBy("id").collect()
+    assert len(a) == len(s) > 0
+    for ra, rs in zip(a, s):
+        assert tuple(ra) == tuple(rs), (ra.id, tuple(ra), tuple(rs))
+    # the masking is non-trivial on this corpus
+    assert any(r.n_selected > 0 for r in a)
+    assert any("[MASK]" in r.masked_text for r in a)
