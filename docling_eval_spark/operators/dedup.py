@@ -9,11 +9,14 @@
 - ngram_jaccard      — character n-gram Jaccard similarity between
   candidate pairs (exact set intersection over distinct shingles).
 - minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH:
-  shingle → polynomial base hash over code points mod 2^31−1 (JVM
-  codegen, and *engine-portable*: the DuckDB oracle recomputes the
-  identical integers) → per-permutation affine rehash (a_i·x+b_i
-  mod p) → min per permutation, all inside SQL higher-order
-  functions; bands explode to (band_id, band_hash) keys and candidate
+  shingle → polynomial base hash over code points mod 2^31−1
+  (*engine-portable*: the DuckDB oracle recomputes the identical
+  integers) → per-permutation affine rehash (a_i·x+b_i mod p) → min
+  per permutation. The production front half (`shingle_sig_table`)
+  is one Arrow-batched numpy kernel, bit-identical to the
+  ``engine="sql"`` higher-order-function twin (the oracle-documented
+  shape — and ~20× slower interpreted, which is why it is not the
+  default); bands explode to (band_id, band_hash) keys and candidate
   pairs come from an equi-self-join on the band key.
   No cross join ever materializes: complexity is per-bucket.
 - simhash            — 62-bit SimHash from token hashes; token
