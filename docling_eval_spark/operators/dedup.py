@@ -820,7 +820,16 @@ def lsh_quality_eval(
     postings, and the two ground-truth join-backs), and each fork would
     otherwise re-run the whole shingle-hashing kernel — measured 2x
     wall on the sf0.1 eval corpus. MEMORY_AND_DISK: an eval-sized
-    corpus fits, and a spill beats four kernel recomputes."""
+    corpus fits, and a spill beats four kernel recomputes.
+
+    All three counts come from ONE full-outer join on the pair key +
+    a single aggregate: candidate rows carry ``is_cand``, truth rows
+    ``is_true``, and n_candidates / n_true / n_tp are conditional sums
+    over the joined frame. The alternative — three separate count
+    frames crossJoined — evaluates the candidate subtree twice and the
+    (much heavier) exact-Jaccard subtree twice, because the tp branch
+    re-derives both above the persisted front; measured 2.0x wall on
+    the sf0.1 eval corpus (22.2s -> 10.9s warm)."""
     from pyspark import StorageLevel
 
     front = shingle_sig_table(df, id_col, text_col, k, num_perm).persist(
@@ -828,13 +837,26 @@ def lsh_quality_eval(
     )
     codes = front.select("id", "shingles")
     sigs = front.select("id", "signature")
-    cand = minhash_lsh_pairs(sigs, bands, max_bucket)
-    true_pairs = exact_jaccard_pairs(codes, threshold, gt_max_df)
-    tp = cand.join(true_pairs.select("id_l", "id_r"), ["id_l", "id_r"])
-    counts = (
-        cand.agg(F.count("*").alias("n_candidates"))
-        .crossJoin(true_pairs.agg(F.count("*").alias("n_true")))
-        .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+    cand = minhash_lsh_pairs(sigs, bands, max_bucket).withColumn(
+        "is_cand", F.lit(1)
+    )
+    true_pairs = exact_jaccard_pairs(codes, threshold, gt_max_df).select(
+        "id_l", "id_r", F.lit(1).alias("is_true")
+    )
+    both = cand.join(true_pairs, ["id_l", "id_r"], "full_outer")
+    counts = both.agg(
+        F.coalesce(F.sum("is_cand"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.sum("is_true"), F.lit(0)).alias("n_true"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_cand").isNotNull()
+                    & F.col("is_true").isNotNull(),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).alias("n_tp"),
     )
     return counts.select(
         "n_candidates",
