@@ -3064,6 +3064,79 @@ FROM kept WHERE rn = 1 GROUP BY id
 """
 
 
+def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped template-line strip (Gibson et al. 2005 frequency
+    rule): pages get a per-host NAV banner + FOOTER wrapped around the
+    40-char-chunked body, and every line on >=3 distinct pages of the
+    SAME host is removed — the banners (25 pages/host) must vanish,
+    cross-host repeats must survive. host = source."""
+    from docling_eval_spark.operators.web_ops import host_boilerplate_strip
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_chunks = F.ceil(F.length("text") / 40.0).cast("int")
+    chunked = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.substring(F.col("text"), i * 40 + 1, 40),
+        ),
+        "\n",
+    )
+    pages = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("NAV "),
+            F.col("source"),
+            F.lit(" HOME ABOUT CONTACT\n"),
+            chunked,
+            F.lit("\nFOOTER "),
+            F.col("source"),
+            F.lit(" ALL RIGHTS RESERVED"),
+        ).alias("text"),
+    )
+    return host_boilerplate_strip(pages, "id", "host", min_pages=3).select(
+        "id", "text"
+    )
+
+
+_SQL_HOST_BOILERPLATE = r"""
+WITH d AS (SELECT doc_id AS id, source AS host, text FROM documents),
+nc AS (
+  SELECT id, host, text,
+         greatest(CAST(ceil(length(text) / 40.0) AS INT), 1) AS n_chunks
+  FROM d
+),
+chunks AS (
+  SELECT id, host, u.i + 1 AS line_no,
+         substring(text, u.i * 40 + 1, 40) AS line
+  FROM nc, unnest(range(0, n_chunks)) AS u(i)
+),
+banners AS (
+  SELECT id, host, 0 AS line_no,
+         'NAV ' || host || ' HOME ABOUT CONTACT' AS line FROM nc
+  UNION ALL
+  SELECT id, host, n_chunks + 1 AS line_no,
+         'FOOTER ' || host || ' ALL RIGHTS RESERVED' AS line FROM nc
+),
+lines AS (
+  SELECT id, host, line_no, line FROM chunks WHERE trim(line) <> ''
+  UNION ALL
+  SELECT id, host, line_no, line FROM banners
+),
+boiler AS (
+  SELECT host, line FROM lines
+  GROUP BY host, line HAVING count(DISTINCT id) >= 3
+),
+kept AS (
+  SELECT l.id, l.line_no, l.line
+  FROM lines l LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line
+  WHERE b.line IS NULL
+)
+SELECT id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept GROUP BY id
+"""
+
+
 def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full winnowing fingerprints (Schleimer et al. 2003): distinct
     per-window minima of the rolling k-gram hash sequence."""
@@ -3886,6 +3959,78 @@ ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
 r0 AS (
   SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes
 ),
+{chain}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+
+
+def _q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004): seed-teleport PageRank over
+    the same order→part bipartite graph as page_rank, seeds = every
+    10th part node. 8 iterations > checkpoint_every, so the oracle —
+    which unrolls the identical seed-biased recurrence as chained
+    CTEs — also gates the lineage-truncation branch."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.web_ops import trust_rank
+
+    edges = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    ranks = trust_rank(edges, seeds, iterations=8)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_trust_rank(iterations: int = 8, damping: float = 0.85) -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT t.node,
+         CASE WHEN t.t > 0 THEN (1 - {damping}) * t.t ELSE 0.0 END
+           + {damping} * coalesce(s.s, 0) AS rank
+  FROM t LEFT JOIN (
+    SELECT ed.dst AS node, sum(r.rank / ed.deg) AS s
+    FROM ed JOIN {prev} r ON r.node = ed.src
+    GROUP BY ed.dst
+  ) s USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH edges AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+seed_ids AS (
+  SELECT DISTINCT 'p' || CAST(p_partkey AS VARCHAR) AS node
+  FROM part WHERE p_partkey % 10 = 0
+),
+seeds AS (SELECT n.node FROM nodes n JOIN seed_ids s USING (node)),
+t AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN 1.0 / (SELECT count(*) FROM seeds)
+              ELSE 0.0 END AS t
+  FROM nodes n LEFT JOIN seeds s USING (node)
+),
+r0 AS (SELECT node, t AS rank FROM t),
 {chain}
 SELECT node, round(rank, 6) AS rank FROM {prev}
 """
@@ -6696,6 +6841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngrams": _with_pkg(_q_distinct_ngrams),
         "data_card": _with_pkg(_q_data_card),
         "dup_ngram_frac": _with_pkg(_q_dup_ngram_frac),
+        "trust_rank": _with_pkg(_q_trust_rank),
+        "host_boilerplate": _with_pkg(_q_host_boilerplate),
     }
 
 
@@ -6824,4 +6971,6 @@ def oracle_sql() -> dict[str, str]:
         "distinct_ngrams": _SQL_DISTINCT_NGRAMS,
         "data_card": _sql_data_card(),
         "dup_ngram_frac": _SQL_DUP_NGRAM_FRAC,
+        "trust_rank": _sql_trust_rank(8),
+        "host_boilerplate": _SQL_HOST_BOILERPLATE,
     }

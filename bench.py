@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "hard_negatives",
     "distinct_ngrams",
+    "trust_rank",
+    "host_boilerplate",
 ]
 
 WARM_PASSES = 3

@@ -927,6 +927,146 @@ def page_rank(
     return out
 
 
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    biased PageRank whose teleport mass lands ONLY on a hand-vetted
+    seed set — the classic web-spam demotion signal. rank =
+    (1-d)*t(node) + d * Σ rank(in)/deg(in), with t = 1/|S| for seed
+    nodes and 0 elsewhere; r0 = t (trust starts at the seeds and
+    diffuses along outlinks, so pages unreachable from any seed decay
+    to 0 — unlike uniform-teleport PageRank, where every node keeps a
+    (1-d)/N floor).
+
+    ``seeds`` is one node id per row (a curated whitelist — hundreds
+    to low thousands in practice); ids absent from the graph are
+    dropped before |S| is counted, so the teleport vector always sums
+    to 1 over live nodes.
+
+    Same per-iteration scale shape as :func:`page_rank` — ONE
+    rank-vs-degree-annotated-edge equi-join + one map-side-combining
+    sum, lineage truncated every ``checkpoint_every`` iterations —
+    plus a one-time left join of the slim (node, t) teleport frame,
+    which is computed once, persisted, and reused every iteration.
+    Dangling mass is not redistributed (same documented deviation as
+    :func:`page_rank`; the oracle unrolls the identical formulation).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds_in = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes, "node")
+        .withColumn("__seed", F.lit(True))
+    )
+    # slim (node, t) teleport frame: reused by every iteration's
+    # rebuild, so persist it (same rationale as page_rank's nodes)
+    nodes_t = nodes.join(seeds_in, "node", "left").persist()
+    n_seeds = nodes_t.filter(F.col("__seed")).count()
+    if n_seeds == 0:
+        nodes_t.unpersist()
+        raise ValueError("trust_rank: no seed id appears in the graph")
+    t_val = 1.0 / n_seeds
+    base_val = (1.0 - damping) * t_val
+    t_col = F.when(F.col("__seed"), F.lit(t_val)).otherwise(F.lit(0.0))
+    base_col = F.when(F.col("__seed"), F.lit(base_val)).otherwise(
+        F.lit(0.0)
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(out_deg, "src").persist()
+    ranks = nodes_t.select("node", t_col.alias("rank"))
+    for it in range(iterations):
+        if it > 0 and checkpoint_every and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes_t.join(
+            contribs, nodes_t["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                base_col
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    out = ranks.localCheckpoint(eager=True)
+    nodes_t.unpersist()
+    ed.unpersist()
+    return out
+
+
+def host_boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    host_col: str,
+    text_col: str = "text",
+    min_pages: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Strip SITE-TEMPLATE lines: a line that appears on at least
+    ``min_pages`` distinct pages of the SAME host is boilerplate
+    (navigation, footer, cookie banner) and is removed from every page
+    of that host. The host-scoped counterpart of C4's corpus-wide
+    :func:`line_dedup` — template text is per-site, so scoping the
+    frequency count to the host catches menus that a corpus-wide
+    first-occurrence rule would keep on their first page, while
+    leaving legitimate cross-site duplicates (licenses, quotes) alone.
+    (Template detection per Gibson, Punera & Tomkins, WWW 2005; the
+    frequency-threshold rule is the standard production form.)
+
+    Returns (id, text) with each page reassembled from its surviving
+    lines in original order; pages whose every line was template are
+    ABSENT (no surviving rows → no group), same convention as
+    :func:`line_dedup`.
+
+    Plan: explode lines with position → count-distinct-pages hash
+    aggregation per (host, line) → join the template lines back on
+    (host, line) → per-page re-aggregation. The frequency agg is the
+    skew defence: a footer repeated on millions of pages partial-
+    aggregates map-side (two-phase distinct agg keyed on
+    (host, line, id) then (host, line)), never concentrating raw rows
+    on one reducer; the join-back key (host, line) is bounded by
+    distinct lines per host.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "line_no", "line"
+        ),
+    ).filter(F.trim("line") != "")
+    boiler = (
+        lines.groupBy("host", "line")
+        .agg(F.countDistinct("id").alias("n_pages"))
+        .filter(F.col("n_pages") >= min_pages)
+        .select("host", "line", F.lit(True).alias("__boiler"))
+    )
+    kept = lines.join(boiler, ["host", "line"], "left").filter(
+        F.col("__boiler").isNull()
+    )
+    return kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            line_sep,
+        ).alias("text")
+    )
+
+
 def blocklist_filter(
     pages: DataFrame,
     blocked: DataFrame,

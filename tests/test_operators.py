@@ -3341,3 +3341,105 @@ def test_dup_ngram_stats_hand_case(spark):
             r = rows[short_id]
             assert r["n_grams"] == 0 and r["n_dup"] == 0
             assert r["dup_micro"] == 0
+
+
+def test_trust_rank_seed_bias(spark):
+    from docling_eval_spark.operators.web_ops import trust_rank
+
+    # spam <-> spam2 form their own 2-cycle; good/hub/a form the
+    # trusted neighborhood. Seeding only 'good' must leave the spam
+    # island at exactly 0 (unreachable from any seed — the property
+    # that separates TrustRank from uniform-teleport PageRank).
+    edges = spark.createDataFrame(
+        [
+            ("good", "hub"),
+            ("hub", "a"),
+            ("a", "good"),
+            ("spam", "spam2"),
+            ("spam2", "spam"),
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("good",)], "node string")
+    ranks = {
+        r["node"]: r["rank"] for r in trust_rank(edges, seeds, 20).collect()
+    }
+    assert ranks["spam"] == 0.0 and ranks["spam2"] == 0.0
+    assert ranks["good"] > 0 and ranks["hub"] > 0 and ranks["a"] > 0
+    # trust decays along the chain from the seed
+    assert ranks["good"] > ranks["hub"] > ranks["a"]
+    # deterministic across partitionings up to summation-order ulps
+    r2 = {
+        r["node"]: r["rank"]
+        for r in trust_rank(edges.repartition(5), seeds, 20).collect()
+    }
+    assert {k: round(v, 9) for k, v in ranks.items()} == {
+        k: round(v, 9) for k, v in r2.items()
+    }
+
+
+def test_trust_rank_seeds_outside_graph(spark):
+    from docling_eval_spark.operators.web_ops import trust_rank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    # ghost seed is dropped before |S| is counted: teleport mass all
+    # lands on 'a', so ranks match the seeds=['a'] run exactly
+    seeds_with_ghost = spark.createDataFrame(
+        [("a",), ("ghost",)], "node string"
+    )
+    seeds_clean = spark.createDataFrame([("a",)], "node string")
+    r1 = {r["node"]: r["rank"]
+          for r in trust_rank(edges, seeds_with_ghost, 5).collect()}
+    r2 = {r["node"]: r["rank"]
+          for r in trust_rank(edges, seeds_clean, 5).collect()}
+    assert r1 == r2
+    # all-ghost seed set is an error, not a silent zero vector
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trust_rank(
+            edges, spark.createDataFrame([("ghost",)], "node string"), 2
+        )
+
+
+def test_host_boilerplate_strip(spark):
+    from docling_eval_spark.operators.web_ops import host_boilerplate_strip
+
+    rows = [
+        # host h1: MENU on all 3 pages (template), 'shared quote' on
+        # 2 pages (below min_pages=3 — survives)
+        (1, "h1", "MENU\nalpha one\nshared quote"),
+        (2, "h1", "MENU\nbeta two\nshared quote"),
+        (3, "h1", "MENU\ngamma three"),
+        # host h2 also has a MENU line — but only on ONE page, so
+        # host-scoping must keep it (a corpus-wide rule would not)
+        (4, "h2", "MENU\ndelta four"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, text string")
+    out = {
+        r["id"]: r["text"]
+        for r in host_boilerplate_strip(df, "id", "host").collect()
+    }
+    assert out[1] == "alpha one\nshared quote"
+    assert out[2] == "beta two\nshared quote"
+    assert out[3] == "gamma three"
+    assert out[4] == "MENU\ndelta four"
+
+
+def test_host_boilerplate_all_template_page_absent(spark):
+    from docling_eval_spark.operators.web_ops import host_boilerplate_strip
+
+    rows = [
+        (1, "h", "FOOT"),
+        (2, "h", "FOOT"),
+        (3, "h", "FOOT"),
+        (4, "h", "FOOT\nreal content"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, text string")
+    out = {
+        r["id"]: r["text"]
+        for r in host_boilerplate_strip(df, "id", "host").collect()
+    }
+    # pages 1-3 were pure template -> absent (line_dedup convention)
+    assert set(out) == {4}
+    assert out[4] == "real content"
