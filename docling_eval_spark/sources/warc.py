@@ -571,6 +571,99 @@ def encode_wet(pages: list[dict], gzip_members: bool = True) -> bytes:
     return b"".join(records)
 
 
+WET_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def write_wet_shards(
+    df: DataFrame,
+    out_dir: str,
+    num_shards: int | None = None,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Distributed WET sink: a (url, warc_ts, text) DataFrame becomes
+    one ``part-NNNNN.warc.wet.gz`` per partition under ``out_dir`` —
+    the Common-Crawl export format for extracted text, so a corpus
+    cleaned here round-trips straight back through :func:`read_wet`
+    (or any other WET consumer). Executes EAGERLY (it is a sink) and
+    returns the shard manifest as a DataFrame
+    (shard, path, n_records, n_bytes) — the per-partition lineage row
+    the resumable-ingest side expects.
+
+    Determinism: with ``num_shards`` the frame is hash-repartitioned
+    on url, so every url lands in the same shard across runs, and each
+    shard's records are sorted by url before encoding — two runs over
+    the same input produce byte-identical files. Tasks write
+    tmp-then-``os.replace`` under the shard's final name, so a killed
+    or speculatively-duplicated task never leaves a half-shard visible
+    and retries are idempotent.
+
+    Scale shape: one optional hash exchange, then a narrow
+    mapInPandas; each task holds one shard's text in memory while
+    encoding — size shards accordingly (records_per_shard ≈
+    corpus_rows / num_shards; Common Crawl itself targets ~150 MB
+    compressed per WET file)."""
+    import os
+    import uuid
+
+    if num_shards is not None:
+        df = df.repartition(num_shards, "url")
+    slim = df.select("url", "warc_ts", "text")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pages: list[dict] = []
+        for pdf in batches:
+            for url, ts, text in zip(
+                pdf["url"], pdf["warc_ts"], pdf["text"]
+            ):
+                if url is None or (isinstance(url, float) and pd.isna(url)):
+                    continue
+                pages.append(
+                    {
+                        "url": str(url),
+                        "warc_ts": None if pd.isna(ts) else ts.to_pydatetime(),
+                        "text": None if text is None else str(text),
+                    }
+                )
+        if not pages:
+            yield pd.DataFrame(
+                columns=["shard", "path", "n_records", "n_bytes"]
+            )
+            return
+        pages.sort(key=lambda p: p["url"])
+        blob = encode_wet(pages, gzip_members=gzip_members)
+        suffix = ".warc.wet.gz" if gzip_members else ".warc.wet"
+        final = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, final)
+        yield pd.DataFrame(
+            [
+                {
+                    "shard": pid,
+                    "path": final,
+                    "n_records": len(pages),
+                    "n_bytes": len(blob),
+                }
+            ]
+        )
+
+    spark = df.sparkSession
+    rows = slim.mapInPandas(kernel, schema=WET_MANIFEST_SCHEMA).collect()
+    return spark.createDataFrame(rows, WET_MANIFEST_SCHEMA)
+
+
 # ------------------------------------------------------- resumable ingest
 
 WARC_MANIFEST_SCHEMA = T.StructType(

@@ -460,3 +460,62 @@ def test_warc_truncated_gzip_member_failure_row():
     bad = [r for r in rows if r["warc_status"] == "FAILURE"]
     assert [r["url"] for r in ok] == [pages[0]["url"]]
     assert any("truncated gzip member" in r["error"] for r in bad)
+
+
+def test_write_wet_shards_roundtrip(spark, tmp_path):
+    import datetime as dt
+    import hashlib
+
+    from docling_eval_spark.sources.warc import read_wet, write_wet_shards
+
+    rows = [
+        (
+            f"https://example.org/p{i}",
+            dt.datetime(2017, 3, 22, 17, 43, i % 60),
+            f"page {i} body é中文",
+        )
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    out1 = str(tmp_path / "wet1")
+    manifest = write_wet_shards(df, out1, num_shards=4)
+    m = manifest.collect()
+    assert sum(r["n_records"] for r in m) == 100
+    assert all(r["n_bytes"] > 0 for r in m)
+    # the sink is eager: files exist before any action on the manifest
+    back = read_wet(spark, out1 + "/*.warc.wet.gz")
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    assert got == {(u, t) for (u, _, t) in rows}
+    assert back.filter("warc_status != 'SUCCESS'").count() == 0
+    # byte-determinism: same input -> byte-identical shard files
+    # (hash-partitioned on url + per-shard url sort)
+    out2 = str(tmp_path / "wet2")
+    write_wet_shards(df.repartition(13), out2, num_shards=4)
+
+    def _hashes(d):
+        import os
+
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".warc.wet.gz")
+        }
+
+    assert _hashes(out1) == _hashes(out2)
+
+
+def test_write_wet_shards_null_text_and_ts(spark, tmp_path):
+    from docling_eval_spark.sources.warc import read_wet, write_wet_shards
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", None, None)],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = str(tmp_path / "wet")
+    m = write_wet_shards(df, out, num_shards=1).collect()
+    assert sum(r["n_records"] for r in m) == 1
+    r = read_wet(spark, out + "/*.warc.wet.gz").collect()[0]
+    assert r["url"] == "https://a.example/x"
+    assert r["text"] == ""  # null text -> empty conversion block
