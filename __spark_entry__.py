@@ -3964,6 +3964,96 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 """
 
 
+def _q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (Mercator/IRLbot budgeting signal):
+    URL-skeleton collapse (digit runs → N, sorted query-param names)
+    + per-host distinct-URL vs distinct-skeleton counts. The synth
+    URL space mints every event a fresh path id, so hosts with >= 20
+    urls flag as traps at ratio 5 — the oracle recomputes the same
+    skeletons with DuckDB's regex/list engine."""
+    from docling_eval_spark.operators.web_ops import crawl_trap_score
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    return crawl_trap_score(
+        ev.select(_synth_url_col().alias("url")),
+        min_urls=20,
+        ratio=5.0,
+    )
+
+
+_SQL_CRAWL_TRAPS = f"""
+WITH u AS (
+  SELECT {_SQL_SYNTH_URL} AS url FROM events WHERE event_id < 5000
+),
+n AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS nf FROM u),
+s AS (
+  SELECT url,
+    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?]+)', 2)) AS host,
+    regexp_replace(
+      regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1),
+      '[0-9]+', 'N', 'g') AS pathn,
+    regexp_extract(nf, '\\?(.*)$', 1) AS query
+  FROM n
+),
+k AS (
+  SELECT url, host,
+         pathn || '?' ||
+         CASE WHEN query = '' THEN ''
+              ELSE list_aggr(
+                     list_sort(list_transform(
+                       string_split(query, '&'),
+                       p -> split_part(p, '=', 1))),
+                     'string_agg', ',')
+         END AS skel
+  FROM s
+)
+SELECT host,
+       count(DISTINCT url) AS n_urls,
+       count(DISTINCT skel) AS n_skeletons,
+       round(count(DISTINCT url) * 1.0 / count(DISTINCT skel), 6)
+         AS urls_per_skeleton,
+       (count(DISTINCT url) >= 20
+        AND count(DISTINCT url) >= 5.0 * count(DISTINCT skel)) AS trap
+FROM k GROUP BY host
+"""
+
+
+def _q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link spam feature (Davison 2000) over a synthetic
+    50-node host graph derived from events — dense enough that both
+    reciprocated and one-way edges occur."""
+    from docling_eval_spark.operators.web_ops import link_reciprocity
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    edges = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("h"), (F.col("event_id") % 50).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return link_reciprocity(edges)
+
+
+_SQL_LINK_RECIPROCITY = """
+WITH e AS (
+  SELECT DISTINCT 'h' || CAST(user_id % 50 AS VARCHAR) AS src,
+                  'h' || CAST(event_id % 50 AS VARCHAR) AS dst
+  FROM events WHERE event_id < 5000
+),
+ne AS (SELECT src, dst FROM e WHERE src <> dst)
+SELECT a.src AS node,
+       count(*) AS out_deg,
+       CAST(coalesce(sum(CASE WHEN b.src IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_reciprocal,
+       round(coalesce(sum(CASE WHEN b.src IS NOT NULL THEN 1 END), 0)
+             * 1.0 / count(*), 6) AS reciprocity
+FROM ne a LEFT JOIN ne b ON a.src = b.dst AND a.dst = b.src
+GROUP BY a.src
+"""
+
+
 def _q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank (Gyongyi et al. 2004): seed-teleport PageRank over
     the same order→part bipartite graph as page_rank, seeds = every
@@ -6843,6 +6933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_frac": _with_pkg(_q_dup_ngram_frac),
         "trust_rank": _with_pkg(_q_trust_rank),
         "host_boilerplate": _with_pkg(_q_host_boilerplate),
+        "crawl_traps": _with_pkg(_q_crawl_traps),
+        "link_reciprocity": _with_pkg(_q_link_reciprocity),
     }
 
 
@@ -6973,4 +7065,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_frac": _SQL_DUP_NGRAM_FRAC,
         "trust_rank": _sql_trust_rank(8),
         "host_boilerplate": _SQL_HOST_BOILERPLATE,
+        "crawl_traps": _SQL_CRAWL_TRAPS,
+        "link_reciprocity": _SQL_LINK_RECIPROCITY,
     }

@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "distinct_ngrams",
     "trust_rank",
     "host_boilerplate",
+    "crawl_traps",
+    "link_reciprocity",
 ]
 
 WARM_PASSES = 3

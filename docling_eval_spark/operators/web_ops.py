@@ -927,6 +927,121 @@ def page_rank(
     return out
 
 
+def crawl_trap_score(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 100,
+    ratio: float = 10.0,
+) -> DataFrame:
+    """Per-host crawler-trap diagnostic (the URL-space-explosion
+    signal crawlers budget against — Heydon & Najork's Mercator
+    [WWW 1999] traps; IRLbot's per-host budgeting [WWW 2008]):
+    collapse every URL to its SKELETON — path with digit runs
+    replaced by 'N' plus the sorted set of query-parameter NAMES
+    (values dropped) — so calendar pages, session ids, cursors and
+    pagination all fold into one skeleton while genuinely distinct
+    content keeps distinct skeletons. A host minting many URLs from
+    few skeletons is a trap candidate.
+
+    Returns (host, n_urls, n_skeletons, urls_per_skeleton, trap) with
+    ``trap`` = n_urls >= min_urls AND n_urls >= ratio * n_skeletons.
+
+    Plan: pure-codegen regex/HOF skeletonization, then ONE hash
+    aggregation per host with two count-distincts (Expand doubles the
+    exploded rows — the price of exact distincts in one pass; swap in
+    approx_count_distinct at 10^12 rows if ±2% is acceptable).
+    Map-side partials absorb the mega-host skew.
+    """
+    u = F.col(url_col)
+    nf = F.regexp_replace(u, "#.*$", "")
+    host = F.lower(
+        F.regexp_extract(nf, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?]+)", 1)
+    )
+    path = F.regexp_extract(
+        nf, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1
+    )
+    pathn = F.regexp_replace(path, "[0-9]+", "N")
+    query = F.regexp_extract(nf, r"\?(.*)$", 1)
+    names = F.when(query == "", F.lit("")).otherwise(
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.split(query, "&"),
+                    lambda p: F.substring_index(p, "=", 1),
+                )
+            ),
+            ",",
+        )
+    )
+    skel = F.concat(pathn, F.lit("?"), names)
+    return (
+        df.select(host.alias("host"), u.alias("__url"), skel.alias("__skel"))
+        .groupBy("host")
+        .agg(
+            F.countDistinct("__url").alias("n_urls"),
+            F.countDistinct("__skel").alias("n_skeletons"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_skeletons",
+            F.round(F.col("n_urls") / F.col("n_skeletons"), 6).alias(
+                "urls_per_skeleton"
+            ),
+            (
+                (F.col("n_urls") >= min_urls)
+                & (F.col("n_urls") >= ratio * F.col("n_skeletons"))
+            ).alias("trap"),
+        )
+    )
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-node reciprocal-link ratio (Davison, 'Recognizing
+    nepotistic links on the Web', AAAI 2000): the fraction of a
+    node's distinct outlinks whose REVERSE edge also exists.
+    Link-exchange farms approach 1.0; organic linking stays low —
+    the classic cheap spam feature next to TrustRank.
+
+    Self-loops are excluded (trivially reciprocal). Returns
+    (node, out_deg, n_reciprocal, reciprocity) for every node with at
+    least one non-loop outlink.
+
+    Plan: distinct edge set, LEFT self-join against the swapped-key
+    projection — both sides shuffle on the same (src, dst) composite,
+    so it is one co-partitioned exchange pair, no broadcast needed at
+    any scale — then a map-side-combining count/sum agg per src.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(True).alias("__recip"),
+    )
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("out_deg"),
+            F.coalesce(
+                F.sum(F.when(F.col("__recip"), 1)), F.lit(0)
+            ).alias("n_reciprocal"),
+        )
+        .select(
+            F.col("src").alias("node"),
+            "out_deg",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal") / F.col("out_deg"), 6
+            ).alias("reciprocity"),
+        )
+    )
+
+
 def trust_rank(
     edges: DataFrame,
     seeds: DataFrame,

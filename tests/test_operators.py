@@ -3443,3 +3443,59 @@ def test_host_boilerplate_all_template_page_absent(spark):
     # pages 1-3 were pure template -> absent (line_dedup convention)
     assert set(out) == {4}
     assert out[4] == "real content"
+
+
+def test_crawl_trap_score(spark):
+    from docling_eval_spark.operators.web_ops import crawl_trap_score
+
+    urls = (
+        # trap.example: 30 urls, ALL one skeleton (/cal?d=N -> '/cal?d')
+        [(f"https://trap.example/cal?d={i}",) for i in range(30)]
+        # ok.example: 30 urls, 30 distinct static paths
+        + [(f"https://ok.example/{'p' * (i + 1)}",) for i in range(30)]
+    )
+    df = spark.createDataFrame(urls, "url string")
+    out = {r["host"]: r for r in crawl_trap_score(
+        df, min_urls=20, ratio=5.0).collect()}
+    t = out["trap.example"]
+    assert t["n_urls"] == 30 and t["n_skeletons"] == 1 and t["trap"]
+    o = out["ok.example"]
+    assert o["n_urls"] == 30 and o["n_skeletons"] == 30 and not o["trap"]
+
+
+def test_crawl_trap_skeleton_collapse(spark):
+    from docling_eval_spark.operators.web_ops import crawl_trap_score
+
+    # digit runs, param VALUES, param ORDER and fragments all fold
+    # into one skeleton; a different param NAME does not
+    df = spark.createDataFrame(
+        [
+            ("https://h.example/a/1/b?x=1&y=2",),
+            ("https://h.example/a/22/b?y=9&x=8#frag",),
+            ("https://h.example/a/333/b?x=0&y=0",),
+            ("https://h.example/a/1/b?z=1",),
+        ],
+        "url string",
+    )
+    r = crawl_trap_score(df, min_urls=1, ratio=1.0).collect()[0]
+    assert r["n_urls"] == 4 and r["n_skeletons"] == 2
+
+
+def test_link_reciprocity(spark):
+    from docling_eval_spark.operators.web_ops import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"),
+            ("b", "a"),  # reciprocal pair
+            ("a", "c"),  # one-way
+            ("d", "d"),  # self-loop: excluded entirely
+            ("a", "b"),  # duplicate edge: counted once
+        ],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in link_reciprocity(edges).collect()}
+    assert set(out) == {"a", "b"}  # c and d have no non-loop outlinks
+    assert out["a"]["out_deg"] == 2 and out["a"]["n_reciprocal"] == 1
+    assert out["a"]["reciprocity"] == 0.5
+    assert out["b"]["out_deg"] == 1 and out["b"]["reciprocity"] == 1.0
