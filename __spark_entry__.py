@@ -3964,6 +3964,73 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 """
 
 
+def _q_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor-vs-extractor agreement — docling-eval's converter-
+    comparison discipline turned on the extraction stage itself:
+    extractor A (Boilerpipe NumWordsRules, the byte-identity kernel)
+    and extractor B (Readability-core link-density-only) run over the
+    SAME rendered pages in one narrow map; per-doc md5s, identity
+    flag, char edit distance and lengths. On the synthetic corpus the
+    disagreement is analytic — B additionally keeps the linkless logo
+    and copyright-footer chrome — so the DuckDB oracle reproduces
+    BOTH extractions symbolically and the whole A/B pipeline is
+    value-gated end-to-end (levenshtein included)."""
+    from docling_eval_spark.datagen.pages import render_documents_stage
+    from docling_eval_spark.extraction.stage import extract_ab_stage
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ab = extract_ab_stage(render_documents_stage(docs))
+    return ab.select(
+        "doc_id",
+        "lang",
+        F.md5("text_a").alias("md5_a"),
+        F.md5("text_b").alias("md5_b"),
+        (F.col("text_a") == F.col("text_b")).alias("identical"),
+        # levenshtein over an ASCII-folded pair: DuckDB's levenshtein
+        # is BYTE-based, Spark's is char-based; the A/B delta is a
+        # pure ASCII prefix+suffix insertion except the 2-byte (c)
+        # sign, so folding (c) -> 'C' in BOTH engines makes byte and
+        # char distances provably identical without changing the
+        # true char-level value
+        F.levenshtein(
+            F.translate("text_a", "©", "C"),
+            F.translate("text_b", "©", "C"),
+        )
+        .cast("bigint")
+        .alias("edit_ab"),
+        F.length("text_a").cast("bigint").alias("len_a"),
+        F.length("text_b").cast("bigint").alias("len_b"),
+    )
+
+
+_SQL_EXTRACTOR_AGREEMENT = r"""
+WITH g AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
+           || chr(10) || chr(10)
+           || 'Synthetic corpus document ' || CAST(doc_id AS VARCHAR)
+           || ' rendered deterministically for extraction parity checking with exactly eighteen words in this closing sentinel paragraph here.'
+           AS ta
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, ta,
+         'SynthSite' || chr(10) || chr(10) || ta || chr(10) || chr(10)
+           || chr(169) || ' 2024 SynthSite ' || CAST(doc_id AS VARCHAR)
+           AS tb
+  FROM g
+)
+SELECT doc_id, lang,
+       md5(ta) AS md5_a, md5(tb) AS md5_b,
+       ta = tb AS identical,
+       CAST(levenshtein(replace(ta, chr(169), 'C'),
+                        replace(tb, chr(169), 'C')) AS BIGINT) AS edit_ab,
+       CAST(length(ta) AS BIGINT) AS len_a,
+       CAST(length(tb) AS BIGINT) AS len_b
+FROM b
+"""
+
+
 def _q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection (Mercator/IRLbot budgeting signal):
     URL-skeleton collapse (digit runs → N, sorted query-param names)
@@ -6935,6 +7002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": _with_pkg(_q_host_boilerplate),
         "crawl_traps": _with_pkg(_q_crawl_traps),
         "link_reciprocity": _with_pkg(_q_link_reciprocity),
+        "extractor_agreement": _with_pkg(_q_extractor_agreement),
     }
 
 
@@ -7067,4 +7135,5 @@ def oracle_sql() -> dict[str, str]:
         "host_boilerplate": _SQL_HOST_BOILERPLATE,
         "crawl_traps": _SQL_CRAWL_TRAPS,
         "link_reciprocity": _SQL_LINK_RECIPROCITY,
+        "extractor_agreement": _SQL_EXTRACTOR_AGREEMENT,
     }

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "host_boilerplate",
     "crawl_traps",
     "link_reciprocity",
+    "extractor_agreement",
 ]
 
 WARM_PASSES = 3

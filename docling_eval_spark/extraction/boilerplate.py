@@ -61,3 +61,19 @@ def classify(blocks: list[Block]) -> list[bool]:
         for i, b in enumerate(candidates)
     }
     return [flags.get(id(b), False) for b in blocks]
+
+
+def classify_link_density(
+    blocks: list[Block], max_link_density: float = _MAX_LINK_DENSITY
+) -> list[bool]:
+    """Readability-core LINK-DENSITY-ONLY classifier — the second,
+    independent extractor family ("extractor B") next to the
+    Boilerpipe NumWordsRules tree above: a block is content iff its
+    word-level link density is <= ``max_link_density``. No word-count
+    context rules, and NO structural nav/header/footer prior — the
+    disagreement between the two families on linkless short chrome
+    (logos, copyright footers) is exactly what the extractor-agreement
+    evaluation measures (docling-eval's converter-comparison
+    discipline turned on the extraction stage itself). Head/table
+    blocks are still excluded by the kernel, as for extractor A."""
+    return [b.link_density <= max_link_density for b in blocks]

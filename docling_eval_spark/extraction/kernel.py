@@ -201,3 +201,29 @@ def extract_document(
 def extract_text(data: bytes) -> str:
     """Main-content text only (the byte-identity surface)."""
     return extract_document(data)["text"]
+
+
+def extract_text_ld(data: bytes, charset_hint: str | None = None) -> str:
+    """Extractor B: link-density-only main-content text (see
+    `boilerplate.classify_link_density`). Same lexer, same charset
+    sniff, same BLOCK_SEP assembly as extractor A — ONLY the
+    content/boilerplate rule differs, so A/B disagreement isolates
+    the classification policy, not the parsing."""
+    from docling_eval_spark.extraction.boilerplate import (
+        classify_link_density,
+    )
+    from docling_eval_spark.extraction.charset import decode_html
+    from docling_eval_spark.extraction.html_lexer import lex_blocks
+
+    html_text, _enc, _src = decode_html(data, transport=charset_hint)
+    blocks = lex_blocks(html_text)
+    flags = classify_link_density(blocks)
+    items = []
+    for blk, is_content in zip(blocks, flags):
+        if blk.in_head or blk.in_table:
+            continue
+        txt = normalize_ws(blk.text)
+        if not txt or not is_content:
+            continue
+        items.append(txt)
+    return BLOCK_SEP.join(items)

@@ -269,3 +269,40 @@ def single_prov_items(items_col, provs_field: str = "provs"):
     carry several provenance spans. Pure HOF, no UDF."""
     col = F.col(items_col) if isinstance(items_col, str) else items_col
     return F.filter(col, lambda it: F.size(it[provs_field]) == 1)
+
+
+_AB_SCHEMA = (
+    "doc_id long, lang string, text_a string, text_b string"
+)
+
+
+def extract_ab_stage(pages_df: DataFrame) -> DataFrame:
+    """Run BOTH extractor families over the same html bytes in one
+    narrow map — extractor A (Boilerpipe NumWordsRules tree, the
+    byte-identity kernel) and extractor B (Readability-core
+    link-density-only, `kernel.extract_text_ld`) — emitting
+    (doc_id, lang, text_a, text_b) for the extractor-agreement
+    evaluation. One decode + one lex per page would be the next
+    optimization; at eval scale the double parse is deliberate: the
+    two extractors stay INDEPENDENT code paths, which is the point of
+    an agreement check."""
+    from docling_eval_spark.extraction.kernel import (
+        extract_text,
+        extract_text_ld,
+    )
+
+    src = pages_df.select("doc_id", "lang", "html")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = [bytes(b) for b in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "text_a": [extract_text(b) for b in html],
+                    "text_b": [extract_text_ld(b) for b in html],
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=_AB_SCHEMA)

@@ -198,3 +198,51 @@ def test_single_prov_filter_and_json_gt(spark, tmp_path):
     joined = join_gt(docs, gt)
     got = {r["url"]: r["gt_text"] for r in joined.collect()}
     assert got == {"u1": "hello", "u3": None}
+
+
+def test_extract_text_ld_link_density_rule():
+    from docling_eval_spark.extraction.kernel import extract_text_ld
+
+    html = (
+        b"<html><head><title>t</title></head><body>"
+        b'<nav><a href="/a">one</a> <a href="/b">two</a> '
+        b'<a href="/c">three</a></nav>'
+        b"<p>short chrome</p>"
+        b"<p>real body text with plenty of ordinary words in it</p>"
+        b'<p>mixed <a href="/x">linky linky linky linky</a> tail</p>'
+        b"<table><tr><td>cell</td></tr></table>"
+        b"</body></html>"
+    )
+    out = extract_text_ld(html)
+    # link-dense nav dropped, table excluded, title excluded;
+    # short LINKLESS chrome kept (the A/B disagreement surface);
+    # mixed block: 4 of 6 words in anchors -> density 0.67 -> dropped
+    assert out == (
+        "short chrome\n\n"
+        "real body text with plenty of ordinary words in it"
+    )
+
+
+def test_extractor_ab_analytic_contract():
+    from docling_eval_spark.datagen.pages import (
+        SENTINEL_TMPL,
+        render_page_for_text,
+    )
+    from docling_eval_spark.extraction.kernel import (
+        BLOCK_SEP,
+        extract_text,
+        extract_text_ld,
+        normalize_ws,
+    )
+
+    t = "some   spaced\tdocument body"
+    h = render_page_for_text(3, t)
+    a = extract_text(h)
+    b = extract_text_ld(h)
+    exp_a = normalize_ws(t) + BLOCK_SEP + SENTINEL_TMPL.format(doc_id=3)
+    assert a == exp_a
+    # B = logo + A + copyright footer: the disagreement is exactly the
+    # linkless chrome the NumWordsRules tree rejects on word count
+    assert b == (
+        "SynthSite" + BLOCK_SEP + exp_a + BLOCK_SEP + "© 2024 SynthSite 3"
+    )
