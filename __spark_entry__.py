@@ -3964,6 +3964,80 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 """
 
 
+def _q_merge_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recrawl MERGE (lakehouse upsert shape): base = one
+    row per url from part; fresh = a batch with repeats, stale rows
+    and brand-new urls from events. Only the batch aggregates; base
+    joins once on the key. The oracle replays the identical
+    (ts, digest) total-order winner rule via a row_number collapse +
+    full-outer CASE."""
+    from docling_eval_spark.operators.temporal import merge_recrawl
+
+    p = _t(spark, sf_dir, "part")
+    base = p.select(
+        F.concat(F.lit("u"), F.col("p_partkey").cast("string")).alias("url"),
+        (F.col("p_partkey") % 5).cast("bigint").alias("crawl_ts"),
+        F.concat(F.lit("d"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "digest"
+        ),
+    )
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    fresh = e.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 300).cast("string")).alias(
+            "url"
+        ),
+        (F.col("event_id") % 9).cast("bigint").alias("crawl_ts"),
+        F.concat(F.lit("d"), (F.col("event_id") % 7).cast("string")).alias(
+            "digest"
+        ),
+    )
+    return merge_recrawl(base, fresh)
+
+
+_SQL_MERGE_RECRAWL = """
+WITH base AS (
+  SELECT 'u' || CAST(p_partkey AS VARCHAR) AS url,
+         CAST(p_partkey % 5 AS BIGINT) AS crawl_ts,
+         'd' || CAST(p_partkey % 7 AS VARCHAR) AS digest
+  FROM part
+),
+freshraw AS (
+  SELECT 'u' || CAST(event_id % 300 AS VARCHAR) AS url,
+         CAST(event_id % 9 AS BIGINT) AS crawl_ts,
+         'd' || CAST(event_id % 7 AS VARCHAR) AS digest
+  FROM events WHERE event_id < 2000
+),
+f1 AS (
+  SELECT url, crawl_ts, digest FROM (
+    SELECT url, crawl_ts, digest,
+           row_number() OVER (
+             PARTITION BY url ORDER BY crawl_ts DESC, digest DESC
+           ) AS rn
+    FROM freshraw
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT f.url AS f_url, b.url AS b_url,
+         f.crawl_ts AS f_ts, f.digest AS f_d,
+         b.crawl_ts AS b_ts, b.digest AS b_d,
+         f.url IS NOT NULL AND (
+           b.url IS NULL
+           OR (f.crawl_ts, f.digest) >= (b.crawl_ts, b.digest)
+         ) AS fw
+  FROM f1 f FULL OUTER JOIN base b ON f.url = b.url
+)
+SELECT coalesce(f_url, b_url) AS url,
+       CASE WHEN fw THEN f_ts ELSE b_ts END AS crawl_ts,
+       CASE WHEN fw THEN f_d ELSE b_d END AS digest,
+       CASE WHEN b_url IS NULL THEN 'ADDED'
+            WHEN f_url IS NULL THEN 'KEPT'
+            WHEN fw AND f_d = b_d THEN 'REFRESHED'
+            WHEN fw THEN 'UPDATED'
+            ELSE 'STALE' END AS merge_status
+FROM m
+"""
+
+
 def _q_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractor-vs-extractor agreement — docling-eval's converter-
     comparison discipline turned on the extraction stage itself:
@@ -7003,6 +7077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_traps": _with_pkg(_q_crawl_traps),
         "link_reciprocity": _with_pkg(_q_link_reciprocity),
         "extractor_agreement": _with_pkg(_q_extractor_agreement),
+        "merge_recrawl": _with_pkg(_q_merge_recrawl),
     }
 
 
@@ -7136,4 +7211,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_traps": _SQL_CRAWL_TRAPS,
         "link_reciprocity": _SQL_LINK_RECIPROCITY,
         "extractor_agreement": _SQL_EXTRACTOR_AGREEMENT,
+        "merge_recrawl": _SQL_MERGE_RECRAWL,
     }

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "crawl_traps",
     "link_reciprocity",
     "extractor_agreement",
+    "merge_recrawl",
 ]
 
 WARM_PASSES = 3

@@ -204,6 +204,78 @@ def latest_snapshot(
     ).select(*df.columns)
 
 
+def merge_recrawl(
+    base: DataFrame,
+    fresh: DataFrame,
+    key: str = "url",
+    ts: str = "crawl_ts",
+    digest: str = "digest",
+) -> DataFrame:
+    """Incremental corpus upsert — the MERGE INTO shape a lakehouse
+    recrawl runs: ``base`` is the current ONE-ROW-PER-KEY corpus view
+    (large — e.g. the bucketed catalog table), ``fresh`` is a new
+    crawl batch (small relative to base, possibly many fetches per
+    key, possibly stale/out-of-order rows). Returns one row per key
+    across both inputs with the winning payload and a
+    ``merge_status`` column:
+
+    - ``ADDED``      key only in fresh;
+    - ``KEPT``       key only in base (untouched — the 10^12-row bulk);
+    - ``REFRESHED``  fresh wins, digest unchanged (newer fetch, same
+      content — bump ts, no re-extraction needed downstream);
+    - ``UPDATED``    fresh wins, digest changed (re-extract);
+    - ``STALE``      base wins (the batch carried an older fetch —
+      arrives out of order in any distributed crawl).
+
+    Winner = greatest ``struct(ts, digest, payload…)`` — total order,
+    so ties are deterministic across runs and partitionings.
+
+    Scale shape vs :func:`latest_snapshot` over the union: the
+    aggregation runs ONLY over the small batch (map-side combining
+    max-struct), then ONE key-equi join against base — base is never
+    re-aggregated, and when base is a table bucketed on ``key``
+    (`sources/bucketed.py`) its side of the join is EXCHANGE-FREE:
+    the whole merge costs one small shuffle + one co-located join,
+    which is what makes daily recrawl merges affordable at 10^12
+    keys. Both inputs must share the schema (asserted).
+    """
+    if set(base.columns) != set(fresh.columns):
+        raise ValueError(
+            "merge_recrawl: base/fresh schemas differ: "
+            f"{sorted(base.columns)} vs {sorted(fresh.columns)}"
+        )
+    rest = [c for c in base.columns if c not in (key, ts, digest)]
+
+    def _s(df: DataFrame):
+        return F.struct(
+            F.col(ts), F.col(digest), *[F.col(c) for c in rest]
+        )
+
+    f1 = fresh.groupBy(key).agg(F.max(_s(fresh)).alias("__f"))
+    b1 = base.select(key, _s(base).alias("__b"))
+    j = f1.join(b1, key, "full_outer")
+    fw = F.col("__f").isNotNull() & (
+        F.col("__b").isNull() | (F.col("__f") >= F.col("__b"))
+    )
+    win = F.when(fw, F.col("__f")).otherwise(F.col("__b"))
+    status = (
+        F.when(F.col("__b").isNull(), F.lit("ADDED"))
+        .when(F.col("__f").isNull(), F.lit("KEPT"))
+        .when(
+            fw & (F.col(f"__f.{digest}") == F.col(f"__b.{digest}")),
+            F.lit("REFRESHED"),
+        )
+        .when(fw, F.lit("UPDATED"))
+        .otherwise(F.lit("STALE"))
+    )
+    ordered = [ts, digest] + rest
+    return j.select(
+        key,
+        *[win[c].alias(c) for c in ordered],
+        status.alias("merge_status"),
+    ).select(*base.columns, "merge_status")
+
+
 def crawl_rate(
     df: DataFrame,
     key: str = "host",

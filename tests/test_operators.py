@@ -3499,3 +3499,42 @@ def test_link_reciprocity(spark):
     assert out["a"]["out_deg"] == 2 and out["a"]["n_reciprocal"] == 1
     assert out["a"]["reciprocity"] == 0.5
     assert out["b"]["out_deg"] == 1 and out["b"]["reciprocity"] == 1.0
+
+
+def test_merge_recrawl_statuses(spark):
+    from docling_eval_spark.operators.temporal import merge_recrawl
+
+    base = spark.createDataFrame(
+        [
+            ("u1", 10, "dA", "p1"),  # will be UPDATED (newer, new digest)
+            ("u2", 10, "dB", "p2"),  # will be REFRESHED (newer, same digest)
+            ("u3", 10, "dC", "p3"),  # will be STALE (batch is older)
+            ("u4", 10, "dD", "p4"),  # untouched -> KEPT
+        ],
+        "url string, crawl_ts long, digest string, payload string",
+    )
+    fresh = spark.createDataFrame(
+        [
+            ("u1", 20, "dX", "q1"),
+            ("u1", 15, "dY", "q1b"),  # loses the in-batch collapse
+            ("u2", 20, "dB", "q2"),
+            ("u3", 5, "dZ", "q3"),
+            ("u5", 20, "dE", "q5"),  # ADDED
+        ],
+        "url string, crawl_ts long, digest string, payload string",
+    )
+    out = {r["url"]: r for r in merge_recrawl(base, fresh).collect()}
+    assert len(out) == 5
+    assert out["u1"]["merge_status"] == "UPDATED"
+    assert (out["u1"]["crawl_ts"], out["u1"]["digest"], out["u1"]["payload"]) == (20, "dX", "q1")
+    assert out["u2"]["merge_status"] == "REFRESHED"
+    assert out["u2"]["payload"] == "q2"  # ts bumped, content same
+    assert out["u3"]["merge_status"] == "STALE"
+    assert out["u3"]["payload"] == "p3"  # base row survives
+    assert out["u4"]["merge_status"] == "KEPT"
+    assert out["u5"]["merge_status"] == "ADDED"
+    # schema mismatch is an error, not a silent column drop
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_recrawl(base, fresh.drop("payload"))
