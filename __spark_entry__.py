@@ -3964,6 +3964,114 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 """
 
 
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-planning rollup: trap-gated, churn-weighted per-host
+    recrawl budgets over the synthetic fetch log, with extra
+    calendar-trap URLs injected on hosts 0-6 (skeleton '/cal?d') so
+    the trap gate and the budget formula both discriminate. All
+    integer arithmetic; the oracle recomposes skeletons, churn and the
+    DIV formula bit-for-bit."""
+    from docling_eval_spark.operators.frontier import crawl_budget_plan
+
+    f = _synth_fetches(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    k = (F.col("event_id") % 1500) % 20
+    extra = e.filter(k < 7).select(
+        F.concat(
+            F.lit("https://host"),
+            k.cast("string"),
+            F.lit(".example.com/cal?d="),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("crawl_ts"),
+        F.lit("dx").alias("digest"),
+    )
+    log = f.select("url", "crawl_ts", "digest").unionByName(extra)
+    plan = crawl_budget_plan(log, min_urls=100, trap_ratio=5.0)
+    # NULL→-1 sentinel (hosts never re-fetched): keeps the double
+    # column hashable cross-engine, same convention as snapshot_delta
+    return plan.withColumn(
+        "change_rate", F.coalesce("change_rate", F.lit(-1.0))
+    )
+
+
+def _sql_crawl_budget() -> str:
+    # deferred: _SQL_SYNTH_FETCHES is defined later in this module
+    return f"""
+WITH f0 AS ({_SQL_SYNTH_FETCHES}),
+extra AS (
+  SELECT 'https://host' || CAST((event_id % 1500) % 20 AS VARCHAR)
+           || '.example.com/cal?d=' || CAST(event_id AS VARCHAR) AS url,
+         ts AS crawl_ts, 'dx' AS digest
+  FROM events WHERE (event_id % 1500) % 20 < 7
+),
+lg AS (
+  SELECT url, crawl_ts, digest FROM f0
+  UNION ALL SELECT url, crawl_ts, digest FROM extra
+),
+h AS (
+  SELECT url, crawl_ts, digest,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?]+)', 2)) AS host
+  FROM lg
+),
+n AS (SELECT DISTINCT url, host FROM h),
+s AS (
+  SELECT url, host,
+    regexp_replace(
+      regexp_extract(regexp_replace(url, '#.*$', '', 'g'),
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1),
+      '[0-9]+', 'N', 'g') AS pathn,
+    regexp_extract(regexp_replace(url, '#.*$', '', 'g'), '\\?(.*)$', 1) AS query
+  FROM n
+),
+k AS (
+  SELECT url, host,
+         pathn || '?' ||
+         CASE WHEN query = '' THEN ''
+              ELSE list_aggr(
+                     list_sort(list_transform(
+                       string_split(query, '&'),
+                       p -> split_part(p, '=', 1))),
+                     'string_agg', ',')
+         END AS skel
+  FROM s
+),
+traps AS (
+  SELECT host,
+         count(DISTINCT url) AS n_urls,
+         count(DISTINCT skel) AS n_skeletons,
+         (count(DISTINCT url) >= 100
+          AND count(DISTINCT url) >= 5.0 * count(DISTINCT skel)) AS trap
+  FROM k GROUP BY host
+),
+d AS (
+  SELECT host,
+       CASE WHEN lag(digest) OVER w IS NULL AND lag(crawl_ts) OVER w IS NULL
+              THEN 'NEW'
+            WHEN lag(digest) OVER w = digest THEN 'UNCHANGED'
+            ELSE 'CHANGED' END AS st
+  FROM h
+  WINDOW w AS (PARTITION BY url ORDER BY crawl_ts, digest)
+),
+churn AS (
+  SELECT host, count(*) AS n_fetches,
+       CAST(sum(CASE WHEN st = 'CHANGED' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN st = 'UNCHANGED' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       coalesce(round(sum(CASE WHEN st = 'CHANGED' THEN 1 ELSE 0 END)
+             / CAST(nullif(sum(CASE WHEN st <> 'NEW' THEN 1 ELSE 0 END), 0)
+                    AS DOUBLE), 6), -1.0) AS change_rate
+  FROM d GROUP BY host
+)
+SELECT t.host, t.n_urls, t.n_skeletons, t.trap,
+       c.n_fetches, c.n_changed, c.n_unchanged, c.change_rate,
+       CAST(CASE WHEN t.trap THEN 0
+                 ELSE (100 * (1 + 2 * c.n_changed))
+                      // (1 + c.n_changed + c.n_unchanged) END
+            AS BIGINT) AS budget
+FROM traps t JOIN churn c USING (host)
+"""
+
+
 def _q_merge_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental recrawl MERGE (lakehouse upsert shape): base = one
     row per url from part; fresh = a batch with repeats, stale rows
@@ -7078,6 +7186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": _with_pkg(_q_link_reciprocity),
         "extractor_agreement": _with_pkg(_q_extractor_agreement),
         "merge_recrawl": _with_pkg(_q_merge_recrawl),
+        "crawl_budget": _with_pkg(_q_crawl_budget),
     }
 
 
@@ -7212,4 +7321,5 @@ def oracle_sql() -> dict[str, str]:
         "link_reciprocity": _SQL_LINK_RECIPROCITY,
         "extractor_agreement": _SQL_EXTRACTOR_AGREEMENT,
         "merge_recrawl": _SQL_MERGE_RECRAWL,
+        "crawl_budget": _sql_crawl_budget(),
     }

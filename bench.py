@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "link_reciprocity",
     "extractor_agreement",
     "merge_recrawl",
+    "crawl_budget",
 ]
 
 WARM_PASSES = 3

@@ -173,3 +173,76 @@ def robots_sitemaps(
             )
         ).alias("sitemap_url"),
     )
+
+
+def crawl_budget_plan(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "crawl_ts",
+    digest_col: str = "digest",
+    base_budget: int = 100,
+    min_urls: int = 100,
+    trap_ratio: float = 5.0,
+) -> DataFrame:
+    """Per-host recrawl BUDGET — the frontier-planning rollup that
+    turns two observed signals into next-cycle fetch allowances:
+
+    - the trap gate (:func:`web_ops.crawl_trap_score` over the fetch
+      log's distinct URLs): a host minting unbounded URLs from few
+      skeletons gets budget 0 — crawling it deeper is wasted fetches;
+    - observed churn (:func:`temporal.snapshot_churn` keyed on the
+      host derived FROM the url, so both branches share one host
+      universe by construction): hosts whose re-fetches actually
+      change earn proportionally more budget (the Cho &
+      Garcia-Molina revisit intuition, integer-exact form).
+
+    budget = 0 if trap else
+             (base_budget * (1 + 2*n_changed)) DIV (1 + n_refetch)
+    with n_refetch = n_changed + n_unchanged — all-integer arithmetic,
+    so the DuckDB oracle reproduces every value bit-for-bit; a host
+    never re-fetched gets ~base_budget (no evidence yet), an
+    all-changing host approaches 2*base_budget, a static host decays
+    toward 0.
+
+    Scale shape: the trap branch is one two-distinct hash agg per
+    host; the churn branch is one url-keyed lag window + one host agg;
+    the final join is per-HOST rows (millions, not trillions) — every
+    upstream shuffle is keyed on url or host, and the output frame is
+    small enough to broadcast straight back into the politeness
+    scheduler."""
+    from docling_eval_spark.operators.temporal import snapshot_churn
+    from docling_eval_spark.operators.web_ops import (
+        crawl_trap_score,
+        host_col,
+    )
+
+    traps = crawl_trap_score(
+        fetches.select(F.col(url_col).alias("url")),
+        min_urls=min_urls,
+        ratio=trap_ratio,
+    )
+    churn = snapshot_churn(
+        fetches.withColumn("__host", host_col(url_col)),
+        key=url_col,
+        ts=ts_col,
+        digest=digest_col,
+        host="__host",
+    ).withColumnRenamed("__host", "host")
+    j = traps.join(churn, "host")
+    budget = F.when(F.col("trap"), F.lit(0)).otherwise(
+        F.expr(
+            f"CAST(({base_budget} * (1 + 2 * n_changed)) DIV "
+            "(1 + n_changed + n_unchanged) AS BIGINT)"
+        )
+    )
+    return j.select(
+        "host",
+        "n_urls",
+        "n_skeletons",
+        "trap",
+        "n_fetches",
+        "n_changed",
+        "n_unchanged",
+        "change_rate",
+        budget.cast("bigint").alias("budget"),
+    )

@@ -3538,3 +3538,41 @@ def test_merge_recrawl_statuses(spark):
 
     with _pytest.raises(ValueError):
         merge_recrawl(base, fresh.drop("payload"))
+
+
+def test_crawl_budget_plan(spark):
+    from docling_eval_spark.operators.frontier import crawl_budget_plan
+
+    rows = []
+    # host trap.ex: 30 calendar urls fetched once each -> trap, budget 0
+    rows += [(f"https://trap.ex/cal?d={i}", i, "d0") for i in range(30)]
+    # host churn.ex: 3 urls x 4 fetches, digest changes every fetch
+    rows += [
+        (f"https://churn.ex/p{u}", t * 10 + u, f"d{t}")
+        for u in range(3)
+        for t in range(4)
+    ]
+    # host static.ex: 3 urls x 4 fetches, digest never changes
+    rows += [
+        (f"https://static.ex/p{u}", t * 10 + u, "dS")
+        for u in range(3)
+        for t in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, crawl_ts long, digest string"
+    )
+    out = {
+        r["host"]: r
+        for r in crawl_budget_plan(
+            df, min_urls=20, trap_ratio=5.0, base_budget=100
+        ).collect()
+    }
+    t = out["trap.ex"]
+    assert t["trap"] and t["budget"] == 0
+    c, s = out["churn.ex"], out["static.ex"]
+    assert not c["trap"] and not s["trap"]
+    # churny: 9 refetches all CHANGED -> (100*(1+18))//(1+9) = 190
+    assert c["n_changed"] == 9 and c["budget"] == 190
+    # static: 9 refetches all UNCHANGED -> (100*1)//10 = 10
+    assert s["n_changed"] == 0 and s["budget"] == 10
+    assert c["budget"] > s["budget"]
