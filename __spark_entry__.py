@@ -5300,6 +5300,59 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", "component")
 
 
+def _q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster canonicalization: minhash pairs → connected components
+    → elect the BEST copy per group (max (n_chars, id) — quality-
+    first, deterministic tie-break) instead of first-occurrence-wins.
+    The oracle recomputes the bit-exact pair graph, unrolls the same
+    6 label-propagation iterations, then replays the election as a
+    row_number window."""
+    from docling_eval_spark.operators.dedup import (
+        elect_survivors,
+        minhash_dedup_pairs,
+    )
+    from docling_eval_spark.operators.web_ops import connected_components
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dup = d.select("doc_id", "text", "n_chars").unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    pairs = minhash_dedup_pairs(dup, "doc_id", threshold=0.7)
+    comp = connected_components(pairs, "id_l", "id_r", iterations=6)
+    scores = dup.select(
+        F.col("doc_id").alias("node"), F.col("n_chars").alias("score")
+    )
+    return elect_survivors(comp.select("node", "component"), scores)
+
+
+def _sql_cluster_survivors() -> str:
+    return f"""
+WITH comp AS MATERIALIZED ({_sql_near_dup_components()}),
+scores AS (
+  SELECT doc_id AS node, n_chars AS score FROM documents
+  UNION ALL SELECT doc_id + 100000 AS node, n_chars FROM documents
+),
+j AS (
+  SELECT c.component, c.node, s.score
+  FROM comp c JOIN scores s USING (node)
+),
+r AS (
+  SELECT component, node, score,
+         row_number() OVER (
+           PARTITION BY component ORDER BY score DESC, node DESC
+         ) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM j
+)
+SELECT component, node AS survivor, score AS survivor_score, n_members
+FROM r WHERE rn = 1
+"""
+
+
 def _sql_near_dup_components(iterations: int = 6) -> str:
     prev = "c0"
     iters = []
@@ -7187,6 +7240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extractor_agreement": _with_pkg(_q_extractor_agreement),
         "merge_recrawl": _with_pkg(_q_merge_recrawl),
         "crawl_budget": _with_pkg(_q_crawl_budget),
+        "cluster_survivors": _with_pkg(_q_cluster_survivors),
     }
 
 
@@ -7322,4 +7376,5 @@ def oracle_sql() -> dict[str, str]:
         "extractor_agreement": _SQL_EXTRACTOR_AGREEMENT,
         "merge_recrawl": _SQL_MERGE_RECRAWL,
         "crawl_budget": _sql_crawl_budget(),
+        "cluster_survivors": _sql_cluster_survivors(),
     }

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "extractor_agreement",
     "merge_recrawl",
     "crawl_budget",
+    "cluster_survivors",
 ]
 
 WARM_PASSES = 3

@@ -869,3 +869,55 @@ def lsh_quality_eval(
             F.col("n_tp") / F.nullif(F.col("n_true"), F.lit(0)), 6
         ).alias("recall"),
     )
+
+
+def elect_survivors(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "node",
+    cluster_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster canonicalization — the LAST apply step of near-dup
+    dedup: after :func:`web_ops.connected_components` turns similar
+    PAIRS into groups, keep ONE representative per group, and make it
+    the BEST copy (highest score), not the arbitrary first one.
+    First-occurrence-wins (what exact_dedup does for byte-identical
+    copies) is wrong for NEAR-duplicates: the copies differ, and a
+    quality-blind pick can keep the boilerplate-mangled variant while
+    dropping the clean one.
+
+    ``members`` = (id, cluster) rows from connected components;
+    ``scores`` = (id, score) — any orderable quality signal
+    (quality_score, n_chars, an LM score). Winner per cluster =
+    greatest (score, id) — a TOTAL order, so equal-score ties are
+    deterministic across runs and partitionings.
+
+    Returns (cluster, survivor, survivor_score, n_members).
+
+    Plan: one id-equi join (broadcast when the score side is a slim
+    projection) + ONE max-struct hash aggregation per cluster —
+    map-side combine collapses a 10^6-copy template cluster to one
+    row per task before the exchange, the same skew defence as
+    exact_dedup's min-id agg. Never a per-cluster window sort."""
+    j = members.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__cl")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("__id"), F.col(score_col).alias("__sc")
+        ),
+        "__id",
+    )
+    return (
+        j.groupBy("__cl")
+        .agg(
+            F.max(F.struct("__sc", "__id")).alias("__w"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            F.col("__cl").alias(cluster_col),
+            F.col("__w.__id").alias("survivor"),
+            F.col("__w.__sc").alias("survivor_score"),
+            "n_members",
+        )
+    )

@@ -3576,3 +3576,26 @@ def test_crawl_budget_plan(spark):
     # static: 9 refetches all UNCHANGED -> (100*1)//10 = 10
     assert s["n_changed"] == 0 and s["budget"] == 10
     assert c["budget"] > s["budget"]
+
+
+def test_elect_survivors(spark):
+    from docling_eval_spark.operators.dedup import elect_survivors
+
+    members = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (8, 200)],
+        "node long, component long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 100: node 2 has the best score; cluster 200: tie ->
+        # greater node id wins (deterministic total order)
+        [(1, 50), (2, 90), (3, 70), (7, 40), (8, 40)],
+        "node long, score long",
+    )
+    out = {
+        r["component"]: r
+        for r in elect_survivors(members, scores).collect()
+    }
+    assert out[100]["survivor"] == 2 and out[100]["survivor_score"] == 90
+    assert out[100]["n_members"] == 3
+    assert out[200]["survivor"] == 8  # tie broken by greatest id
+    assert out[200]["n_members"] == 2
