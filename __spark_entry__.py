@@ -3964,15 +3964,9 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 """
 
 
-def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frontier-planning rollup: trap-gated, churn-weighted per-host
-    recrawl budgets over the synthetic fetch log, with extra
-    calendar-trap URLs injected on hosts 0-6 (skeleton '/cal?d') so
-    the trap gate and the budget formula both discriminate. All
-    integer arithmetic; the oracle recomposes skeletons, churn and the
-    DIV formula bit-for-bit."""
-    from docling_eval_spark.operators.frontier import crawl_budget_plan
-
+def _synth_budget_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for crawl_budget / budgeted_frontier: the synth
+    fetch log + injected calendar-trap urls on hosts 0-6."""
     f = _synth_fetches(spark, sf_dir)
     e = _t(spark, sf_dir, "events")
     k = (F.col("event_id") % 1500) % 20
@@ -3986,7 +3980,76 @@ def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("crawl_ts"),
         F.lit("dx").alias("digest"),
     )
-    log = f.select("url", "crawl_ts", "digest").unionByName(extra)
+    return f.select("url", "crawl_ts", "digest").unionByName(extra)
+
+
+def _q_budgeted_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END frontier budgeting: crawl_budget_plan produces the
+    per-host allowances, cap_per_key_budget APPLIES them — each host
+    keeps at most its budget of distinct urls (md5-rank order,
+    engine-portable), trap hosts (budget 0) drop out entirely.
+    Output: per surviving host, kept-url count + its budget."""
+    from docling_eval_spark.operators.frontier import crawl_budget_plan
+    from docling_eval_spark.operators.web_ops import (
+        cap_per_key_budget,
+        host_col,
+    )
+
+    log = _synth_budget_log(spark, sf_dir)
+    budgets = crawl_budget_plan(log, min_urls=100, trap_ratio=5.0).select(
+        "host", "budget"
+    )
+    urls = log.select(host_col("url").alias("host"), "url").distinct()
+    kept = cap_per_key_budget(urls, budgets, "host", "url")
+    return (
+        kept.groupBy("host")
+        .agg(F.count("*").alias("n_kept"))
+        .join(budgets, "host")
+        .select("host", "n_kept", "budget")
+    )
+
+
+def _sql_budgeted_frontier() -> str:
+    return f"""
+WITH budgets AS MATERIALIZED ({_sql_crawl_budget()}),
+f0 AS ({_SQL_SYNTH_FETCHES}),
+extra AS (
+  SELECT 'https://host' || CAST((event_id % 1500) % 20 AS VARCHAR)
+           || '.example.com/cal?d=' || CAST(event_id AS VARCHAR) AS url,
+         ts AS crawl_ts, 'dx' AS digest
+  FROM events WHERE (event_id % 1500) % 20 < 7
+),
+lg AS (
+  SELECT url, crawl_ts, digest FROM f0
+  UNION ALL SELECT url, crawl_ts, digest FROM extra
+),
+urls AS (
+  SELECT DISTINCT
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?]+)', 2))
+      AS host,
+    url
+  FROM lg
+),
+r AS (
+  SELECT u.host, u.url, b.budget,
+         row_number() OVER (PARTITION BY u.host ORDER BY md5(u.url)) AS rn
+  FROM urls u JOIN budgets b USING (host)
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_kept, max(budget) AS budget
+FROM r WHERE rn <= budget GROUP BY host
+"""
+
+
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-planning rollup: trap-gated, churn-weighted per-host
+    recrawl budgets over the synthetic fetch log, with extra
+    calendar-trap URLs injected on hosts 0-6 (skeleton '/cal?d') so
+    the trap gate and the budget formula both discriminate. All
+    integer arithmetic; the oracle recomposes skeletons, churn and the
+    DIV formula bit-for-bit."""
+    from docling_eval_spark.operators.frontier import crawl_budget_plan
+
+    log = _synth_budget_log(spark, sf_dir)
     plan = crawl_budget_plan(log, min_urls=100, trap_ratio=5.0)
     # NULL→-1 sentinel (hosts never re-fetched): keeps the double
     # column hashable cross-engine, same convention as snapshot_delta
@@ -7241,6 +7304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_recrawl": _with_pkg(_q_merge_recrawl),
         "crawl_budget": _with_pkg(_q_crawl_budget),
         "cluster_survivors": _with_pkg(_q_cluster_survivors),
+        "budgeted_frontier": _with_pkg(_q_budgeted_frontier),
     }
 
 
@@ -7377,4 +7441,5 @@ def oracle_sql() -> dict[str, str]:
         "merge_recrawl": _SQL_MERGE_RECRAWL,
         "crawl_budget": _sql_crawl_budget(),
         "cluster_survivors": _sql_cluster_survivors(),
+        "budgeted_frontier": _sql_budgeted_frontier(),
     }

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "merge_recrawl",
     "crawl_budget",
     "cluster_survivors",
+    "budgeted_frontier",
 ]
 
 WARM_PASSES = 3

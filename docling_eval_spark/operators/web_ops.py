@@ -927,6 +927,68 @@ def page_rank(
     return out
 
 
+def cap_per_key_budget(
+    df: DataFrame,
+    budgets: DataFrame,
+    key_col: str,
+    id_col: str,
+    budget_col: str = "budget",
+    scale_mode: bool = False,
+) -> DataFrame:
+    """VARIABLE per-key cap — :func:`cap_per_key` with the limit
+    coming from a per-key ``budgets`` frame instead of one scalar:
+    the APPLY step of :func:`frontier.crawl_budget_plan` (each host
+    keeps at most its own budget of rows; budget 0 — trap hosts —
+    drops the key entirely). ``budgets`` is one row per key —
+    millions of hosts at most — so it broadcasts.
+
+    Same two modes as the scalar cap: exact (md5-of-id
+    ``row_number <= budget`` per key — deterministic and exactly the
+    budget, single-reducer per pathological key) and ``scale_mode``
+    (salted hash-threshold — keeps the budget in expectation, no
+    per-key sort, the honest 10^12-row default)."""
+    b = F.broadcast(
+        budgets.select(
+            F.col(key_col), F.col(budget_col).alias("__budget")
+        )
+    )
+    if scale_mode:
+        S = 16
+        counts = (
+            df.groupBy(key_col)
+            .agg(F.count("*").alias("__cnt"))
+            .join(b, key_col)
+            .withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+            )
+        )
+        salted = df.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(S)).cast("int")
+        )
+        return (
+            salted.join(counts, [key_col, "__salt"])
+            .where(
+                (F.col("__cnt") <= F.col("__budget"))
+                | (
+                    F.pmod(F.xxhash64(F.col(id_col)), F.col("__cnt"))
+                    < F.col("__budget")
+                )
+            )
+            .drop("__cnt", "__salt", "__budget")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string"))
+    )
+    return (
+        df.join(b, key_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__budget"))
+        .drop("__rn", "__budget")
+    )
+
+
 def crawl_trap_score(
     df: DataFrame,
     url_col: str = "url",

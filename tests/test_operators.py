@@ -3599,3 +3599,37 @@ def test_elect_survivors(spark):
     assert out[100]["n_members"] == 3
     assert out[200]["survivor"] == 8  # tie broken by greatest id
     assert out[200]["n_members"] == 2
+
+
+def test_cap_per_key_budget(spark):
+    from docling_eval_spark.operators.web_ops import cap_per_key_budget
+
+    df = spark.createDataFrame(
+        [(h, f"{h}/u{i}") for h in ("a", "b", "c") for i in range(10)],
+        "host string, url string",
+    )
+    budgets = spark.createDataFrame(
+        [("a", 3), ("b", 0), ("c", 100)], "host string, budget long"
+    )
+    out = cap_per_key_budget(df, budgets, "host", "url").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["host"], []).append(r["url"])
+    # exact mode: exactly the budget (or all rows if fewer)
+    assert len(by["a"]) == 3
+    assert "b" not in by  # budget 0 drops the key entirely
+    assert len(by["c"]) == 10
+    # deterministic pick across partitionings
+    out2 = cap_per_key_budget(
+        df.repartition(7), budgets, "host", "url"
+    ).collect()
+    assert {r["url"] for r in out2} == {r["url"] for r in out}
+    # scale mode: never exceeds budget for small keys (cnt<=budget
+    # keeps all), and budget-0 keys still drop
+    sm = cap_per_key_budget(
+        df, budgets, "host", "url", scale_mode=True
+    ).collect()
+    by2 = {}
+    for r in sm:
+        by2.setdefault(r["host"], []).append(r["url"])
+    assert "b" not in by2 and len(by2["c"]) == 10
