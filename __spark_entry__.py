@@ -3137,6 +3137,57 @@ FROM kept GROUP BY id
 """
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS 2001 / FastCDC family): rolling
+    16-gram hash boundaries at h % 64 == 0, per-chunk md5 — the
+    byte-overlap dedup primitive whose boundaries re-sync after
+    edits. The oracle recomputes every boundary and digest with the
+    same integer rolling hash."""
+    from docling_eval_spark.operators.text_analysis import cdc_chunk_table
+
+    return cdc_chunk_table(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=16, divisor=64
+    )
+
+
+_SQL_CDC_CHUNKS = r"""
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+  FROM documents
+),
+hs AS (
+  SELECT id, t,
+    list_transform(
+      range(1, CASE WHEN length(t) >= 16 THEN length(t) - 14 ELSE 2 END),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(i, least(i + 15, length(t)) + 1),
+                              j -> CAST(unicode(substring(t, j, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647)) AS h
+  FROM norm WHERE length(t) > 0
+),
+ends AS (
+  SELECT id, t,
+    list_append(
+      list_filter(
+        list_transform(range(1, len(h) + 1),
+                       j -> CASE WHEN h[j] % 64 = 0 THEN j + 15 END),
+        e -> e IS NOT NULL AND e < length(t)),
+      length(t)) AS es
+  FROM hs
+),
+spans AS (
+  SELECT id, t, u.j AS j, es[u.j] AS e,
+         CASE WHEN u.j = 1 THEN 1 ELSE es[u.j - 1] + 1 END AS s
+  FROM ends, unnest(range(1, len(es) + 1)) AS u(j)
+)
+SELECT id, CAST(j - 1 AS BIGINT) AS chunk_no,
+       CAST(e - s + 1 AS BIGINT) AS chunk_len,
+       md5(substring(t, s, e - s + 1)) AS chunk_md5
+FROM spans
+"""
+
+
 def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full winnowing fingerprints (Schleimer et al. 2003): distinct
     per-window minima of the rolling k-gram hash sequence."""
@@ -7305,6 +7356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _with_pkg(_q_crawl_budget),
         "cluster_survivors": _with_pkg(_q_cluster_survivors),
         "budgeted_frontier": _with_pkg(_q_budgeted_frontier),
+        "cdc_chunks": _with_pkg(_q_cdc_chunks),
     }
 
 
@@ -7442,4 +7494,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _sql_crawl_budget(),
         "cluster_survivors": _sql_cluster_survivors(),
         "budgeted_frontier": _sql_budgeted_frontier(),
+        "cdc_chunks": _SQL_CDC_CHUNKS,
     }

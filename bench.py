@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "crawl_budget",
     "cluster_survivors",
     "budgeted_frontier",
+    "cdc_chunks",
 ]
 
 WARM_PASSES = 3

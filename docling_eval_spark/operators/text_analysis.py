@@ -273,6 +273,100 @@ def winnow_fingerprints(
     )
 
 
+def cdc_chunk_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al., LBFS SOSP
+    2001 — the Rabin/Gear/FastCDC family): cut each document where
+    the rolling k-gram hash of the normalized text satisfies
+    ``h % divisor == 0`` (expected chunk ≈ ``divisor`` chars), digest
+    each chunk. Because boundaries depend only on LOCAL content, an
+    insertion or deletion re-synchronizes after ~k chars, so two
+    near-identical documents share every chunk digest outside the
+    edited region — the resync property fixed-offset shingles and
+    fixed-width lines both lack. The storage-dedup workhorse, applied
+    to corpus text: shared-chunk fraction between docs ≈ byte-level
+    overlap.
+
+    Returns (id, chunk_no, chunk_len, chunk_md5) — empty-after-
+    normalization docs are absent; texts shorter than k are one
+    chunk. Pure SQL higher-order functions over the SAME rolling-hash
+    machinery as winnowing (the DuckDB oracle recomputes every
+    boundary and digest bit-for-bit); zero shuffle — a narrow map
+    any downstream groupBy(chunk_md5) dedup can consume."""
+    t = F.col(text_col)
+    norm_expr = F.trim(F.regexp_replace(t, _WS, " "))
+
+    def ends_of(nrm: Column) -> Column:
+        n = F.length(nrm)
+        codes = F.transform(
+            F.split(nrm, ""), lambda ch: F.ascii(ch).cast("long")
+        )
+
+        def over_codes(cds: Column) -> Column:
+            idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+                F.sequence(F.lit(1), F.lit(1))
+            )
+            hs = F.transform(idxs, lambda i: horner_fold(F.slice(cds, i, k)))
+
+            def over_hashes(h: Column) -> Column:
+                cuts = F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h)),
+                        lambda j: F.when(
+                            F.element_at(h, j) % divisor == 0,
+                            j + F.lit(k - 1),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+                # cuts are strictly increasing and < n after the
+                # filter, so appending n yields a duplicate-free,
+                # ordered boundary list without a distinct pass
+                return F.concat(
+                    F.filter(cuts, lambda e: e < n), F.array(n)
+                )
+
+            return let_col(hs, over_hashes)
+
+        return let_col(codes, over_codes)
+
+    base = df.select(
+        F.col(id_col).alias("id"), norm_expr.alias("__t")
+    ).filter(F.length("__t") > 0)
+    withe = base.withColumn("__ends", ends_of(F.col("__t")))
+    spans = withe.select(
+        "id",
+        "__t",
+        F.posexplode(
+            F.transform(
+                F.col("__ends"),
+                lambda e, i: F.struct(
+                    F.when(i == 0, F.lit(1))
+                    .otherwise(F.element_at(F.col("__ends"), i) + 1)
+                    .alias("s"),
+                    e.alias("e"),
+                ),
+            )
+        ).alias("chunk_no", "__sp"),
+    )
+    chunk = F.col("__t").substr(
+        F.col("__sp.s"), F.col("__sp.e") - F.col("__sp.s") + 1
+    )
+    return spans.select(
+        "id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        (F.col("__sp.e") - F.col("__sp.s") + 1)
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
 def winnow_py(text: str, k: int = 8, w: int = 8) -> set[int]:
     """Oracle twin of winnowed_fps_col."""
     import re as _re

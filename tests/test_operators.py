@@ -3633,3 +3633,42 @@ def test_cap_per_key_budget(spark):
     for r in sm:
         by2.setdefault(r["host"], []).append(r["url"])
     assert "b" not in by2 and len(by2["c"]) == 10
+
+
+def test_cdc_chunk_table(spark):
+    from docling_eval_spark.operators.text_analysis import cdc_chunk_table
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    edited = base[:500] + "INSERTED EDIT " + base[500:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, ""), (4, "tiny")],
+        "id long, text string",
+    )
+    rows = cdc_chunk_table(df, "id").collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r["id"], []).append(r)
+    # empty doc absent; short doc = one whole chunk
+    assert 3 not in by
+    assert len(by[4]) == 1 and by[4][0]["chunk_len"] == 4
+    # chunks tile the normalized text exactly
+    import re
+
+    norm = re.sub(r"[ \t\n\r\f\v]+", " ", base).strip(" ")
+    assert sum(r["chunk_len"] for r in by[1]) == len(norm)
+    assert [r["chunk_no"] for r in sorted(by[1], key=lambda r: r["chunk_no"])] == list(
+        range(len(by[1]))
+    )
+    # resync: an insertion changes only local chunks — the digest
+    # MULTISETS before and after the edit share most elements
+    from collections import Counter
+
+    c1 = Counter(r["chunk_md5"] for r in by[1])
+    c2 = Counter(r["chunk_md5"] for r in by[2])
+    shared = sum((c1 & c2).values())
+    assert shared >= sum(c1.values()) - 2  # at most the edited chunk lost
+    # determinism across partitionings
+    r2 = cdc_chunk_table(df.repartition(5), "id").collect()
+    assert {(r["id"], r["chunk_no"], r["chunk_md5"]) for r in r2} == {
+        (r["id"], r["chunk_no"], r["chunk_md5"]) for r in rows
+    }
