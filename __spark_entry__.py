@@ -2582,6 +2582,52 @@ LEFT JOIN per p USING (doc_id)
 """
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3 —
+    the famous head/middle/tail split): per-language terciles of the
+    integer micro-nat per-gram LM score, rolled up to per-bucket
+    counts and score ranges. ntile over a TOTAL order (ppx, id) so
+    the split is deterministic; the downstream mixing decision
+    ('train mostly on head+middle') reads this table."""
+    from docling_eval_spark.operators.ngram_lm import ngram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    s = ngram_lm_score(d, "doc_id").select("id", "n_grams", "lm_micro_sum")
+    j = (
+        s.join(d.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .filter(F.col("n_grams") > 0)
+        .withColumn("ppx_micro", F.expr("lm_micro_sum DIV n_grams"))
+    )
+    w = Window.partitionBy("lang").orderBy("ppx_micro", "id")
+    b = j.withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("ppx_micro").alias("min_ppx_micro"),
+        F.max("ppx_micro").alias("max_ppx_micro"),
+    )
+
+
+def _sql_ccnet_buckets() -> str:
+    return f"""
+WITH lm AS ({_SQL_NGRAM_LM}),
+j AS (
+  SELECT l.id, d.lang, l.lm_micro_sum // l.n_grams AS ppx_micro
+  FROM lm l JOIN documents d ON d.doc_id = l.id
+  WHERE l.n_grams > 0
+),
+b AS (
+  SELECT lang, id, ppx_micro,
+         ntile(3) OVER (PARTITION BY lang ORDER BY ppx_micro, id) AS bucket
+  FROM j
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(ppx_micro) AS min_ppx_micro,
+       max(ppx_micro) AS max_ppx_micro
+FROM b GROUP BY lang, bucket
+"""
+
+
 def _q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact semi-join (operators/bloom.py): the
     broadcast bitmap must be a strict superset filter, so the final
@@ -7357,6 +7403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_survivors": _with_pkg(_q_cluster_survivors),
         "budgeted_frontier": _with_pkg(_q_budgeted_frontier),
         "cdc_chunks": _with_pkg(_q_cdc_chunks),
+        "ccnet_buckets": _with_pkg(_q_ccnet_buckets),
     }
 
 
@@ -7495,4 +7542,5 @@ def oracle_sql() -> dict[str, str]:
         "cluster_survivors": _sql_cluster_survivors(),
         "budgeted_frontier": _sql_budgeted_frontier(),
         "cdc_chunks": _SQL_CDC_CHUNKS,
+        "ccnet_buckets": _sql_ccnet_buckets(),
     }

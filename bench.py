@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "cluster_survivors",
     "budgeted_frontier",
     "cdc_chunks",
+    "ccnet_buckets",
 ]
 
 WARM_PASSES = 3

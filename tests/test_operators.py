@@ -3672,3 +3672,22 @@ def test_cdc_chunk_table(spark):
     assert {(r["id"], r["chunk_no"], r["chunk_md5"]) for r in r2} == {
         (r["id"], r["chunk_no"], r["chunk_md5"]) for r in rows
     }
+
+
+def test_ccnet_buckets_query(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["ccnet_buckets"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["lang"], []).append(r)
+    for lang, rs in by.items():
+        assert sorted(r["bucket"] for r in rs) == [1, 2, 3]
+        rs = sorted(rs, key=lambda r: r["bucket"])
+        # terciles are ordered: head max <= middle min etc., and
+        # sizes differ by at most 1 (ntile contract)
+        assert rs[0]["max_ppx_micro"] <= rs[1]["min_ppx_micro"]
+        assert rs[1]["max_ppx_micro"] <= rs[2]["min_ppx_micro"]
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
