@@ -1894,3 +1894,39 @@ def distinct_ngram_stats(
             .alias("distinct2_micro"),
         )
     )
+
+
+def cdc_chunks_py(
+    text: str, k: int = 16, divisor: int = 64
+) -> list[tuple[int, int]]:
+    """Pure-Python twin of :func:`cdc_chunk_table` (same normalization,
+    rolling hash, boundary rule): returns [(start, end)] 1-based
+    inclusive char spans over the normalized text. Used by the
+    property suite (hypothesis invariants over arbitrary inputs) and
+    as the single-process parity reference."""
+    import re as _re
+
+    norm = _re.sub(r"[ \t\n\r\f\v]+", " ", text).strip(" ")
+    n = len(norm)
+    if n == 0:
+        return []
+    if n < k:
+        starts = [1]
+    else:
+        starts = list(range(1, n - k + 2))
+    cuts = []
+    for i in starts:
+        acc = 0
+        for ch in norm[i - 1 : i - 1 + k]:
+            acc = (acc * _FP_BASE + ord(ch)) % _FP_MOD
+        if acc % divisor == 0:
+            e = i + k - 1
+            if e < n:
+                cuts.append(e)
+    ends = cuts + [n]
+    spans = []
+    prev = 0
+    for e in ends:
+        spans.append((prev + 1, e))
+        prev = e
+    return spans

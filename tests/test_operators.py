@@ -3691,3 +3691,26 @@ def test_ccnet_buckets_query(spark):
         assert rs[1]["max_ppx_micro"] <= rs[2]["min_ppx_micro"]
         sizes = [r["n_docs"] for r in rs]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_cdc_spark_matches_py_twin(spark):
+    from docling_eval_spark.operators.text_analysis import (
+        cdc_chunk_table,
+        cdc_chunks_py,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 12,
+        "short",
+        "a b  c\t d " * 40,
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {}
+    for r in cdc_chunk_table(df, "id").collect():
+        got.setdefault(r["id"], []).append((r["chunk_no"], r["chunk_len"]))
+    for i, t in enumerate(texts):
+        spans = cdc_chunks_py(t)
+        exp = [(j, e - s + 1) for j, (s, e) in enumerate(spans)]
+        assert sorted(got[i]) == exp, (i, got[i], exp)

@@ -240,3 +240,46 @@ def test_gzip_member_splitter_never_raises(junk):
 
     for member in split_gzip_members(b"\x1f\x8b" + junk):
         assert isinstance(member, bytes)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=600))
+def test_cdc_chunks_tile_exactly(text):
+    """CDC spans tile the normalized text: contiguous, ordered,
+    covering — for ANY input."""
+    import re
+
+    from docling_eval_spark.operators.text_analysis import cdc_chunks_py
+
+    spans = cdc_chunks_py(text)
+    norm = re.sub(r"[ \t\n\r\f\v]+", " ", text).strip(" ")
+    if not norm:
+        assert spans == []
+        return
+    assert spans[0][0] == 1 and spans[-1][1] == len(norm)
+    for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+        assert s2 == e1 + 1 and e1 >= s1
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh ", min_size=100, max_size=400),
+    st.integers(min_value=0, max_value=99),
+)
+def test_cdc_boundaries_resync_before_edit(text, pos_frac):
+    """Content-defined property: boundaries ending at least k chars
+    BEFORE an edit position are unchanged by the edit (their windows
+    never see the edited bytes)."""
+    import re
+
+    from docling_eval_spark.operators.text_analysis import cdc_chunks_py
+
+    k = 16
+    norm = re.sub(r"[ \t\n\r\f\v]+", " ", text).strip(" ")
+    if len(norm) < 2 * k:
+        return
+    pos = k + (pos_frac * (len(norm) - 2 * k)) // 100
+    edited = norm[:pos] + "XYZ" + norm[pos:]
+    b1 = [e for _, e in cdc_chunks_py(norm, k=k) if e <= pos - k]
+    b2 = [e for _, e in cdc_chunks_py(edited, k=k) if e <= pos - k]
+    assert b1 == b2
