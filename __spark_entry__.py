@@ -4092,7 +4092,11 @@ def _q_budgeted_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         host_col,
     )
 
-    log = _synth_budget_log(spark, sf_dir)
+    # lazy localCheckpoint: the log feeds THREE consumers (trap
+    # branch, churn branch, url listing) — without truncation each
+    # re-derives the union lineage, 10 source scans in the audited
+    # plan; materialized once on first use instead
+    log = _synth_budget_log(spark, sf_dir).localCheckpoint(eager=False)
     budgets = crawl_budget_plan(log, min_urls=100, trap_ratio=5.0).select(
         "host", "budget"
     )
