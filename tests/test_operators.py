@@ -3714,3 +3714,31 @@ def test_cdc_spark_matches_py_twin(spark):
         spans = cdc_chunks_py(t)
         exp = [(j, e - s + 1) for j, (s, e) in enumerate(spans)]
         assert sorted(got[i]) == exp, (i, got[i], exp)
+
+
+def test_merge_recrawl_idempotent(spark):
+    """Re-applying the SAME batch to the merged view is a no-op: every
+    touched key resolves to REFRESHED (fresh equals the standing row)
+    or STALE (standing row already newer), and the payload set is
+    unchanged — the invariant that makes retried merge jobs safe."""
+    from docling_eval_spark.operators.temporal import merge_recrawl
+
+    base = spark.createDataFrame(
+        [("u1", 10, "dA"), ("u2", 10, "dB"), ("u3", 10, "dC")],
+        "url string, crawl_ts long, digest string",
+    )
+    fresh = spark.createDataFrame(
+        [("u1", 20, "dX"), ("u2", 5, "dY"), ("u4", 7, "dZ")],
+        "url string, crawl_ts long, digest string",
+    )
+    m1 = merge_recrawl(base, fresh)
+    view1 = m1.drop("merge_status")
+    m2 = merge_recrawl(view1, fresh)
+    rows1 = {tuple(r) for r in view1.collect()}
+    rows2 = {tuple(r) for r in m2.drop("merge_status").collect()}
+    assert rows1 == rows2
+    st = {r["url"]: r["merge_status"] for r in m2.collect()}
+    assert st["u1"] == "REFRESHED"  # fresh row == standing row
+    assert st["u2"] == "STALE"      # standing row already newer
+    assert st["u4"] == "REFRESHED"
+    assert st["u3"] == "KEPT"
