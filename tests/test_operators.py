@@ -3742,3 +3742,42 @@ def test_merge_recrawl_idempotent(spark):
     assert st["u2"] == "STALE"      # standing row already newer
     assert st["u4"] == "REFRESHED"
     assert st["u3"] == "KEPT"
+
+
+def test_trust_rank_mass_bounds(spark):
+    """Invariant of the seed-teleport recurrence: with r0 summing to
+    1 over the seed set and no negative terms, total rank mass stays
+    in (0, 1] at every iteration count and every rank is
+    non-negative."""
+    from docling_eval_spark.operators.web_ops import trust_rank
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "s"), ("a", "c"), ("c", "c2")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",), ("a",)], "node string")
+    for iters in (1, 4, 9):
+        rows = trust_rank(edges, seeds, iters).collect()
+        total = sum(r["rank"] for r in rows)
+        assert all(r["rank"] >= 0 for r in rows)
+        assert 0 < total <= 1 + 1e-12, (iters, total)
+
+
+def test_host_boilerplate_only_removes_lines(spark):
+    """The strip is subtractive and order-preserving: every output
+    page's line sequence is a subsequence of its input's."""
+    from docling_eval_spark.operators.web_ops import host_boilerplate_strip
+
+    rows = [
+        (i, f"h{i % 2}", "\n".join(f"line {j} of {i % 3}" for j in range(6)))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, text string")
+    out = {r["id"]: r["text"] for r in host_boilerplate_strip(
+        df, "id", "host", min_pages=2).collect()}
+    inp = {i: t.split("\n") for i, _, t in rows}
+    for i, text in out.items():
+        got = text.split("\n")
+        # subsequence check
+        it = iter(inp[i])
+        assert all(any(line == x for x in it) for line in got), (i, got)
