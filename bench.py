@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "budgeted_frontier",
     "cdc_chunks",
     "ccnet_buckets",
+    "chrf_pairs",
 ]
 
 WARM_PASSES = 3
