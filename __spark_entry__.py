@@ -7322,6 +7322,55 @@ FROM p LEFT JOIN m ON m.id_l = p.id_l
 """
 
 
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade (public 1948/1975
+    formulas, vowel-group syllable heuristic) in exact milli units:
+    zero-shuffle narrow codegen map, BIGINT counts, one shifted
+    integer division per score (no float round anywhere)."""
+    from docling_eval_spark.operators.quality_rules import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+_SQL_READABILITY = r"""
+WITH base AS (
+  SELECT doc_id, lower(substring(text, 1, 2000)) AS t FROM documents
+),
+c AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(t, '[ \t\n\r\f\v]+'),
+                x -> x <> '') AS words,
+    CAST(len(list_filter(regexp_split_to_array(t, '[.!?]+'),
+                         x -> trim(x) <> '')) AS BIGINT) AS n_sentences
+  FROM base
+),
+k AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    n_sentences,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(words,
+          x -> greatest(CAST(1 AS BIGINT),
+                        CAST(len(regexp_extract_all(x, '[aeiouy]+')) AS BIGINT)))),
+      (a, b) -> a + b) AS BIGINT) AS n_syllables
+  FROM c
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CAST(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+    (206835 * n_sentences * n_words - 1015 * n_words * n_words
+     - 84600 * n_syllables * n_sentences
+     + 10000000 * n_sentences * n_words)
+    // (n_sentences * n_words) - 10000000 ELSE 0 END AS BIGINT) AS flesch_milli,
+  CAST(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+    (390 * n_words * n_words + 11800 * n_syllables * n_sentences
+     - 15590 * n_sentences * n_words
+     + 10000000 * n_sentences * n_words)
+    // (n_sentences * n_words) - 10000000 ELSE 0 END AS BIGINT) AS fk_grade_milli
+FROM k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
@@ -7480,6 +7529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _with_pkg(_q_cdc_chunks),
         "ccnet_buckets": _with_pkg(_q_ccnet_buckets),
         "chrf_pairs": _with_pkg(_q_chrf_pairs),
+        "readability": _with_pkg(_q_readability),
     }
 
 
@@ -7620,4 +7670,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _SQL_CDC_CHUNKS,
         "ccnet_buckets": _sql_ccnet_buckets(),
         "chrf_pairs": _SQL_CHRF,
+        "readability": _SQL_READABILITY,
     }

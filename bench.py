@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "ccnet_buckets",
     "chrf_pairs",
+    "readability",
 ]
 
 WARM_PASSES = 3

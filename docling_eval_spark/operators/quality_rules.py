@@ -138,3 +138,96 @@ def top_bigram_fraction(
         "top_count",
         F.round(F.col("top_count") / F.col("n_bigrams"), 6).alias("top_fraction"),
     )
+
+
+# ---------------------------------------------------------------------
+# Readability (Flesch 1948 / Kincaid 1975) — public formulas:
+#   reading_ease = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+#   fk_grade     = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+# Syllables use the classic vowel-group heuristic: per word,
+# max(1, count of [aeiouy]+ runs) on the lowercased token.
+#
+# Engine-exactness: words/sentences/syllables are exact BIGINTs from
+# pure column algebra; each score is ONE exact integer division in
+# milli units over the common denominator s·w, shifted by a constant
+# offset so the numerator is provably positive (reading ease is
+# bounded below by 206.835 − 1.015·w − 84.6·max_word_len > −10⁴ on
+# 2000-char docs) — truncation-toward-zero then equals floor in both
+# engines, so no float round() is involved anywhere.
+
+_READ_OFFSET = 10_000_000  # milli-units; > any |score| reachable at cap
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc readability → (id, n_words, n_sentences, n_syllables,
+    flesch_milli, fk_grade_milli). Zero shuffle, zero Python: one
+    narrow codegen projection (the 100-TB-sweep shape, like
+    ``gopher_flags``). Empty/wordless docs emit 0 counts and 0 scores.
+    """
+    t = F.expr(f"lower(substring({text_col}, 1, 2000))")
+    words = F.filter(F.split(t, r"[ \t\n\r\f\v]+"), lambda x: x != "")
+    w = F.size(words).cast("bigint")
+    s = F.size(
+        F.filter(F.split(t, r"[.!?]+"), lambda x: F.trim(x) != "")
+    ).cast("bigint")
+    y = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.greatest(
+            F.lit(1).cast("bigint"),
+            F.regexp_count(x, F.lit("[aeiouy]+")).cast("bigint"),
+        ),
+    )
+    k = _READ_OFFSET
+    flesch = F.expr(
+        f"CASE WHEN n_words > 0 AND n_sentences > 0 THEN "
+        f"(206835 * n_sentences * n_words - 1015 * n_words * n_words "
+        f" - 84600 * n_syllables * n_sentences "
+        f" + {k} * n_sentences * n_words) "
+        f"DIV (n_sentences * n_words) - {k} ELSE 0 END"
+    )
+    fk = F.expr(
+        f"CASE WHEN n_words > 0 AND n_sentences > 0 THEN "
+        f"(390 * n_words * n_words + 11800 * n_syllables * n_sentences "
+        f" - 15590 * n_sentences * n_words "
+        f" + {k} * n_sentences * n_words) "
+        f"DIV (n_sentences * n_words) - {k} ELSE 0 END"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            w.alias("n_words"),
+            s.alias("n_sentences"),
+            y.alias("n_syllables"),
+        )
+        .withColumn("flesch_milli", flesch.cast("bigint"))
+        .withColumn("fk_grade_milli", fk.cast("bigint"))
+    )
+
+
+def readability_py(text: str) -> dict[str, int]:
+    """Pure-Python twin of :func:`readability` (identical algebra)."""
+    import re as _re
+
+    t = (text or "")[:2000].lower()
+    words = [x for x in _re.split(r"[ \t\n\r\f\v]+", t) if x != ""]
+    w = len(words)
+    s = len([x for x in _re.split(r"[.!?]+", t) if x.strip() != ""])
+    y = sum(max(1, len(_re.findall(r"[aeiouy]+", x))) for x in words)
+    k = _READ_OFFSET
+    if w > 0 and s > 0:
+        flesch = (206835 * s * w - 1015 * w * w - 84600 * y * s + k * s * w) // (s * w) - k
+        fk = (390 * w * w + 11800 * y * s - 15590 * s * w + k * s * w) // (s * w) - k
+    else:
+        flesch = fk = 0
+        y = y if w else 0
+    return {
+        "n_words": w,
+        "n_sentences": s,
+        "n_syllables": y,
+        "flesch_milli": flesch,
+        "fk_grade_milli": fk,
+    }
