@@ -7371,6 +7371,62 @@ FROM k
 """
 
 
+def _q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon drift vs rest-of-corpus (micro-nats):
+    one token explode + (source, token) count agg; global counts
+    re-aggregated from the SAME persisted frame (no second corpus
+    pass); absent-token ln2 mass folded in closed form."""
+    from docling_eval_spark.operators.text_analysis import js_drift
+
+    return js_drift(_t(spark, sf_dir, "documents"))
+
+
+_SQL_JS_DRIFT = r"""
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(regexp_split_to_array(trim(text),
+                                                  '[ \t\n\r\f\v]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+per_gt AS (
+  SELECT g, t, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY g, t
+),
+gl0 AS (SELECT t, CAST(sum(a) AS BIGINT) AS tot FROM per_gt GROUP BY t),
+totals AS (SELECT g, CAST(sum(a) AS BIGINT) AS ga FROM per_gt GROUP BY g),
+corpus AS (SELECT CAST(sum(ga) AS BIGINT) AS tt FROM totals),
+j AS (
+  SELECT p.g, p.a, gl.tot - p.a AS b, t2.ga, c.tt - t2.ga AS gb
+  FROM per_gt p
+  JOIN gl0 gl USING (t)
+  JOIN totals t2 ON t2.g = p.g
+  CROSS JOIN corpus c
+),
+terms AS (
+  SELECT g, ga, gb, b,
+    a * CAST(round(ln(2.0 * (a * gb) / (a * gb + b * ga)) * 1000000)
+             AS BIGINT) AS t1,
+    CASE WHEN b > 0 THEN
+      b * CAST(round(ln(2.0 * (b * ga) / (a * gb + b * ga)) * 1000000)
+               AS BIGINT)
+    ELSE 0 END AS t2
+  FROM j WHERE gb > 0
+),
+per_g AS (
+  SELECT g, ga, gb,
+         CAST(sum(t1) AS BIGINT) AS s1,
+         CAST(sum(t2) AS BIGINT) AS s2,
+         CAST(sum(b) AS BIGINT) AS sb
+  FROM terms GROUP BY g, ga, gb
+)
+SELECT g AS source, ga AS n_tokens,
+  CAST(greatest(s1, 0) // (2 * ga)
+       + greatest(s2 + (gb - sb) * 693147, 0) // (2 * gb)
+       AS BIGINT) AS js_micro
+FROM per_g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
@@ -7530,6 +7586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _with_pkg(_q_ccnet_buckets),
         "chrf_pairs": _with_pkg(_q_chrf_pairs),
         "readability": _with_pkg(_q_readability),
+        "js_drift": _with_pkg(_q_js_drift),
     }
 
 
@@ -7671,4 +7728,5 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _sql_ccnet_buckets(),
         "chrf_pairs": _SQL_CHRF,
         "readability": _SQL_READABILITY,
+        "js_drift": _SQL_JS_DRIFT,
     }

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "chrf_pairs",
     "readability",
+    "js_drift",
 ]
 
 WARM_PASSES = 3

@@ -1930,3 +1930,129 @@ def cdc_chunks_py(
         spans.append((prev + 1, e))
         prev = e
     return spans
+
+
+# ---------------------------------------------------------------------
+# Jensen–Shannon domain drift (corpus-mixing diagnostic)
+
+
+def js_drift(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-group Jensen–Shannon divergence (nats, integer micro units)
+    between the group's unigram distribution and the REST of the
+    corpus — the standard domain-drift / mixture-shift diagnostic for
+    training-data pipelines (cf. the distributional checks in CCNet /
+    The Pile data cards).
+
+    Math: with p_t = a_t/A (group), q_t = b_t/B (rest of corpus),
+    m = (p+q)/2,  JS = ½·Σ p ln(p/m) + ½·Σ q ln(q/m)
+    and p/m = 2·a_t·B / (a_t·B + b_t·A) — a ratio of exact BIGINTs,
+    so each token's log factor is computed from identical doubles in
+    any engine and quantized to micro-nats BEFORE the sum (the
+    char_entropy precedent); the two Σ are BIGINT sums (order-free)
+    and the final division is integer —
+    ``S1 DIV 2A + (S2 + (B − Σ_present b)·ln2_micro) DIV 2B``
+    (separate divisions so nothing approaches BIGINT range even at
+    large A·B; the second term folds the closed-form ln 2 mass of
+    tokens absent from the group). Bounded by ln 2 ≈ 693147
+    micro-nats. A single-group corpus (empty rest) emits 0.
+
+    Scale shape: ONE token explode → (group, token) count agg
+    (map-side combinable) → token-keyed join against the global token
+    counts (derived from the same aggregate, re-aggregated — no second
+    corpus pass) → per-group sum. Shuffles are keyed by token and by
+    group only; no all-pairs anything.
+    """
+    toks = tokens_col(text_col)
+    tok = df.select(
+        F.col(group_col).alias("__g"), F.explode(toks).alias("__t")
+    )
+    per_gt = tok.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    ).persist()
+    glob = per_gt.groupBy("__t").agg(F.sum("a").cast("bigint").alias("tot"))
+    totals = per_gt.groupBy("__g").agg(F.sum("a").cast("bigint").alias("A"))
+    corpus_total = totals.agg(F.sum("A").cast("bigint").alias("T"))
+
+    # glob/totals derive from per_gt: qualify every reference through
+    # explicit aliases so the self-join lineage never resolves "a" or
+    # "__g" ambiguously
+    j = (
+        per_gt.alias("p")
+        .join(glob.alias("gl"), F.col("p.__t") == F.col("gl.__t"))
+        .join(
+            F.broadcast(totals.alias("tt")),
+            F.col("p.__g") == F.col("tt.__g"),
+        )
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            F.col("p.__g").alias("__g"),
+            F.col("p.a").alias("a"),
+            (F.col("gl.tot") - F.col("p.a")).cast("bigint").alias("b"),
+            F.col("tt.A").alias("ga"),
+            (F.col("T") - F.col("tt.A")).cast("bigint").alias("gb"),
+        )
+        # gb = 0 (single-group corpus) would feed ln(0) → −inf, which
+        # ANSI-errors on the bigint cast even in untaken branches:
+        # drop those rows here and re-attach the group via the totals
+        # left-join below
+        .filter(F.col("gb") > 0)
+    )
+    # token present in the group: a > 0 always here; the b = 0 case
+    # (token exclusive to the group) has q = 0 → its q-side term is 0
+    # and p/m = 2 exactly.
+    la = F.round(
+        F.log(
+            2.0 * (F.col("a") * F.col("gb")).cast("double")
+            / (F.col("a") * F.col("gb") + F.col("b") * F.col("ga")).cast("double")
+        )
+        * 1_000_000.0
+    ).cast("bigint")
+    lb = F.when(
+        F.col("b") > 0,
+        F.round(
+            F.log(
+                2.0 * (F.col("b") * F.col("ga")).cast("double")
+                / (F.col("a") * F.col("gb") + F.col("b") * F.col("ga")).cast("double")
+            )
+            * 1_000_000.0
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+    per_g = j.groupBy("__g", "ga", "gb").agg(
+        F.sum(F.col("a") * la).cast("bigint").alias("s1"),
+        F.sum(F.col("b") * lb).cast("bigint").alias("s2"),
+        F.sum("b").cast("bigint").alias("sb"),
+    )
+    # tokens ABSENT from the group but present in the rest contribute
+    # q·ln(q/m) with p = 0 → ln(q/m) = ln 2 exactly: their total mass
+    # is (B − Σ_present b)/B, so the whole tail folds in closed form —
+    # no anti-join, no second pass.
+    ln2_micro = 693147  # round(1e6·ln 2)
+    # each Σ is a scaled KL(·‖M) ≥ 0; clamp at 0 so micro quantization
+    # slack can never push it negative (where Spark DIV truncates but
+    # DuckDB // floors)
+    scored = per_g.select(
+        "__g",
+        (
+            F.expr("greatest(s1, CAST(0 AS BIGINT)) DIV (2 * ga)")
+            + F.expr(
+                f"greatest(s2 + (gb - sb) * {ln2_micro}, "
+                f"CAST(0 AS BIGINT)) DIV (2 * gb)"
+            )
+        ).cast("bigint").alias("js_micro"),
+    )
+    return (
+        totals.alias("t0")
+        .join(scored.alias("s0"), F.col("t0.__g") == F.col("s0.__g"), "left")
+        .select(
+            F.col("t0.__g").alias(group_col),
+            F.col("t0.A").alias("n_tokens"),
+            F.coalesce(F.col("s0.js_micro"), F.lit(0).cast("bigint")).alias(
+                "js_micro"
+            ),
+        )
+    )
