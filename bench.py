@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "chrf_pairs",
     "readability",
     "js_drift",
+    "containment",
 ]
 
 WARM_PASSES = 3

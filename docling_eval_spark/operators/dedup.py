@@ -921,3 +921,60 @@ def elect_survivors(
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------- containment
+
+def containment_pairs(
+    df_pairs: DataFrame,
+    left_shingles: str = "sh_l",
+    right_shingles: str = "sh_r",
+    thr_micro: int = 900_000,
+) -> DataFrame:
+    """Asymmetric containment (Broder 1997's resemblance companion):
+    C(L→R) = |L∩R| / |L| over distinct-shingle arrays, in exact
+    integer micro units, plus a relation classification —
+
+      dup     both containments ≥ thr (mutual: near-identical)
+      l_in_r  only C(L→R) ≥ thr (left is quoted/reposted inside right)
+      r_in_l  only C(R→L) ≥ thr
+      none    otherwise
+
+    Jaccard alone misses sub/superset duplication: a page quoting a
+    full article scores low Jaccard (big union) but containment 1.0 —
+    the repost/quote case a training-dedup pipeline actually wants to
+    catch. Narrow per-pair algebra (no shuffle beyond whatever built
+    the candidate pairs, e.g. `minhash_lsh_pairs`); an empty side has
+    containment 0 by convention.
+    """
+    l, r = F.col(left_shingles), F.col(right_shingles)
+    inter = F.size(F.array_intersect(l, r)).cast("bigint")
+    nl = F.size(l).cast("bigint")
+    nr = F.size(r).cast("bigint")
+    out = (
+        df_pairs.withColumn("__inter", inter)
+        .withColumn("__nl", nl)
+        .withColumn("__nr", nr)
+        .withColumn(
+            "c_lr_micro",
+            F.expr(
+                "CASE WHEN __nl > 0 THEN (__inter * 1000000) DIV __nl "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "c_rl_micro",
+            F.expr(
+                "CASE WHEN __nr > 0 THEN (__inter * 1000000) DIV __nr "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    t = F.lit(thr_micro)
+    rel = (
+        F.when((F.col("c_lr_micro") >= t) & (F.col("c_rl_micro") >= t), "dup")
+        .when(F.col("c_lr_micro") >= t, "l_in_r")
+        .when(F.col("c_rl_micro") >= t, "r_in_l")
+        .otherwise("none")
+    )
+    return out.withColumn("relation", rel).drop("__inter", "__nl", "__nr")
