@@ -7523,6 +7523,63 @@ FROM c
 """
 
 
+def _q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS depth from a deterministic seed set over the symmetrized
+    order↔part co-purchase graph (4 rounds of min-distance
+    propagation, the same per-iteration join+min-agg shape as
+    connected components); the oracle unrolls the identical rounds as
+    chained CTEs. Unreachable nodes are absent on both sides."""
+    from docling_eval_spark.operators.web_ops import crawl_depth
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("node")
+        )
+    )
+    return crawl_depth(edges, seeds, max_hops=4)
+
+
+def _sql_crawl_depth() -> str:
+    step = """
+SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM (
+  SELECT e.b AS node, d{i}.depth + 1 AS depth
+  FROM edges e JOIN d{i} ON e.a = d{i}.node
+  UNION ALL
+  SELECT node, depth FROM d{i}
+) GROUP BY node
+"""
+    ctes = ",\n".join(
+        f"d{i + 1} AS ({step.format(i=i)})" for i in range(4)
+    )
+    return f"""
+WITH fwd AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+         'p' || CAST(l_partkey AS VARCHAR) AS b
+  FROM lineitem
+),
+edges AS (
+  SELECT a, b FROM fwd UNION ALL SELECT b AS a, a AS b FROM fwd
+),
+d0 AS (
+  SELECT DISTINCT 'o' || CAST(o_orderkey AS VARCHAR) AS node,
+         CAST(0 AS BIGINT) AS depth
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+{ctes}
+SELECT node, depth FROM d4
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
@@ -7684,6 +7741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _with_pkg(_q_readability),
         "js_drift": _with_pkg(_q_js_drift),
         "containment": _with_pkg(_q_containment),
+        "crawl_depth": _with_pkg(_q_crawl_depth),
     }
 
 
@@ -7827,4 +7885,5 @@ def oracle_sql() -> dict[str, str]:
         "readability": _SQL_READABILITY,
         "js_drift": _SQL_JS_DRIFT,
         "containment": _SQL_CONTAINMENT,
+        "crawl_depth": _sql_crawl_depth(),
     }

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "readability",
     "js_drift",
     "containment",
+    "crawl_depth",
 ]
 
 WARM_PASSES = 3

@@ -1574,3 +1574,55 @@ def temperature_mix_sample(
         .filter(F.col("__h").cast(dec) * F.col("__den") < F.col("__num"))
     )
     return out.drop("__k", "__h", "__den", "__num")
+
+
+def crawl_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 6,
+) -> DataFrame:
+    """BFS depth from a seed set over the directed link graph —
+    the crawl-scheduling counterpart of :func:`page_rank` (frontier
+    prioritization by distance from trusted seeds, cf. the seed-set
+    discipline of TrustRank): (node, depth) where depth = length of
+    the shortest path from ANY seed, computed by ``max_hops`` rounds
+    of min-distance propagation. Nodes unreachable within
+    ``max_hops`` are ABSENT from the result (a crawl budget never
+    schedules them).
+
+    Scale shape per round — identical to :func:`connected_components`:
+    ONE equi-join of the current distance frame against the edge list
+    + ONE map-side-combining min aggregation; no collect, no driver
+    state; the slim (node, depth) frame localCheckpoints eagerly each
+    round so plan depth and storage stay O(1). min is idempotent, so
+    duplicate edges cost nothing and already-settled nodes never
+    regress (depth can only stay or shrink).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        contrib = e.join(dist, e["a"] == dist["node"]).select(
+            F.col("b").alias("node"),
+            (F.col("depth") + F.lit(1)).cast("bigint").alias("depth"),
+        )
+        prev = dist
+        dist = (
+            contrib.unionByName(dist.select("node", "depth"))
+            .groupBy("node")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    e.unpersist()
+    return dist
