@@ -7580,6 +7580,75 @@ SELECT node, depth FROM d4
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted reservoir top-100 over documents
+    weighted by n_chars: exact-double u from an affine id hash,
+    ln(u)/w micro keys, TakeOrderedAndProject top-k (never a full
+    sort)."""
+    from docling_eval_spark.operators.web_ops import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(d, "doc_id", "n_chars", 100)
+
+
+_SQL_WEIGHTED_SAMPLE = r"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+    CAST(round(
+      ln(((doc_id * 1000003 + 12345) % 2147483647 + 1) / 2147483648.0)
+      / n_chars * 1000000.0) AS BIGINT) AS es_key_micro
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, es_key_micro
+FROM s ORDER BY es_key_micro DESC, doc_id LIMIT 100
+"""
+
+
+def _q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard assignment of documents to 8 shards +
+    per-shard census: argmax of the SQUARED portable char Horner hash
+    of shard||'|'||key (squaring breaks the affine same-length
+    degeneracy), zero shuffle for the assignment itself."""
+    from docling_eval_spark.operators.web_ops import rendezvous_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    shards = [f"shard{i}" for i in range(8)]
+    a = rendezvous_assign(d, "doc_id", shards)
+    return a.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _sql_rendezvous() -> str:
+    return r"""
+WITH sh AS (SELECT unnest(['shard0','shard1','shard2','shard3',
+                           'shard4','shard5','shard6','shard7']) AS shard),
+scored AS (
+  SELECT d.doc_id, sh.shard,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          range(1, length(sh.shard || '|' || CAST(d.doc_id AS VARCHAR)) + 1),
+          i -> CAST(unicode(substring(
+                 sh.shard || '|' || CAST(d.doc_id AS VARCHAR),
+                 CAST(i AS INTEGER), 1)) AS BIGINT))),
+      (a, b) -> (a * 1000003 + b) % 2147483647) AS h
+  FROM documents d CROSS JOIN sh
+),
+sq AS (SELECT doc_id, shard, (h * h) % 2147483647 AS score FROM scored),
+best AS (
+  SELECT doc_id,
+         (max(struct_pack(score := score, shard := shard))).shard AS shard
+  FROM sq GROUP BY doc_id
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM best GROUP BY shard
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
@@ -7742,6 +7811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_drift": _with_pkg(_q_js_drift),
         "containment": _with_pkg(_q_containment),
         "crawl_depth": _with_pkg(_q_crawl_depth),
+        "weighted_sample": _with_pkg(_q_weighted_sample),
+        "rendezvous_shards": _with_pkg(_q_rendezvous),
     }
 
 
@@ -7886,4 +7957,6 @@ def oracle_sql() -> dict[str, str]:
         "js_drift": _SQL_JS_DRIFT,
         "containment": _SQL_CONTAINMENT,
         "crawl_depth": _sql_crawl_depth(),
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "rendezvous_shards": _sql_rendezvous(),
     }

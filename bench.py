@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "js_drift",
     "containment",
     "crawl_depth",
+    "weighted_sample",
+    "rendezvous_shards",
 ]
 
 WARM_PASSES = 3

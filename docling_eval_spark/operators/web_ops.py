@@ -1626,3 +1626,83 @@ def crawl_depth(
             pass
     e.unpersist()
     return dist
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis (2006) one-pass reservoir keys — the standard way to
+    draw a quality-weighted corpus subsample in a single distributed
+    pass: each row gets key = u^(1/w) for u ~ U(0,1) and the k
+    largest keys are exactly a weight-proportional sample without
+    replacement.
+
+    Determinism: u is a portable affine hash of the id —
+    ``((id·1000003 + 12345) mod (2³¹−1) + 1) / 2³¹`` — so u is an
+    EXACT double (denominator a power of two), retried tasks redraw
+    identically, and any engine replays the draw. Keys are compared
+    as ln(u)/w quantized to integer micros (monotone in u^(1/w));
+    ties break on id.
+
+    Scale shape: zero-shuffle scoring + a global top-k that Spark
+    executes as TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows — never a full sort). Non-positive weights are
+    excluded (zero weight means "never sample").
+    """
+    h = F.pmod(
+        F.col(id_col).cast("long") * F.lit(1_000_003) + F.lit(12_345),
+        F.lit(2_147_483_647),
+    )
+    u = (h + 1).cast("double") / F.lit(2_147_483_648.0)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double") * 1_000_000.0)
+    scored = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key_micro", key.cast("bigint"))
+    )
+    return scored.orderBy(
+        F.col("es_key_micro").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    shards: list[str],
+) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard assignment: shard(key) = argmax over shards of
+    hash(key ‖ shard). Unlike modulo sharding, GROWING the shard list
+    relocates only the keys whose argmax IS the new shard (≈1/n of
+    them) — the property that makes epoch re-sharding and cache
+    topology changes cheap at corpus scale (regression-tested).
+
+    Hashing is the SQUARE (mod 2³¹−1) of the repo's portable
+    char-level Horner fold over ``shard || '|' || key``. The square
+    is load-bearing: a raw Horner fold is AFFINE in any single-char
+    difference — for same-length keys the 8 shard scores differ by a
+    constant, so one shard wins every key of that length (found live
+    by the balance test; the same affinity `training.mlm_mask`
+    squares away). Squaring makes the per-shard difference
+    2·c·h + c² — dependent on the key's own fold h — and the scores
+    decorrelate. Argmax ties break lexicographically on shard name
+    via struct max. Pure per-row column algebra: zero shuffle, zero
+    Python, the shard list rides as an array literal.
+    """
+    from docling_eval_spark.operators.text_analysis import portable_char_hash
+
+    key = F.col(key_col).cast("string")
+
+    def score(s: F.Column) -> F.Column:
+        h = portable_char_hash(F.concat(s, F.lit("|"), key))
+        return F.pmod(h * h, F.lit(2_147_483_647))
+
+    scored = F.transform(
+        F.array(*[F.lit(s) for s in sorted(shards)]),
+        lambda s: F.struct(score(s).alias("score"), s.alias("shard")),
+    )
+    best = F.array_max(scored)
+    return df.withColumn("shard", best["shard"])
