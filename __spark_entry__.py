@@ -7649,6 +7649,86 @@ FROM best GROUP BY shard
 """
 
 
+def _q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L over three engineered pair families whose LCS is known
+    in CLOSED FORM — self (lcs=m), every-3rd-token subsequence
+    (lcs=|hyp| exactly: a subsequence IS its own LCS witness), and
+    suffix-poisoned disjoint tokens (lcs=0) — so the real numpy DP
+    kernel is value-gated against pure token arithmetic (the
+    otsl_roundtrip_teds closed-form-fixture discipline). All outputs
+    are exact integer micros (F1 = 2·lcs/(m+n): no floats exist)."""
+    from docling_eval_spark.evaluators.text_metrics import rouge_l_stage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.slice(
+        F.filter(F.split(F.trim(F.col("text")), _WS), lambda x: x != ""),
+        1,
+        512,
+    )
+    base = d.select("doc_id", toks.alias("t"))
+    ref = F.concat_ws(" ", F.col("t"))
+    fam = base.select(
+        F.lit("self").alias("family"),
+        "doc_id",
+        ref.alias("hyp"),
+        ref.alias("ref"),
+    ).unionAll(
+        base.select(
+            F.lit("sub3").alias("family"),
+            "doc_id",
+            F.concat_ws(
+                " ", F.filter(F.col("t"), lambda x, i: i % 3 == 0)
+            ).alias("hyp"),
+            ref.alias("ref"),
+        )
+    ).unionAll(
+        base.select(
+            F.lit("disjoint").alias("family"),
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(F.col("t"), lambda x: F.concat(x, F.lit("\x01"))),
+            ).alias("hyp"),
+            ref.alias("ref"),
+        )
+    )
+    return rouge_l_stage(fam, "hyp", "ref").select(
+        "family", "doc_id", "lcs",
+        "rouge_l_p_micro", "rouge_l_r_micro", "rouge_l_f_micro",
+    )
+
+
+_SQL_ROUGE_L = r"""
+WITH m0 AS (
+  SELECT doc_id,
+    least(len(list_filter(regexp_split_to_array(trim(text),
+                                                '[ \t\n\r\f\v]+'),
+                          x -> x <> '')), 512) AS m
+  FROM documents
+),
+f AS (
+  SELECT 'self' AS family, doc_id, m,
+         CAST(m AS BIGINT) AS n, CAST(m AS BIGINT) AS lcs
+  FROM m0
+  UNION ALL
+  SELECT 'sub3', doc_id, m,
+         CAST((m + 2) // 3 AS BIGINT), CAST((m + 2) // 3 AS BIGINT)
+  FROM m0
+  UNION ALL
+  SELECT 'disjoint', doc_id, m, CAST(m AS BIGINT), CAST(0 AS BIGINT)
+  FROM m0
+)
+SELECT family, doc_id, lcs,
+  CAST(CASE WHEN n > 0 THEN (lcs * 1000000) // n ELSE 0 END
+       AS BIGINT) AS rouge_l_p_micro,
+  CAST(CASE WHEN m > 0 THEN (lcs * 1000000) // m ELSE 0 END
+       AS BIGINT) AS rouge_l_r_micro,
+  CAST(CASE WHEN m + n > 0 THEN (2 * lcs * 1000000) // (m + n) ELSE 0 END
+       AS BIGINT) AS rouge_l_f_micro
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
@@ -7813,6 +7893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth": _with_pkg(_q_crawl_depth),
         "weighted_sample": _with_pkg(_q_weighted_sample),
         "rendezvous_shards": _with_pkg(_q_rendezvous),
+        "rouge_l": _with_pkg(_q_rouge_l),
     }
 
 
@@ -7959,4 +8040,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_depth": _sql_crawl_depth(),
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "rendezvous_shards": _sql_rendezvous(),
+        "rouge_l": _SQL_ROUGE_L,
     }

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "crawl_depth",
     "weighted_sample",
     "rendezvous_shards",
+    "rouge_l",
 ]
 
 WARM_PASSES = 3

@@ -290,3 +290,84 @@ def text_metrics_stage(
             yield out
 
     return df.mapInPandas(compute, schema=out_schema)
+
+
+# ---------------------------------------------------------------- ROUGE-L
+
+_ROUGE_WS = re.compile(r"[ \t\n\r\f\v]+")
+ROUGE_MAX_TOKENS = 512
+
+
+def lcs_len(a: list[str], b: list[str]) -> int:
+    """Longest-common-subsequence length, vectorized numpy DP
+    (row-rolling; the max-accumulate trick makes each row one
+    vector op — valid because every DP row is non-decreasing)."""
+    if not a or not b:
+        return 0
+    import numpy as np
+
+    vocab: dict[str, int] = {}
+    ai = np.fromiter(
+        (vocab.setdefault(t, len(vocab)) for t in a), dtype=np.int64, count=len(a)
+    )
+    bi = np.fromiter(
+        (vocab.setdefault(t, len(vocab)) for t in b), dtype=np.int64, count=len(b)
+    )
+    prev = np.zeros(len(bi) + 1, dtype=np.int64)
+    for x in ai:
+        diag = np.where(bi == x, prev[:-1] + 1, 0)
+        cur = np.maximum(prev[1:], diag)
+        np.maximum.accumulate(cur, out=cur)
+        prev[1:] = cur
+    return int(prev[-1])
+
+
+def rouge_l_counts(hyp: str, ref: str, max_tokens: int = ROUGE_MAX_TOKENS) -> dict[str, int]:
+    """ROUGE-L (Lin 2004) with F1 (the rouge-score package default,
+    β=1) — ALL-INTEGER: with R = lcs/m and P = lcs/n,
+    F1 = 2PR/(P+R) = 2·lcs/(m+n), so every output is one exact
+    integer division in micro units (the engine-exactness the DuckDB
+    oracles need; no float appears anywhere). Sides are capped at
+    ``max_tokens`` whitespace tokens to bound the O(m·n) DP."""
+    ht = [t for t in _ROUGE_WS.split((hyp or "").strip()) if t][:max_tokens]
+    rt = [t for t in _ROUGE_WS.split((ref or "").strip()) if t][:max_tokens]
+    n, m = len(ht), len(rt)
+    lcs = lcs_len(ht, rt)
+    return {
+        "lcs": lcs,
+        "rouge_l_p_micro": (lcs * 1_000_000) // n if n else 0,
+        "rouge_l_r_micro": (lcs * 1_000_000) // m if m else 0,
+        "rouge_l_f_micro": (2 * lcs * 1_000_000) // (m + n) if m + n else 0,
+    }
+
+
+_ROUGE_COLS = ["lcs", "rouge_l_p_micro", "rouge_l_r_micro", "rouge_l_f_micro"]
+
+
+def rouge_l_stage(
+    df: DataFrame,
+    hyp_col: str,
+    ref_col: str,
+    max_tokens: int = ROUGE_MAX_TOKENS,
+) -> DataFrame:
+    """Append the four ROUGE-L columns: one Arrow-batched mapInPandas
+    pass (same stage discipline as ``text_metrics_stage``); the DP is
+    per-row numpy, never per-token Python."""
+    fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.LongType()) for c in _ROUGE_COLS]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                rouge_l_counts(h, r, max_tokens)
+                for h, r in zip(pdf[hyp_col], pdf[ref_col])
+            ]
+            out = pdf[fields].copy()
+            for c in _ROUGE_COLS:
+                out[c] = [row[c] for row in rows]
+            yield out
+
+    return df.mapInPandas(compute, schema=out_schema)
