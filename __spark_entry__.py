@@ -7729,6 +7729,51 @@ FROM f
 """
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations (Church & Hanks 1990) over adjacent
+    token bigrams: one token explode feeds both count tables, micro-
+    nat quantized scores, deterministic (pmi, ga, gb) ordering."""
+    from docling_eval_spark.operators.text_analysis import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
+_SQL_PMI = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS g FROM tk) GROUP BY g
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tot FROM uni),
+bg AS (
+  SELECT t[i] AS ga, t[i + 1] AS gb
+  FROM tk, LATERAL unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+),
+bi AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bg GROUP BY ga, gb HAVING count(*) >= 5
+),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS b_tot FROM bg),
+j AS (
+  SELECT bi.ga, bi.gb, bi.c_ab,
+    CAST(round(ln(CAST(bi.c_ab * tot.t_tot * tot.t_tot AS DOUBLE)
+                  / CAST(btot.b_tot * ua.c * ub.c AS DOUBLE))
+               * 1000000) AS BIGINT) AS pmi_micro
+  FROM bi
+  JOIN uni ua ON ua.g = bi.ga
+  JOIN uni ub ON ub.g = bi.gb
+  CROSS JOIN tot CROSS JOIN btot
+)
+SELECT ga, gb, c_ab, pmi_micro
+FROM j ORDER BY pmi_micro DESC, ga, gb LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the correctness driver gates the
     # FIRST 50 entries each round. Round-5 rotation (VERDICT r4 #1):
@@ -7894,6 +7939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _with_pkg(_q_weighted_sample),
         "rendezvous_shards": _with_pkg(_q_rendezvous),
         "rouge_l": _with_pkg(_q_rouge_l),
+        "pmi_collocations": _with_pkg(_q_pmi_collocations),
     }
 
 
@@ -8041,4 +8087,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "rendezvous_shards": _sql_rendezvous(),
         "rouge_l": _SQL_ROUGE_L,
+        "pmi_collocations": _SQL_PMI,
     }

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "rendezvous_shards",
     "rouge_l",
+    "pmi_collocations",
 ]
 
 WARM_PASSES = 3

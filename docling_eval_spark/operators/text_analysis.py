@@ -2056,3 +2056,82 @@ def js_drift(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# PMI collocations
+
+
+def pmi_collocations(
+    df,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> "DataFrame":
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990) over adjacent token bigrams:
+
+      PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+               = ln( c_ab · T² / (B · c_a · c_b) )
+
+    with c_ab/B the bigram frequency and c_a/T, c_b/T the unigram
+    frequencies. Both products are exact BIGINTs; their double
+    conversions and the ln are identical across engines, and the
+    score is quantized to micro-nats (the repo convention). Bigrams
+    below ``min_count`` are dropped (PMI's classic low-count noise).
+
+    Scale shape: ONE token explode feeds BOTH count tables (bigrams
+    via zip_with against the array tail — no second pass over text);
+    the only shuffles are the two keyed count aggregates and the two
+    token-keyed joins of bigram counts against unigram counts; top-k
+    is TakeOrderedAndProject. No driver state, no cross join.
+    """
+    toks = tokens_col(text_col)
+    base = df.select(toks.alias("__t")).persist()
+
+    uni = (
+        base.select(F.explode("__t").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("t_tot"))
+
+    bigrams = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(
+                    F.col("__t"),
+                    2,
+                    F.greatest(F.size("__t") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(a.alias("ga"), b.alias("gb")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.ga").alias("ga"), F.col("bg.gb").alias("gb"))
+    bi = (
+        bigrams.groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    b_tot = bigrams.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("b_tot"))
+
+    j = (
+        bi.join(uni.select(F.col("g").alias("ga"), F.col("c").alias("c_a")), "ga")
+        .join(uni.select(F.col("g").alias("gb"), F.col("c").alias("c_b")), "gb")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(b_tot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * F.col("t_tot") * F.col("t_tot")).cast("double")
+            / (F.col("b_tot") * F.col("c_a") * F.col("c_b")).cast("double")
+        )
+        * 1_000_000.0
+    ).cast("bigint")
+    return (
+        j.select("ga", "gb", "c_ab", pmi.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "ga", "gb")
+        .limit(k)
+    )
