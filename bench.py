@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "rendezvous_shards",
     "rouge_l",
     "pmi_collocations",
+    "funnel",
 ]
 
 WARM_PASSES = 3

@@ -498,3 +498,63 @@ def sessionize_batch(
         )
     )
     return sess
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each step k, the number of users
+    with an event chain step₁ ≤ step₂ ≤ … ≤ stepₖ in TIME order
+    (each step's earliest occurrence at-or-after the previous step's
+    reach time — the standard product-analytics funnel), plus the
+    conversion rate from step 1 in integer ppm.
+
+    Shape: one user-keyed min aggregate per step, each probing the
+    events table with a (type, ts ≥ prev) filter through a user-keyed
+    join — shuffles stay keyed by user, no window sort, no collect of
+    event lists (a hot user with 10⁹ events costs one partial-min per
+    map task, not an array). The per-step reach frames are tiny
+    (≤ distinct users) and reused down the chain.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("t"),
+    )
+    reach = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("prev_t"))
+    )
+    counts = [reach.agg(F.count(F.lit(1)).cast("bigint").alias("n"))]
+    for s in steps[1:]:
+        reach = (
+            ev.filter(F.col("et") == s)
+            .join(reach, "u")
+            .filter(F.col("t") >= F.col("prev_t"))
+            .groupBy("u")
+            .agg(F.min("t").alias("prev_t"))
+        )
+        counts.append(reach.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+    base = counts[0].select(F.col("n").alias("n1"))
+    rows = None
+    for i, (s, c) in enumerate(zip(steps, counts)):
+        r = (
+            c.crossJoin(F.broadcast(base))
+            .select(
+                F.lit(i + 1).cast("bigint").alias("step_no"),
+                F.lit(s).alias("step"),
+                F.col("n").alias("n_users"),
+                F.expr(
+                    "CASE WHEN n1 > 0 THEN (n * 1000000) DIV n1 "
+                    "ELSE CAST(0 AS BIGINT) END"
+                ).alias("conv_ppm"),
+            )
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
