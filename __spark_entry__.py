@@ -4944,6 +4944,57 @@ FROM tf GROUP BY lang
 """
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve at 16 md5-permutation
+    checkpoints: one per-token min-epoch hash agg (the only wide
+    shuffle, map-side combined) + ≤16-row rollup and cumsum window."""
+    from docling_eval_spark.operators.text_analysis import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
+_SQL_VOCAB_GROWTH = r"""
+WITH d AS (
+  SELECT CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              AS INTEGER) AS epoch,
+         list_filter(string_split_regex(trim(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+doc_agg AS (
+  SELECT epoch, count(*) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         CAST(0 AS BIGINT) AS new_types
+  FROM d GROUP BY epoch
+),
+first_seen AS (
+  SELECT epoch, CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_tokens,
+         count(*) AS new_types
+  FROM (
+    SELECT min(epoch) AS epoch
+    FROM d, unnest(toks) AS u(t)
+    GROUP BY lower(t)
+  ) GROUP BY epoch
+),
+per_epoch AS (
+  SELECT epoch, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(new_types) AS BIGINT) AS new_types
+  FROM (SELECT * FROM doc_agg UNION ALL SELECT * FROM first_seen)
+  GROUP BY epoch
+)
+SELECT epoch, n_docs, n_tokens, new_types,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(new_types) OVER w AS BIGINT) AS cum_types,
+       round(sum(new_types) OVER w / CAST(sum(n_tokens) OVER w AS DOUBLE), 6)
+         AS cum_ttr
+FROM per_epoch
+WINDOW w AS (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking + per-category counts: pure regexp column algebra,
     zero shuffle. Fixture plants one email/IP/phone per doc_id%4
@@ -7829,6 +7880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every entry keeps its oracle regardless of position —
     # scripts/check_oracles.py verifies ALL of them.
     return {
+        "vocab_growth": _with_pkg(_q_vocab_growth),
         "repetition_bigrams": _with_pkg(_q_repetition_bigrams),
         "near_dup_pairs": _with_pkg(_q_near_dup_pairs),
         "embedding_dup_clusters": _with_pkg(_q_embedding_dup_clusters),
@@ -7990,6 +8042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vocab_growth": _SQL_VOCAB_GROWTH,
         "pricing_summary": _SQL_PRICING,
         "stats_discount": _SQL_STATS,
         "event_type_counts": _SQL_EVENT_COUNTS,

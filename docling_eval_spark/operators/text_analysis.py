@@ -1618,6 +1618,95 @@ def vocab_stats(
     )
 
 
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-type
+    count as the corpus grows, measured at 16 checkpoints. The classic
+    tokenizer-sizing / corpus-diversity diagnostic (Heaps 1978): a
+    training-data curator reads the curve's flattening rate to decide
+    whether more crawl adds vocabulary or just repeats it, and a curve
+    that flattens too early flags template floods.
+
+    Epochs are a DETERMINISTIC RANDOM PERMUTATION, not ingest order:
+    each document's epoch is the first hex digit of ``md5(id)``
+    (uniform over 0..15), so the prefix "epochs ≤ e" is a uniform
+    random sample of the corpus whose size grows with e — exactly the
+    shuffled-corpus prefix Heaps measurement wants, with no global
+    sort and no dependence on partition layout. Engine-portable: the
+    DuckDB oracle replays the identical md5 digit.
+
+    Scale shape: the ONLY wide-by-cardinality shuffle is the
+    per-token ``min(epoch)`` hash agg (map-side combine ships at most
+    one row per distinct token per task — same cost envelope as
+    ``vocab_stats``). Doc counts/token totals reduce doc-level rows
+    straight to ≤16 epoch rows (map-side combine again), and the final
+    cumulative window runs over ≤16 rows on one partition. No
+    explode-join, no driver collect.
+
+    Output: one row per epoch with per-epoch ``n_docs``/``n_tokens``/
+    ``new_types`` and cumulative ``cum_docs``/``cum_tokens``/
+    ``cum_types`` plus the running type-token ratio.
+    """
+    from pyspark.sql import Window
+
+    hexd = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 1)
+    epoch = F.conv(hexd, 16, 10).cast("int")
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+
+    doc_agg = (
+        df.select(epoch.alias("epoch"), F.size(toks).alias("nt"))
+        .groupBy("epoch")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    first_seen = (
+        df.select(epoch.alias("epoch"), F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("epoch").alias("epoch"))
+        .groupBy("epoch")
+        .agg(F.count("*").alias("new_types"))
+    )
+    # union-then-sum instead of a join: one ≤32-row hash agg, and an
+    # epoch present on either side survives with zeros on the other.
+    per_epoch = (
+        doc_agg.select(
+            "epoch", "n_docs", "n_tokens", F.lit(0).cast("long").alias("new_types")
+        )
+        .unionByName(
+            first_seen.select(
+                "epoch",
+                F.lit(0).cast("long").alias("n_docs"),
+                F.lit(0).cast("long").alias("n_tokens"),
+                "new_types",
+            )
+        )
+        .groupBy("epoch")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("new_types").alias("new_types"),
+        )
+    )
+    w = (
+        Window.orderBy("epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_epoch.select(
+        "epoch",
+        "n_docs",
+        "n_tokens",
+        "new_types",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+        F.round(
+            F.sum("new_types").over(w) / F.sum("n_tokens").over(w), 6
+        ).alias("cum_ttr"),
+    )
+
+
 # ------------------------------------------------------------------ PII
 
 # Engine-portable regex subset (valid and equivalent under both Java

@@ -1766,6 +1766,39 @@ def test_vocab_stats_corpus_wide(spark):
     assert (r.n_tokens, r.n_types, r.n_hapax, r.top_freq) == (5, 3, 1, 2)
 
 
+def test_vocab_growth_invariants(spark):
+    """Curve invariants on a 40-doc corpus: epochs are md5-uniform in
+    0..15, cumulative columns are monotone, the final cum_types equals
+    the corpus-wide distinct-type count, and per-epoch totals tie out
+    to the doc-level truth."""
+    import hashlib
+
+    from docling_eval_spark.operators.text_analysis import vocab_growth
+
+    docs = [(i, f"tok{i % 7} tok{i % 3} shared word{i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = vocab_growth(df).orderBy("epoch").collect()
+
+    assert all(0 <= r.epoch <= 15 for r in rows)
+    # epoch must be the first md5 hex digit of str(doc_id)
+    expected_epochs = {
+        int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) for i, _ in docs
+    }
+    assert {r.epoch for r in rows} == expected_epochs
+
+    assert sum(r.n_docs for r in rows) == 40
+    all_types = {t.lower() for _, txt in docs for t in txt.split()}
+    assert rows[-1].cum_types == len(all_types)
+    assert rows[-1].cum_tokens == sum(len(txt.split()) for _, txt in docs)
+
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_docs == prev.cum_docs + cur.n_docs
+        assert cur.cum_tokens == prev.cum_tokens + cur.n_tokens
+        assert cur.cum_types == prev.cum_types + cur.new_types
+        assert cur.cum_types >= prev.cum_types
+    assert rows[0].cum_ttr == round(rows[0].new_types / rows[0].n_tokens, 6)
+
+
 def test_pii_scrub_hand_case(spark):
     from docling_eval_spark.operators.text_analysis import pii_scrub
 
