@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "latest_snapshot",
     "crawl_rate",
     "vocab_stats",
+    "vocab_growth",
     "pii_scrub",
     "cms_heavy_hitters",
     "char_entropy",
