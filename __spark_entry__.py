@@ -4097,8 +4097,15 @@ def _q_budgeted_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derives the union lineage, 10 source scans in the audited
     # plan; materialized once on first use instead
     log = _synth_budget_log(spark, sf_dir).localCheckpoint(eager=False)
-    budgets = crawl_budget_plan(log, min_urls=100, trap_ratio=5.0).select(
-        "host", "budget"
+    # the budget plan (trap gate + churn rollup, the heavy half of the
+    # lineage) feeds TWO consumers — cap_per_key_budget's join and the
+    # final reporting join; pin the slim (host, budget) frame so the
+    # second consumer reads the materialization instead of re-running
+    # the whole plan subtree
+    budgets = (
+        crawl_budget_plan(log, min_urls=100, trap_ratio=5.0)
+        .select("host", "budget")
+        .localCheckpoint(eager=False)
     )
     urls = log.select(host_col("url").alias("host"), "url").distinct()
     kept = cap_per_key_budget(urls, budgets, "host", "url")
@@ -7486,7 +7493,14 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch is value-gated, not just the happy path."""
     from docling_eval_spark.operators.dedup import char_shingles, containment_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file table → few scan partitions; spread the CPU-heavy
+    # shingling across cores first (tiny shuffle — same rationale as
+    # minhash_pairs)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     full = char_shingles("text", 5)
     base = d.select(
         "doc_id",
@@ -7497,6 +7511,12 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sh_full",
         char_shingles("__half_txt", 5).alias("sh_half"),
     )
+    # the three pair families below fork FOUR plan branches off this
+    # frame (self, half, adj-left, adj-right); without pinning, each
+    # branch re-runs the whole shingle pipeline — same discipline as
+    # image_near_dups' hash frame (at warehouse scale: a materialized
+    # shingle table)
+    base = base.localCheckpoint(eager=True)
     self_pairs = base.select(
         F.lit("self").alias("family"),
         F.col("doc_id").alias("id_l"),
