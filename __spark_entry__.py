@@ -72,6 +72,22 @@ def _dec_sum(col: str):
     return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
 
 
+def _lev_fast(a, b):
+    """levenshtein(a, b) with an exact substring fast path.
+
+    If x is a substring (hence subsequence) of y, the edit distance is
+    exactly length(y) − length(x): an insertion-only script achieves
+    it, and ||y|−|x|| lower-bounds any script. So the guarded
+    expression is value-identical to plain levenshtein for EVERY
+    input; only genuinely diverged pairs pay the O(n·m) DP."""
+    return (
+        F.when(F.contains(b, a), F.length(b) - F.length(a))
+        .when(F.contains(a, b), F.length(a) - F.length(b))
+        .otherwise(F.levenshtein(a, b))
+        .cast("bigint")
+    )
+
+
 _WS = r"[ \t\n\r\f\v]+"
 
 # sentinel paragraph appended by datagen.render_page_for_text — must
@@ -4331,7 +4347,13 @@ def _q_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.datagen.pages import render_documents_stage
     from docling_eval_spark.extraction.stage import extract_ab_stage
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # spread the dual-parse kernels across cores (single-file scan →
+    # 1 partition otherwise; same pattern as extract_match_stats)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ab = extract_ab_stage(render_documents_stage(docs))
     return ab.select(
         "doc_id",
@@ -4344,13 +4366,18 @@ def _q_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pure ASCII prefix+suffix insertion except the 2-byte (c)
         # sign, so folding (c) -> 'C' in BOTH engines makes byte and
         # char distances provably identical without changing the
-        # true char-level value
-        F.levenshtein(
+        # true char-level value.
+        # Substring fast path (exact for ALL inputs): if x is a
+        # substring of y then levenshtein(x, y) = |y| - |x| — an
+        # insertion-only script achieves it and ||y|-|x|| is the
+        # universal lower bound. contains() is a linear scan; the
+        # O(n·m) DP only runs for genuinely diverged pairs. Measured
+        # 9.4s -> ~0s on the bench corpus (extractor B wraps A's text
+        # verbatim), value-identical by construction.
+        _lev_fast(
             F.translate("text_a", "©", "C"),
             F.translate("text_b", "©", "C"),
-        )
-        .cast("bigint")
-        .alias("edit_ab"),
+        ).alias("edit_ab"),
         F.length("text_a").cast("bigint").alias("len_a"),
         F.length("text_b").cast("bigint").alias("len_b"),
     )

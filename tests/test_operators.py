@@ -3814,3 +3814,32 @@ def test_host_boilerplate_only_removes_lines(spark):
         # subsequence check
         it = iter(inp[i])
         assert all(any(line == x for x in it) for line in got), (i, got)
+
+
+def test_lev_fast_identity_vs_plain_levenshtein(spark):
+    """The substring fast path must equal plain levenshtein on every
+    pair — substring hits (both directions), empty sides, and
+    genuinely diverged pairs that fall through to the DP."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entry
+
+    pairs = [
+        ("abc", "xx abc yy"),          # a inside b
+        ("prefix abc suffix", "abc"),  # b inside a
+        ("", "anything"),              # empty a
+        ("anything", ""),              # empty b
+        ("", ""),
+        ("same", "same"),
+        ("kitten", "sitting"),         # classic diverged pair (3)
+        ("abcdef", "azcdyf"),
+        ("ab", "ba"),
+        ("abc" * 200, "xyz" + "abc" * 200 + "qq"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        entry._lev_fast(F.col("a"), F.col("b")).alias("fast"),
+        F.levenshtein("a", "b").cast("bigint").alias("plain"),
+    ).collect()
+    for r, (a, b) in zip(rows, pairs):
+        assert r["fast"] == r["plain"], (a, b, r["fast"], r["plain"])
