@@ -227,6 +227,23 @@ def bpe_train(
         raise ValueError("merges must be >= 1")
     spark = df.sparkSession
     words = word_symbol_table(df, text_col, lowercase, min_freq).persist()
+    # The corpus-scale count leaves the vocab-sized word table spread
+    # over corpus-scale shuffle partitions; every one of the `merges`
+    # iterations then pays that task count twice (pair-count kernel +
+    # merge kernel) on a table that is orders of magnitude smaller
+    # (Heaps' law). Derive the iteration parallelism from the MEASURED
+    # vocabulary size (~64k words per task), never a constant — the
+    # count also warms the cache the first iteration would have paid.
+    n_words = words.count()
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (n_words + 65_535) // 65_536,
+        ),
+    )
+    if parts < words.rdd.getNumPartitions():
+        words = words.coalesce(parts)
     learned: list[tuple[int, str, str, str, int]] = []
     # the per-iteration frames stay persisted until the END: each
     # nxt's lineage is one _apply_merge over its cached parent, so the

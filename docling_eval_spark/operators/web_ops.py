@@ -792,6 +792,22 @@ def connected_components(
     und = und.union(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
+    # near-dup pair graphs are tiny next to the corpus that produced
+    # them, but inherit its shuffle partitioning — size the iteration
+    # parallelism from the MEASURED edge count (~64k rows per task,
+    # floor 1, cap at the cluster's cores) so each of the
+    # ``iterations`` join+agg rounds schedules tasks proportional to
+    # the graph, not to the corpus. The count also warms the cache.
+    n_edges = und.count()
+    parts = max(
+        1,
+        min(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            (n_edges + 65_535) // 65_536,
+        ),
+    )
+    if parts < und.rdd.getNumPartitions():
+        und = und.coalesce(parts)
     comps = (
         und.select(F.col("a").alias("node"))
         .distinct()

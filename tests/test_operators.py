@@ -3843,3 +3843,28 @@ def test_lev_fast_identity_vs_plain_levenshtein(spark):
     ).collect()
     for r, (a, b) in zip(rows, pairs):
         assert r["fast"] == r["plain"], (a, b, r["fast"], r["plain"])
+
+
+def test_cdc_chunks_arrow_matches_sql_engine(spark):
+    """The vectorized boundary kernel must reproduce the HOF
+    expression's chunks exactly — boundaries, lengths and digests —
+    on real corpus text plus shorter-than-k and empty-ish edges."""
+    import pyspark.sql.functions as F
+
+    from docling_eval_spark.operators.text_analysis import cdc_chunk_table
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(F.col("doc_id").alias("id"), "text").limit(60)
+    edge = spark.createDataFrame(
+        [(9001, "short"), (9002, "x" * 15), (9003, "y" * 16), (9004, " ")],
+        "id long, text string",
+    )
+    for df in (docs, edge):
+        a = sorted(
+            tuple(r) for r in cdc_chunk_table(df, "id", engine="arrow").collect()
+        )
+        b = sorted(
+            tuple(r) for r in cdc_chunk_table(df, "id", engine="sql").collect()
+        )
+        assert a == b

@@ -234,3 +234,37 @@ def test_data_card_hand_case(spark):
     de = rows[("de", "web")]
     assert de["n_docs"] == 1 and de["dup_rate_micro"] == 0
     assert de["gopher_pass"] == 1
+
+
+def test_semantic_dedup_grouped_matches_join_engine(spark):
+    """The per-cluster pairwise kernel must be row-identical to the
+    self-join + cosine_assign shape — same clusters, same flags —
+    including borderline cosines (scaled twins sit exactly at 1.0)
+    and an oversized cluster kept unflagged by both."""
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = e.unionByName(
+        e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    cents = hyperplanes(64, 8, seed=11)
+    for thr, mc in ((0.999, 100_000), (0.8, 100_000), (0.9, 10)):
+        a = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                dup, cents, threshold=thr, max_cluster=mc, engine="grouped"
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                dup, cents, threshold=thr, max_cluster=mc, engine="join"
+            ).collect()
+        )
+        assert a == b and len(a) == dup.count()
