@@ -2354,7 +2354,13 @@ def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization, and the BIGINT score sum bit-for-bit."""
     from docling_eval_spark.operators.training import dsir_topk
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # spread the token-hash pipeline across cores (single-file scan →
+    # 1 partition otherwise)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return dsir_topk(
         d, "doc_id", "text", F.col("lang") == "en", k=50, buckets=512
     )
@@ -3266,8 +3272,15 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans of normalized text whose k-grams occur in >=2 documents."""
     from docling_eval_spark.operators.text_analysis import duplicate_spans
 
+    # spread the k-gram hashing kernel + postings write across cores
+    # (single-file scan → 1 partition otherwise)
     return duplicate_spans(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=20
+        _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "doc_id",
+        "text",
+        k=20,
     )
 
 
@@ -6812,7 +6825,13 @@ def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_near_dup_pairs,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # spread the render+decode kernels across cores (single-file scan
+    # -> 1-2 partitions otherwise; same pattern as extract_match_stats)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     base = docs.select(
         F.col("doc_id").alias("id"),
         F.col("doc_id").cast("string").alias("seed"),
@@ -6878,7 +6897,11 @@ def _q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         tone_block_wav_stage,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     base = docs.select(
         F.col("doc_id").alias("id"),
         F.col("doc_id").cast("string").alias("seed"),
@@ -6914,7 +6937,11 @@ def _q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_near_dup_pairs,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # 'v'-prefixed seeds: distinct hash values from the audio twin, so
     # the two modality gates are independent evidence
     seed = F.concat(F.lit("v"), F.col("doc_id").cast("string"))
@@ -7757,7 +7784,13 @@ def _q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer micros (F1 = 2·lcs/(m+n): no floats exist)."""
     from docling_eval_spark.evaluators.text_metrics import rouge_l_stage
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the numpy LCS DP kernel across cores (single-file scan →
+    # 1 partition otherwise; the self family pays a 512×512 DP/pair)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = F.slice(
         F.filter(F.split(F.trim(F.col("text")), _WS), lambda x: x != ""),
         1,

@@ -3868,3 +3868,22 @@ def test_cdc_chunks_arrow_matches_sql_engine(spark):
             tuple(r) for r in cdc_chunk_table(df, "id", engine="sql").collect()
         )
         assert a == b
+
+
+def test_cms_build_arrow_matches_sql_engine(spark):
+    """The batch-dedup hashing kernel must produce the identical
+    sketch (every counter cell) as the expression shape."""
+    from docling_eval_spark.operators.sketch import cms_build
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("text")
+    a = sorted(
+        tuple(r)
+        for r in cms_build(docs, depth=3, width=512, engine="arrow").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in cms_build(docs, depth=3, width=512, engine="sql").collect()
+    )
+    assert a == b and len(a) > 0
