@@ -5528,13 +5528,13 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
 
     # single-file table → 1 scan partition; spread the CPU-heavy
-    # shingling across cores first (tiny shuffle)
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # shingling across cores (tiny shuffle). Repartition AFTER the
+    # twin union so the shingle kernel runs one core-count stage
+    # instead of 2× core-count concatenated partitions.
+    d = _t(spark, sf_dir, "documents")
     dup = d.select("doc_id", "text").unionByName(
         d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     return minhash_dedup_pairs(dup, "doc_id", threshold=0.7).select(
         "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
     )
@@ -5550,12 +5550,10 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs
     from docling_eval_spark.operators.web_ops import connected_components
 
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _t(spark, sf_dir, "documents")
     dup = d.select("doc_id", "text").unionByName(
         d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     pairs = minhash_dedup_pairs(dup, "doc_id", threshold=0.7)
     return connected_components(
         pairs, "id_l", "id_r", iterations=6
@@ -5575,14 +5573,12 @@ def _q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from docling_eval_spark.operators.web_ops import connected_components
 
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _t(spark, sf_dir, "documents")
     dup = d.select("doc_id", "text", "n_chars").unionByName(
         d.select(
             (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars"
         )
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     pairs = minhash_dedup_pairs(dup, "doc_id", threshold=0.7)
     comp = connected_components(pairs, "id_l", "id_r", iterations=6)
     scores = dup.select(
@@ -6240,12 +6236,10 @@ def _q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies to extraction metrics, turned on the dedup operator."""
     from docling_eval_spark.operators.dedup import lsh_quality_eval
 
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _t(spark, sf_dir, "documents")
     dup = d.select("doc_id", "text").unionByName(
         d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     return lsh_quality_eval(dup, "doc_id", threshold=0.7)
 
 
