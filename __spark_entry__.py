@@ -5444,7 +5444,11 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map; micro-nat integer quantization keeps it engine-exact."""
     from docling_eval_spark.operators.text_analysis import char_entropy_col
 
-    d = _t(spark, sf_dir, "documents")
+    # spread the per-char histogram HOFs across cores (single-file
+    # scan → 1 partition otherwise)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", char_entropy_col("text").alias("entropy"))
 
 
@@ -6603,7 +6607,11 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang total join."""
     from docling_eval_spark.operators.text_analysis import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    # spread the per-doc lang-ID scoring expressions across cores
+    # (single-file scan → 1 partition otherwise)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cm = (
         lang_id(d, "text")
         .groupBy("lang", "lang_pred")
