@@ -465,6 +465,7 @@ def semantic_dedup(
     max_cluster: int = 100_000,
     snapshot: bool = True,
     engine: str = "grouped",
+    pair_block: int = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark as semantic duplicates the rows whose
@@ -548,22 +549,33 @@ def semantic_dedup(
                     for v in vecs
                 ]
             )
-            # dimension-sequential accumulation == cumsum fold order
-            dot = np.zeros((n, n), dtype=np.float64)
+            # per-row squared norms, dimension-sequential (== the
+            # cumsum fold order of cosine_assign / the SQL twin)
             nsq = np.zeros(n, dtype=np.float64)
             for k in range(dim):
-                col = m[:, k]
-                dot += np.multiply.outer(col, col)
-                nsq += col * col
+                nsq += m[:, k] * m[:, k]
             nrm = np.sqrt(nsq)
-            denom = np.multiply.outer(nrm, nrm)
-            okm = denom > 0
-            cos = np.zeros((n, n), dtype=np.float64)
-            cos[okm] = dot[okm] / denom[okm]
-            hit = cos >= thr
-            # b is a dup iff SOME strictly-lower-id a is within τ
-            low = np.tril(hit, k=-1)  # row b, col a < b (sorted ids)
-            is_dup = low.any(axis=1)
+            # b is a dup iff SOME strictly-lower-id a is within τ.
+            # Process candidate rows (the "b" side) in blocks so task
+            # memory stays O(n · block) however large the cluster —
+            # the total pairwise work is inherent, the n×n matrix is
+            # not.
+            is_dup = np.zeros(n, dtype=bool)
+            block = max(1, pair_block)
+            for b0 in range(1, n, block):
+                b1 = min(b0 + block, n)
+                sub = np.zeros((b1 - b0, n), dtype=np.float64)
+                for k in range(dim):  # dim-sequential accumulation
+                    sub += np.multiply.outer(m[b0:b1, k], m[:, k])
+                denom = np.multiply.outer(nrm[b0:b1], nrm)
+                okm = denom > 0
+                cos = np.zeros_like(sub)
+                cos[okm] = sub[okm] / denom[okm]
+                hit = cos >= thr
+                # only pairs with a-index < b-index count
+                for i in range(b1 - b0):
+                    if hit[i, : b0 + i].any():
+                        is_dup[b0 + i] = True
             return pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

@@ -268,3 +268,29 @@ def test_semantic_dedup_grouped_matches_join_engine(spark):
             ).collect()
         )
         assert a == b and len(a) == dup.count()
+
+
+def test_semantic_dedup_grouped_block_boundaries(spark):
+    """The blocked pairwise sweep must be flag-identical across block
+    sizes that split clusters mid-row (incl. block=1)."""
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = hyperplanes(64, 4, seed=3)
+    ref = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            e, cents, threshold=0.9, engine="grouped", pair_block=2048
+        ).collect()
+    )
+    for blk in (1, 3, 7):
+        got = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                e, cents, threshold=0.9, engine="grouped", pair_block=blk
+            ).collect()
+        )
+        assert got == ref, blk
