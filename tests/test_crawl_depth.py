@@ -53,6 +53,40 @@ def test_cycle_terminates_with_settled_depths(spark):
     assert got == {"a": 0, "b": 1, "c": 2}
 
 
+def test_frontier_bfs_matches_reference_on_random_graph(spark):
+    """The frontier-joined loop (only depth==round-1 nodes probe the
+    edge list) must equal a plain breadth-first reference exactly on
+    a pseudorandom graph with cycles, shortcuts and unreachable
+    nodes, at several hop caps."""
+    n = 200
+    edges = [
+        (f"n{(7 * i) % n}", f"n{(11 * i + 3) % n}") for i in range(350)
+    ] + [("iso_src", "iso_dst")]  # disconnected from the seeds
+    seeds = ["n0", "n13"]
+
+    def ref_bfs(edge_list, seed_list, max_hops):
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        for s, t in edge_list:
+            adj[s].append(t)
+        depth = {s: 0 for s in seed_list}
+        cur = set(seed_list)
+        for d in range(1, max_hops + 1):
+            nxt = set()
+            for u in cur:
+                for v in adj[u]:
+                    if v not in depth:
+                        depth[v] = d
+                        nxt.add(v)
+            cur = nxt
+        return depth
+
+    for hops in (1, 3, 6):
+        got = _run(spark, edges, seeds, max_hops=hops)
+        assert got == ref_bfs(edges, seeds, hops), f"hops={hops}"
+
+
 def test_depth_partition_invariance(spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     fwd = li.select(

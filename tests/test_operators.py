@@ -2941,6 +2941,55 @@ def test_hits_hand_graph_exact(spark):
         hits(edges, normalize="l2")
 
 
+def test_hits_sparse_loop_matches_dense_reference(spark):
+    """The sparse-state loop (zero-score nodes folded in only at the
+    final output) must equal a dense pure-Python reference EXACTLY —
+    integer-valued arithmetic, so no tolerance. Graph mixes only-out
+    (d), only-in (e), both-side nodes and a parallel edge; 3
+    iterations exercises the mid-loop checkpoint."""
+    from docling_eval_spark.operators.web_ops import hits
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("a", "c"), ("a", "c"),  # parallel edge: multiplicity counts
+        ("d", "c"), ("c", "e"),
+    ]
+
+    def dense_hits(edges, iters):
+        nodes = {n for e in edges for n in e}
+        hub = {n: 1.0 for n in nodes}
+        auth = {n: 0.0 for n in nodes}
+        for _ in range(iters):
+            auth = {n: 0.0 for n in nodes}
+            for s, t in edges:
+                auth[t] += hub[s]
+            hub = {n: 0.0 for n in nodes}
+            for s, t in edges:
+                hub[s] += auth[t]
+        mh, ma = max(hub.values()), max(auth.values())
+        return {
+            n: (
+                hub[n] / mh if mh > 0 else 0.0,
+                auth[n] / ma if ma > 0 else 0.0,
+            )
+            for n in nodes
+        }
+
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    for iters in (1, 3):
+        got = {
+            r.node: (r.hub, r.auth)
+            for r in hits(df, iterations=iters).collect()
+        }
+        assert got == dense_hits(edge_list, iters), f"iters={iters}"
+    # iterations=0 degenerate: init state scaled — hub 1 everywhere,
+    # auth 0 everywhere
+    got0 = {
+        r.node: (r.hub, r.auth) for r in hits(df, iterations=0).collect()
+    }
+    assert got0 == {n: (1.0, 0.0) for n in "abcde"}
+
+
 def test_temperature_mix_flattens_head_domain(spark):
     from docling_eval_spark.operators.web_ops import temperature_mix_sample
 
