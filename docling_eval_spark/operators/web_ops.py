@@ -1143,59 +1143,84 @@ def trust_rank(
 
     Same per-iteration scale shape as :func:`page_rank` — ONE
     rank-vs-degree-annotated-edge equi-join + one map-side-combining
-    sum, lineage truncated every ``checkpoint_every`` iterations —
-    plus a one-time left join of the slim (node, t) teleport frame,
-    which is computed once, persisted, and reused every iteration.
+    sum, lineage truncated every ``checkpoint_every`` iterations.
     Dangling mass is not redistributed (same documented deviation as
     :func:`page_rank`; the oracle unrolls the identical formulation).
+
+    Unlike :func:`page_rank` (whose uniform teleport pays EVERY node
+    a per-iteration floor), the trust vector is nonzero only on
+    nodes reachable from the seed set, so the loop keeps its state
+    SPARSE: r0 is the seed rows alone, and each iteration rebuilds
+    only {seeds} ∪ {contribution receivers} — zero-rank nodes
+    contribute exactly 0.0/deg = +0.0 to every sum, so dropping them
+    is value-identical (all addends are non-negative; adding +0.0
+    never changes an IEEE sum). Seeds that receive no contributions
+    stay present via a union of |S| zero rows folded into the SAME
+    keyed aggregation (+0.0 addends, exact), and the teleport base
+    lands via a broadcast join of the curated seed list (hundreds to
+    low thousands of rows — never a node-frame shuffle). Zero-rank
+    nodes re-enter once, at the final output fold (full node frame
+    LEFT JOIN state, coalesce 0.0). On a graph where trust reaches
+    few nodes the per-iteration frames collapse to the reachable
+    set; in the worst case (everything reachable) the shape equals
+    the dense loop minus its per-iteration node-frame fold.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     seeds_in = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
         .join(nodes, "node")
         .withColumn("__seed", F.lit(True))
+        .persist()
     )
-    # slim (node, t) teleport frame: reused by every iteration's
-    # rebuild, so persist it (same rationale as page_rank's nodes)
-    nodes_t = nodes.join(seeds_in, "node", "left").persist()
-    n_seeds = nodes_t.filter(F.col("__seed")).count()
+    n_seeds = seeds_in.count()
     if n_seeds == 0:
-        nodes_t.unpersist()
+        nodes.unpersist()
+        seeds_in.unpersist()
         raise ValueError("trust_rank: no seed id appears in the graph")
     t_val = 1.0 / n_seeds
     base_val = (1.0 - damping) * t_val
-    t_col = F.when(F.col("__seed"), F.lit(t_val)).otherwise(F.lit(0.0))
-    base_col = F.when(F.col("__seed"), F.lit(base_val)).otherwise(
-        F.lit(0.0)
-    )
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = edges.join(out_deg, "src").persist()
-    ranks = nodes_t.select("node", t_col.alias("rank"))
+    ranks = seeds_in.select("node", F.lit(t_val).alias("rank"))
+    seed_zero = seeds_in.select("node", F.lit(0.0).alias("c"))
     for it in range(iterations):
         if it > 0 and checkpoint_every and it % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-        contribs = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
+        contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        sums = (
+            contribs.unionByName(seed_zero)
+            .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes_t.join(
-            contribs, nodes_t["node"] == contribs["dst"], "left"
+        ranks = sums.join(
+            F.broadcast(seeds_in.select("node", "__seed")), "node", "left"
         ).select(
             "node",
             (
-                base_col
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                F.when(F.col("__seed"), F.lit(base_val)).otherwise(
+                    F.lit(0.0)
+                )
+                + F.lit(damping) * F.col("s")
             ).alias("rank"),
         )
-    out = ranks.localCheckpoint(eager=True)
-    nodes_t.unpersist()
+    out = (
+        nodes.join(ranks, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank")
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
+    seeds_in.unpersist()
     ed.unpersist()
     return out
 

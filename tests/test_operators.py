@@ -3826,6 +3826,56 @@ def test_merge_recrawl_idempotent(spark):
     assert st["u3"] == "KEPT"
 
 
+def test_trust_rank_sparse_loop_matches_dense_reference(spark):
+    """The sparse-state loop (only seeds ∪ contribution receivers
+    per iteration) must match a dense pure-Python reference to
+    summation-order ulps, and unreachable nodes must be EXACTLY 0.
+    Graph mixes a no-in-edge seed, a dangling seed, multi-hop
+    reach and an unreachable island."""
+    from docling_eval_spark.operators.web_ops import trust_rank
+
+    edge_list = [
+        ("s1", "a"), ("a", "b"), ("b", "c"), ("a", "c"),
+        ("s2", "a"),            # second seed, also no in-edges
+        ("c", "dangle"),        # reachable sink
+        ("x", "y"), ("y", "x"),  # unreachable island
+    ]
+    seed_list = ["s1", "s2", "dangle"]  # 'dangle' has no out-edges
+
+    def dense_trust(edges, seed_set, iters, d=0.85):
+        nodes = {n for e in edges for n in e}
+        live = [s for s in seed_set if s in nodes]
+        t = 1.0 / len(live)
+        base = (1.0 - d) * t
+        from collections import defaultdict
+
+        deg = defaultdict(int)
+        for s, _ in edges:
+            deg[s] += 1
+        rank = {n: (t if n in live else 0.0) for n in nodes}
+        for _ in range(iters):
+            s_in = {n: 0.0 for n in nodes}
+            for u, v in edges:
+                s_in[v] += rank[u] / deg[u]
+            rank = {
+                n: (base if n in live else 0.0) + d * s_in[n]
+                for n in nodes
+            }
+        return rank
+
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    sdf = spark.createDataFrame([(x,) for x in seed_list], "node string")
+    for iters in (1, 3, 8):  # 8 > checkpoint_every exercises lineage cut
+        got = {r.node: r.rank for r in trust_rank(df, sdf, iters).collect()}
+        want = dense_trust(edge_list, seed_list, iters)
+        assert set(got) == set(want)
+        for n in got:
+            if want[n] == 0.0:
+                assert got[n] == 0.0, (iters, n)  # exact, not approximate
+            else:
+                assert abs(got[n] - want[n]) < 1e-12, (iters, n)
+
+
 def test_trust_rank_mass_bounds(spark):
     """Invariant of the seed-teleport recurrence: with r0 summing to
     1 over the seed set and no negative terms, total rank mass stays
