@@ -1126,6 +1126,7 @@ def trust_rank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint_every: int = 2,
+    tol: float | None = None,
 ) -> DataFrame:
     """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
     biased PageRank whose teleport mass lands ONLY on a hand-vetted
@@ -1164,6 +1165,20 @@ def trust_rank(
     few nodes the per-iteration frames collapse to the reachable
     set; in the worst case (everything reachable) the shape equals
     the dense loop minus its per-iteration node-frame fold.
+
+    ``tol``: optional convergence stop, mirroring :func:`page_rank` —
+    after each iteration the L1 delta of the SPARSE trust vectors
+    (full-outer join on node, absent rows counted as 0.0 — exactly
+    the value the final output fold gives them) is computed and the
+    loop ends once delta <= tol. ``tol=0.0`` stops only on an EXACT
+    fixpoint (every |Δ| summand is 0.0, so the sum is 0.0 iff the
+    vectors are value-identical including membership-as-zero); the
+    skipped iterations would have reproduced the same vector, so the
+    output is identical to the fixed-count run — the oracle, which
+    unrolls all ``iterations`` CTEs, gates that. Costs one extra
+    scalar action + an every-iteration (rather than every
+    ``checkpoint_every``) lineage checkpoint per executed iteration;
+    the default ``None`` keeps the fixed-count plan.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -1190,8 +1205,16 @@ def trust_rank(
     ranks = seeds_in.select("node", F.lit(t_val).alias("rank"))
     seed_zero = seeds_in.select("node", F.lit(0.0).alias("c"))
     for it in range(iterations):
-        if it > 0 and checkpoint_every and it % checkpoint_every == 0:
+        # in tol mode every iteration already checkpoints below — a
+        # second checkpoint here would re-materialize for nothing
+        if (
+            tol is None
+            and it > 0
+            and checkpoint_every
+            and it % checkpoint_every == 0
+        ):
             ranks = ranks.localCheckpoint(eager=True)
+        prev = ranks
         contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("deg")).alias("c"),
@@ -1212,6 +1235,39 @@ def trust_rank(
                 + F.lit(damping) * F.col("s")
             ).alias("rank"),
         )
+        if tol is not None:
+            # materialize once so the delta probe and the next
+            # iteration share the computed frame (this also covers
+            # the checkpoint_every lineage guard — every tol
+            # iteration checkpoints)
+            ranks = ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.select("node", F.col("rank").alias("__ra"))
+                .join(
+                    prev.select("node", F.col("rank").alias("__rb")),
+                    "node",
+                    "full_outer",
+                )
+                .agg(
+                    F.sum(
+                        F.abs(
+                            F.coalesce(F.col("__ra"), F.lit(0.0))
+                            - F.coalesce(F.col("__rb"), F.lit(0.0))
+                        )
+                    )
+                )
+                .collect()[0][0]
+            )
+            if it > 0:
+                # prev (last iteration's checkpoint) is dead after
+                # the probe — release its blocks instead of waiting
+                # for GC (it == 0 skipped: prev is the seed frame)
+                try:
+                    prev.unpersist(blocking=False)
+                except Exception:
+                    pass
+            if delta is not None and delta <= tol:
+                break
     out = (
         nodes.join(ranks, "node", "left")
         .select(

@@ -3876,6 +3876,58 @@ def test_trust_rank_sparse_loop_matches_dense_reference(spark):
                 assert abs(got[n] - want[n]) < 1e-12, (iters, n)
 
 
+def test_graph_exact_fixpoint_stop_is_value_identical(spark):
+    """tol=0.0 (exact-fixpoint early stop) must reproduce the
+    fixed-count output EXACTLY at the gate's rounding on both loop
+    shapes: (a) a bipartite graph, where srcs have no in-edges so the
+    vectors stabilize after 2 (page_rank) / 1 (trust_rank) iterations
+    and the stop actually fires; (b) a cyclic graph, where the ranks
+    oscillate and the stop must NOT fire within the budget — output
+    equals the fixed-count run trivially, guarding against a
+    premature break."""
+    from docling_eval_spark.operators.web_ops import page_rank, trust_rank
+
+    bipartite = spark.createDataFrame(
+        [("o1", "p1"), ("o1", "p2"), ("o2", "p1"), ("o3", "p3")],
+        "src string, dst string",
+    )
+    cyclic = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    for edges in (bipartite, cyclic):
+        fixed = {
+            r["node"]: round(r["rank"], 6)
+            for r in page_rank(edges, 10, tol=None).collect()
+        }
+        stopped = {
+            r["node"]: round(r["rank"], 6)
+            for r in page_rank(edges, 10, tol=0.0).collect()
+        }
+        assert fixed == stopped
+    seeds = spark.createDataFrame([("p1",), ("p3",)], "node string")
+    fixed = {
+        r["node"]: round(r["rank"], 6)
+        for r in trust_rank(bipartite, seeds, 8, tol=None).collect()
+    }
+    stopped = {
+        r["node"]: round(r["rank"], 6)
+        for r in trust_rank(bipartite, seeds, 8, tol=0.0).collect()
+    }
+    assert fixed == stopped
+    # cyclic trust: seed inside the cycle keeps the vector moving
+    cseeds = spark.createDataFrame([("hub",)], "node string")
+    fixed = {
+        r["node"]: round(r["rank"], 6)
+        for r in trust_rank(cyclic, cseeds, 8, tol=None).collect()
+    }
+    stopped = {
+        r["node"]: round(r["rank"], 6)
+        for r in trust_rank(cyclic, cseeds, 8, tol=0.0).collect()
+    }
+    assert fixed == stopped
+
+
 def test_trust_rank_mass_bounds(spark):
     """Invariant of the seed-teleport recurrence: with r0 summing to
     1 over the seed set and no negative terms, total rank mass stays
