@@ -1552,12 +1552,21 @@ def hits(
         .distinct()
         .persist()
     )
-    ed = edges.select("src", "dst").persist()
+    # Pin the adjacency list TWICE, pre-partitioned by each join key
+    # (the canonical by-direction edge layout): every iteration's
+    # auth update joins on src and its hub update joins on dst, so
+    # without this the 2·iterations joins re-shuffle the full edge
+    # frame every time; with it only the slim state frames move.
+    # Value-safe here with no caveats: in "final" mode all sums are
+    # integer-valued (order-independent), and in "l1" mode the
+    # engine-exactness contract is already rounded-only.
+    ed_by_src = edges.select("src", "dst").repartition("src").persist()
+    ed_by_dst = edges.select("src", "dst").repartition("dst").persist()
     hubs = nodes.withColumn("hub", F.lit(1.0))
     # read only when iterations == 0 (the loop overwrites it before
     # any read): the empty sparse frame = "every auth is 0"
     auths = (
-        ed.select(F.col("dst").alias("node"))
+        ed_by_dst.select(F.col("dst").alias("node"))
         .limit(0)
         .withColumn("auth", F.lit(0.0))
     )
@@ -1565,13 +1574,13 @@ def hits(
         if it > 0 and checkpoint_every and it % checkpoint_every == 0:
             hubs = hubs.localCheckpoint(eager=True)
         auths = (
-            ed.join(hubs, ed["src"] == hubs["node"])
+            ed_by_src.join(hubs, ed_by_src["src"] == hubs["node"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
             .withColumnRenamed("dst", "node")
         )
         hubs = (
-            ed.join(auths, ed["dst"] == auths["node"])
+            ed_by_dst.join(auths, ed_by_dst["dst"] == auths["node"])
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
             .withColumnRenamed("src", "node")
@@ -1626,7 +1635,8 @@ def hits(
         .localCheckpoint(eager=True)
     )
     nodes.unpersist()
-    ed.unpersist()
+    ed_by_src.unpersist()
+    ed_by_dst.unpersist()
     return out
 
 
@@ -1737,7 +1747,16 @@ def crawl_depth(
     Σ_k |reached_k| (re-probing every settled node every round) to
     |reached| (each node's out-edges probed exactly once).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    # pinned pre-partitioned by the join key: every hop joins the
+    # frontier on e.a, so an unpartitioned cache re-shuffles the full
+    # edge frame once per hop; partitioned, only the slim frontier
+    # moves. Value-safe without caveats: depths are integers under a
+    # min-agg (order-independent).
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .repartition("a")
+        .persist()
+    )
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
