@@ -1552,21 +1552,12 @@ def hits(
         .distinct()
         .persist()
     )
-    # Pin the adjacency list TWICE, pre-partitioned by each join key
-    # (the canonical by-direction edge layout): every iteration's
-    # auth update joins on src and its hub update joins on dst, so
-    # without this the 2·iterations joins re-shuffle the full edge
-    # frame every time; with it only the slim state frames move.
-    # Value-safe here with no caveats: in "final" mode all sums are
-    # integer-valued (order-independent), and in "l1" mode the
-    # engine-exactness contract is already rounded-only.
-    ed_by_src = edges.select("src", "dst").repartition("src").persist()
-    ed_by_dst = edges.select("src", "dst").repartition("dst").persist()
+    ed = edges.select("src", "dst").persist()
     hubs = nodes.withColumn("hub", F.lit(1.0))
     # read only when iterations == 0 (the loop overwrites it before
     # any read): the empty sparse frame = "every auth is 0"
     auths = (
-        ed_by_dst.select(F.col("dst").alias("node"))
+        ed.select(F.col("dst").alias("node"))
         .limit(0)
         .withColumn("auth", F.lit(0.0))
     )
@@ -1574,13 +1565,13 @@ def hits(
         if it > 0 and checkpoint_every and it % checkpoint_every == 0:
             hubs = hubs.localCheckpoint(eager=True)
         auths = (
-            ed_by_src.join(hubs, ed_by_src["src"] == hubs["node"])
+            ed.join(hubs, ed["src"] == hubs["node"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
             .withColumnRenamed("dst", "node")
         )
         hubs = (
-            ed_by_dst.join(auths, ed_by_dst["dst"] == auths["node"])
+            ed.join(auths, ed["dst"] == auths["node"])
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
             .withColumnRenamed("src", "node")
@@ -1635,8 +1626,7 @@ def hits(
         .localCheckpoint(eager=True)
     )
     nodes.unpersist()
-    ed_by_src.unpersist()
-    ed_by_dst.unpersist()
+    ed.unpersist()
     return out
 
 
